@@ -1,0 +1,591 @@
+"""Simulation engine: the reference's threaded step loop, rebuilt as jit-compiled scans.
+
+Reference behavior reproduced (``physicl/__init__.py:293-541``):
+
+* ``Simulation(**kwargs)`` with ``bounds``, ``exit`` predicate, ``state_fn``,
+  ``state_need_lock``; ``add_step(idx, step)`` with unique indices but
+  **insertion-order execution** (the reference iterates ``dict.items()``, not
+  sorted indices — ``physicl/__init__.py:514``, demonstrated by
+  ``examples/trace_ex.py:9-12``);
+* ``add_obj``/``add_objs``/``remove_obj``/``remove_step``; ``start()``/``join()``
+  threading surface; lock-guarded ``get_state()`` polling; ``sim.ts`` time log;
+  per-step ``terminate`` with CSV output for measure steps.
+
+TPU-native design (not a translation):
+
+* the ``while not exit: for step: step.run(sim)`` interpreter loop
+  (``physicl/__init__.py:512-516``) becomes a ``lax.scan`` over a
+  structure-of-arrays :class:`~physicl_tpu.state.SimState` carry, jit-compiled
+  once and dispatched in chunks of K iterations so the host can poll state;
+* steps are pure traced transforms ``apply(state, ctx) -> state`` composed into
+  one fused scan body (XLA fuses the whole per-iteration pipeline);
+* the exit predicate runs **on device** when traceable (checked before every
+  iteration, exactly like the reference loop); untraceable host predicates
+  (e.g. ``lambda x: len(x.objects) == 0``) fall back to single-iteration chunks
+  evaluated on host — exact, but slower (documented);
+* measurement data accumulates as scan outputs fetched once per chunk, instead
+  of per-iteration host round trips.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicl_tpu.state import SimState, OBJ_GENERIC, OBJ_PHOTON, pad_capacity
+from physicl_tpu.units import Measurement, raw_code_value
+
+__all__ = [
+    "Step",
+    "UpdateTimeStep",
+    "MeasureStep",
+    "Object",
+    "Simulation",
+    "IndexException",
+    "StepContext",
+]
+
+
+class IndexException(Exception):
+    """Raised when adding a step at an occupied index (defined here; the
+    reference raises an *undefined* name at physicl/__init__.py:441)."""
+
+
+class _HostOnlyPredicate(Exception):
+    """Signals during probing that an exit/state predicate needs host values."""
+
+
+# ---------------------------------------------------------------------------
+# Step protocol
+# ---------------------------------------------------------------------------
+
+
+class StepContext:
+    """Per-iteration context handed to ``Step.apply``.
+
+    Provides a deterministic per-iteration PRNG-key stream and a record sink for
+    measurement outputs (collected as scan outputs, fetched per chunk).
+    """
+
+    def __init__(self, iter_key: jax.Array, sim: "Simulation"):
+        self._iter_key = iter_key
+        self._fold = 0
+        self.sim = sim
+        self.records: Dict[str, jax.Array] = {}
+
+    def next_key(self) -> jax.Array:
+        self._fold += 1
+        return jax.random.fold_in(self._iter_key, self._fold)
+
+    def record(self, step: "Step", name: str, value: jax.Array) -> None:
+        self.records[f"{step._step_uid}/{name}"] = value
+
+
+class Step:
+    """Base step. Subclasses implement the traced ``apply`` transform.
+
+    Lifecycle (host side): ``setup(sim)`` once before compilation;
+    ``collect(sim, records)`` after each chunk with this step's recorded
+    arrays (trimmed to valid iterations); ``terminate(sim)`` once at exit —
+    mirroring the reference's ``run``/``terminate`` lifecycle
+    (physicl/__init__.py:293-322) with the per-iteration work moved on-device.
+    """
+
+    _step_uid: str = ""
+
+    def setup(self, sim: "Simulation") -> None:
+        pass
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        return state
+
+    def collect(self, sim: "Simulation", records: Dict[str, np.ndarray]) -> None:
+        pass
+
+    def terminate(self, sim: "Simulation") -> None:
+        pass
+
+
+class UpdateTimeStep(Step):
+    """Advances the clock: ``dt = fn(sim); t += dt`` and logs ``sim.ts``
+    (reference: physicl/__init__.py:324-343). ``fn`` receives a traced view with
+    ``.t``, ``.dt``, ``.n_objects`` and must return the time increment."""
+
+    def __init__(self, fn: Callable[[Any], Any]):
+        super().__init__()
+        self.fn = fn
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        dt_raw = self.fn(_TracedView(state, ctx.sim))
+        dt = jnp.asarray(raw_code_value(dt_raw) if isinstance(dt_raw, Measurement)
+                         else dt_raw, state.t.dtype)
+        t = state.t + dt
+        ctx.record(self, "ts", t)
+        return state.replace(t=t, dt=dt)
+
+    def collect(self, sim: "Simulation", records: Dict[str, np.ndarray]) -> None:
+        sim.ts.extend(float(x) for x in records["ts"])
+
+
+class MeasureStep(Step):
+    """Accumulates ``self.data`` rows; ``terminate`` writes CSV to ``out_fn``
+    (reference: physicl/__init__.py:345-378, minus the interactive
+    retry-forever loop and the broken dict branch — SURVEY quirk list)."""
+
+    def __init__(self, out_fn: Optional[str] = None):
+        super().__init__()
+        self.out_fn = out_fn
+        self.data: List[Any] = []
+
+    def terminate(self, sim: "Simulation") -> None:
+        if self.out_fn is None:
+            return
+        rows = self.data.values() if isinstance(self.data, dict) else self.data
+        with open(self.out_fn, "w") as f:
+            for x in rows:
+                f.write(", ".join(str(i) for i in list(x)) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Host-facing objects
+# ---------------------------------------------------------------------------
+
+
+class Object:
+    """Generic particle (host-side constructor; becomes one SoA slot).
+
+    Same attribute surface as the reference (physicl/__init__.py:381-397):
+    ``r``, ``dr``, ``v``, ``dv``, ``a`` as 3-vector Measurements plus arbitrary
+    kwargs. (``dv`` carries velocity units here; the reference's acceleration
+    units at __init__.py:392 are a documented quirk we do not replicate.)
+    """
+
+    _obj_type_code = OBJ_GENERIC
+
+    def __init__(self, **kwargs):
+        self.r = Measurement([0.0] * 3, "m**1")
+        self.dr = Measurement([0.0] * 3, "m**1")
+        self.dv = Measurement([0.0] * 3, "m**1 s**-1")
+        self.v = Measurement([0.0] * 3, "m**1 s**-1")
+        self.a = Measurement([0.0] * 3, "m**1 s**-2")
+        for attr, val in kwargs.items():
+            setattr(self, attr, val)
+
+
+# ---------------------------------------------------------------------------
+# Traced / host views handed to user lambdas (exit, state_fn, dt fn)
+# ---------------------------------------------------------------------------
+
+
+class _TracedObjectsProxy:
+    """Stands in for ``sim.objects`` inside traced predicates. ``len()`` cannot
+    produce a traced value, so predicates that call it are detected at probe
+    time and re-routed to the host path."""
+
+    def __init__(self, count):
+        self.count = count
+
+    def __len__(self):
+        raise _HostOnlyPredicate("len(sim.objects) is not traceable")
+
+
+class _TracedView:
+    """Traced stand-in for the ``Simulation`` passed to user lambdas on device."""
+
+    def __init__(self, state: SimState, sim: "Simulation"):
+        self._state = state
+        self.bounds = sim.bounds
+
+    @property
+    def t(self):
+        return self._state.t
+
+    @property
+    def dt(self):
+        return self._state.dt
+
+    @property
+    def n_objects(self):
+        return self._state.n_alive
+
+    @property
+    def objects(self):
+        return _TracedObjectsProxy(self._state.n_alive)
+
+
+class _HostObjectsProxy:
+    """``sim.objects`` during/after a run: len() reflects the alive count;
+    iteration/indexing materializes host Object instances on demand."""
+
+    def __init__(self, sim: "Simulation"):
+        self._sim = sim
+
+    def __len__(self):
+        return self._sim._n_alive_host()
+
+    def __iter__(self):
+        return iter(self._sim._materialize_objects())
+
+    def __getitem__(self, i):
+        return self._sim._materialize_objects()[i]
+
+
+class _HostView:
+    """Host stand-in for the ``Simulation`` in host-mode exit predicates."""
+
+    def __init__(self, sim: "Simulation", t: float, dt: float, n_alive: int):
+        self.bounds = sim.bounds
+        self.t = t
+        self.dt = dt
+        self.n_objects = n_alive
+        self.objects = _FixedLen(n_alive)
+
+
+class _FixedLen:
+    def __init__(self, n):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+
+# ---------------------------------------------------------------------------
+# Simulation
+# ---------------------------------------------------------------------------
+
+
+def _default_exit(view) -> jax.Array:
+    return view.n_objects == 0
+
+
+class Simulation(threading.Thread):
+    """Threaded simulation driver (API parity with physicl/__init__.py:400-541).
+
+    Extra TPU-native knobs (all optional):
+
+    * ``chunk_steps``: iterations per device dispatch (auto-sized by default);
+    * ``seed``: PRNG seed for all stochastic steps (counter-based, reproducible);
+    * ``dtype``: state dtype (default float32 — TPU-native; the statistical
+      tolerances of the physics are far looser than f32 precision);
+    * ``capacity``: particle-buffer capacity (defaults to padded object count);
+    * ``jit_on``: disable to run the same code eagerly (debugging oracle; the
+      ``cl_on`` kwarg is accepted as a compatibility alias and ignored).
+    """
+
+    def __init__(self, **kwargs):
+        threading.Thread.__init__(self)
+        self.bounds = np.zeros(3)
+        self.cl_on = True          # compat alias, unused (no OpenCL here)
+        self.jit_on = True
+        self.exit = _default_exit
+        self.state_fn = lambda x: {
+            "objects": len(x.objects),
+            "t": x.t,
+            "dt": x.dt,
+            "run_time": time.time() - x.start_time,
+        }
+        self.state_need_lock = False
+        self.chunk_steps: Optional[int] = None
+        self.seed = 0
+        self.dtype = jnp.float32
+        self.capacity: Optional[int] = None
+        self.max_record_bytes = 256 * 1024 * 1024
+        for attr, val in kwargs.items():
+            setattr(self, attr, val)
+
+        self.dt = Measurement(np.double(0), "s**1")
+        self.t = Measurement(np.double(0), "s**1")
+        self._pending_objects: List[Object] = []
+        self._pending_bulk: List[Dict[str, Any]] = []
+        self.steps: Dict[int, Step] = {}
+        self._state_lock = threading.Lock()
+        self.running = False
+        self.start_time = 0.0
+        self.run_time = 0.0
+        self.ts: List[float] = []
+        self.sim_state: Optional[SimState] = None
+        self._objects_cache: Optional[List[Object]] = None
+        self._host_t = 0.0
+        self._host_dt = 0.0
+        self._host_n_alive = 0
+        self._initial_count = 0
+
+    # -- population management -------------------------------------------------
+
+    @property
+    def objects(self):
+        if self.sim_state is None and not self.running:
+            return self._pending_objects
+        return _HostObjectsProxy(self)
+
+    def add_obj(self, obj: Object) -> None:
+        if self.running:
+            raise RuntimeError("Cannot add objects while the simulation is running.")
+        self._pending_objects.append(obj)
+        self._objects_cache = None
+
+    def add_objs(self, objs) -> None:
+        for o in objs:
+            self.add_obj(o)
+
+    def add_photons(self, bulk: Dict[str, Any]) -> None:
+        """Add a bulk photon population built by
+        :func:`physicl_tpu.light.generate_photon_state` — the fast path for
+        large N that never creates per-particle Python objects."""
+        if self.running:
+            raise RuntimeError("Cannot add objects while the simulation is running.")
+        self._pending_bulk.append(bulk)
+        self._objects_cache = None
+
+    def remove_obj(self, obj: Object) -> None:
+        if self.running:
+            raise RuntimeError("Cannot remove objects while the simulation is running.")
+        self._pending_objects.remove(obj)
+        self._objects_cache = None
+
+    def add_step(self, idx: int, step: Step) -> None:
+        if idx in self.steps:
+            raise IndexException("Cannot add a step to an existing index.")
+        self.steps[idx] = step
+
+    def remove_step(self, idx: int) -> None:
+        if self.running:
+            raise RuntimeError("Cannot remove a Step while the simulation is running.")
+        self.steps.pop(idx)
+
+    # -- device info (replaces get_device_info/set_dev OpenCL plumbing) --------
+
+    @staticmethod
+    def get_device_info() -> Dict[str, Any]:
+        """Enumerate JAX devices (replaces the OpenCL platform walk at
+        physicl/__init__.py:470-499)."""
+        res: Dict[str, Any] = {}
+        for d in jax.devices():
+            res[str(d)] = {
+                "platform": d.platform,
+                "id": d.id,
+                "process_index": d.process_index,
+                "device_kind": d.device_kind,
+            }
+        return res
+
+    @staticmethod
+    def set_dev(device_id: int) -> None:
+        """Select default device by index (replaces PYOPENCL_CTX selection)."""
+        jax.config.update("jax_default_device", jax.devices()[device_id])
+
+    # -- state polling -----------------------------------------------------------
+
+    def get_state(self):
+        if self.state_need_lock:
+            with self._state_lock:
+                return self.state_fn(self)
+        return self.state_fn(self)
+
+    def _n_alive_host(self) -> int:
+        return int(self._host_n_alive)
+
+    def _materialize_objects(self) -> List[Object]:
+        """Download SoA state and rebuild host Object instances (alive only)."""
+        if self._objects_cache is not None:
+            return self._objects_cache
+        st = self.sim_state
+        if st is None:
+            return self._pending_objects
+        with self._state_lock:
+            host = jax.device_get(
+                {"r": st.r, "dr": st.dr, "v": st.v, "dv": st.dv, "a": st.a,
+                 "E": st.E, "alive": st.alive, "otype": st.otype}
+            )
+        out: List[Object] = []
+        from physicl_tpu.light import PhotonObject  # local import, avoids cycle
+        for i in np.nonzero(host["alive"])[0]:
+            if host["otype"][i] == OBJ_PHOTON:
+                o = PhotonObject.__new__(PhotonObject)
+            else:
+                o = Object.__new__(Object)
+            o.r = Measurement(list(host["r"][:, i]), "m**1")
+            o.dr = Measurement(list(host["dr"][:, i]), "m**1")
+            o.v = Measurement(list(host["v"][:, i]), "m**1 s**-1")
+            o.dv = Measurement(list(host["dv"][:, i]), "m**1 s**-1")
+            o.a = Measurement(list(host["a"][:, i]), "m**1 s**-2")
+            o.E = Measurement(float(host["E"][i]), "J**1")
+            out.append(o)
+        if not self.running:
+            self._objects_cache = out
+        return out
+
+    # -- compilation -------------------------------------------------------------
+
+    def _ordered_steps(self) -> List[Step]:
+        # Insertion order, NOT index order — reference semantics
+        # (physicl/__init__.py:514, examples/trace_ex.py:9-12).
+        steps = list(self.steps.values())
+        for i, s in enumerate(steps):
+            s._step_uid = f"s{i}"
+        return steps
+
+    def _probe_exit_traceable(self, state: SimState) -> bool:
+        try:
+            jax.eval_shape(
+                lambda s: jnp.asarray(self.exit(_TracedView(s, self)), jnp.bool_),
+                state,
+            )
+            return True
+        except Exception:
+            return False
+
+    def _auto_chunk(self, steps: List[Step], state: SimState) -> int:
+        """Pick chunk length so per-chunk record buffers stay under budget."""
+        def body_shape(s):
+            ctx = StepContext(jax.random.PRNGKey(0), self)
+            for step in steps:
+                s = step.apply(s, ctx)
+            return ctx.records
+
+        rec_shapes = jax.eval_shape(body_shape, state)
+        bytes_per_iter = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(rec_shapes)
+        )
+        if bytes_per_iter == 0:
+            return 256
+        return int(np.clip(self.max_record_bytes // max(bytes_per_iter, 1), 1, 256))
+
+    def _build_chunk_fn(self, steps: List[Step], exit_traced: bool, chunk: int,
+                        state0: SimState):
+        def run_iter(state: SimState):
+            key, iter_key = jax.random.split(state.key)
+            state = state.replace(key=key)
+            ctx = StepContext(iter_key, self)
+            for step in steps:
+                state = step.apply(state, ctx)
+            return state, ctx.records
+
+        # Record template (zeros) for masked-out iterations, fixed at build time.
+        rec_shapes = jax.eval_shape(lambda s: run_iter(s)[1], state0)
+
+        def body(carry, _):
+            state, done = carry
+            if exit_traced:
+                done = done | jnp.asarray(
+                    self.exit(_TracedView(state, self)), jnp.bool_
+                )
+
+            def live(state):
+                return run_iter(state)
+
+            def dead(state):
+                zeros = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), rec_shapes
+                )
+                return state, zeros
+
+            state, records = jax.lax.cond(done, dead, live, state)
+            return (state, done), (records, jnp.logical_not(done))
+
+        def chunk_fn(state: SimState):
+            (state, done), (records, valid) = jax.lax.scan(
+                body, (state, jnp.zeros((), jnp.bool_)), length=chunk
+            )
+            return state, done, records, valid
+
+        if self.jit_on:
+            return jax.jit(chunk_fn, donate_argnums=0)
+        return chunk_fn
+
+    # -- run loop ------------------------------------------------------------------
+
+    def run(self) -> None:
+        """Thread body wrapper: captures exceptions so ``join()`` re-raises them
+        on the caller's thread instead of dying silently."""
+        try:
+            self._run_impl()
+        except BaseException as e:  # noqa: BLE001 — resurfaced in join()
+            self.exception = e
+            self.running = False
+            raise
+
+    def join(self, timeout=None):
+        threading.Thread.join(self, timeout)
+        exc = getattr(self, "exception", None)
+        if exc is not None:
+            self.exception = None
+            raise exc
+
+    def _run_impl(self) -> None:
+        """Compile the step pipeline and drive chunked scans until the exit
+        predicate fires; then run every step's ``terminate``."""
+        self.start_time = time.time()
+        self.ts = []
+        self.running = True
+        self._objects_cache = None
+
+        n0 = len(self._pending_objects) + sum(
+            int(b["n"]) for b in self._pending_bulk
+        )
+        self._initial_count = n0
+        cap = self.capacity if self.capacity is not None else pad_capacity(max(n0, 1))
+        state = SimState.from_population(
+            self._pending_objects, self._pending_bulk,
+            dtype=self.dtype, seed=self.seed, capacity=cap,
+        )
+        self._host_n_alive = n0
+        self._host_t = 0.0
+        self._host_dt = 0.0
+        self.sim_state = state
+
+        steps = self._ordered_steps()
+        for s in steps:
+            s.setup(self)
+
+        exit_traced = self._probe_exit_traceable(state)
+        if self.chunk_steps is not None:
+            chunk = int(self.chunk_steps)
+        elif not exit_traced:
+            chunk = 1  # host-exact mode: predicate checked every iteration
+        else:
+            chunk = self._auto_chunk(steps, state)
+        chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
+
+        while True:
+            if not exit_traced:
+                view = _HostView(self, self._host_t, self._host_dt,
+                                 self._host_n_alive)
+                if bool(self.exit(view)):
+                    break
+            state, done, records, valid = chunk_fn(state)
+            valid_np = np.asarray(jax.device_get(valid))
+            n_valid = int(valid_np.sum())
+            records_np = jax.device_get(records)
+            with self._state_lock:
+                self.sim_state = state
+                self._host_t = float(jax.device_get(state.t))
+                self._host_dt = float(jax.device_get(state.dt))
+                self._host_n_alive = int(jax.device_get(state.n_alive))
+                self.t = Measurement(self._host_t, "s**1")
+                self.dt = Measurement(self._host_dt, "s**1")
+            for s in steps:
+                prefix = f"{s._step_uid}/"
+                local = {
+                    k[len(prefix):]: np.asarray(v)[:n_valid]
+                    for k, v in records_np.items()
+                    if k.startswith(prefix)
+                }
+                if local:
+                    s.collect(self, local)
+            if exit_traced and bool(jax.device_get(done)):
+                break
+            if not exit_traced and n_valid == 0:
+                break
+
+        with self._state_lock:
+            for s in steps:
+                s.terminate(self)
+            self.run_time = time.time() - self.start_time
+            self.running = False

@@ -1,0 +1,521 @@
+"""Photon-transport toolkit: constants, photon model, Planck generation,
+scattering and measurement steps (capability parity with physicl/light.py).
+
+TPU-native design notes:
+
+* every scatter step is a pure elementwise transform over the ``(3, C)`` SoA
+  state — XLA fuses the whole kinematics+scatter+measure pipeline into the scan
+  body (the fused Pallas fast path lives in ``physicl_tpu.ops``);
+* photon deletion is an ``alive``-mask update, not list mutation
+  (reference: ``sim.remove_obj`` per flagged photon, physicl/light.py:203-205);
+* randomness is counter-based ``jax.random`` / Pallas PRNG, threaded through the
+  state (reference: ``np.random.random()`` per photon on host,
+  physicl/light.py:181,235,285);
+* Planck sampling integrates the reference's Wien-form density analytically
+  (closed form, exactly) instead of per-bin ``scipy.integrate.quad``
+  (physicl/light.py:84-93), and samples all N photons at once by inverse CDF.
+
+Statistical-parity details preserved on purpose: the inclusive ``pcoll >= rand``
+collision test (physicl/light.py:151,243,307) and the angle-uniform (NOT
+area-uniform) sphere sampling ``theta = 2*pi*U, phi = pi*U``
+(physicl/light.py:309-311,344-347).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicl_tpu.engine import (
+    MeasureStep,
+    Object,
+    Simulation,
+    Step,
+    StepContext,
+)
+from physicl_tpu.state import OBJ_PHOTON, SimState
+from physicl_tpu.units import Measurement, raw_code_value
+
+__all__ = [
+    "c", "h", "kB", "refresh_constants",
+    "PhotonObject",
+    "E_from_wavelength", "wavelength_from_E",
+    "planck_distribution", "planck_probability", "planck_phot_distribution",
+    "planck_cdf", "planck_sample_E",
+    "generate_photons_from_E", "generate_photons", "generate_photon_state",
+    "ScatterDeleteStep", "ScatterDeleteStepReference",
+    "ScatterIsotropicStep", "ScatterSphericalStep",
+    "ScatterMeasureStep", "ScatterSignMeasureStep", "TracePathMeasureStep",
+]
+
+# ---------------------------------------------------------------------------
+# Physical constants (SI definitions; reference: physicl/light.py:14-16).
+# Created at import time, exactly like the reference; call refresh_constants()
+# after set_code_scale to rebuild them under a new code scale.
+# ---------------------------------------------------------------------------
+
+c = Measurement(np.double(299792458), "m**1 s**-1")
+h = Measurement(np.double(6.62607015e-34), "J**1 s**1")
+kB = Measurement(np.double(1.380649e-23), "J**1 K**-1")
+
+
+def refresh_constants() -> None:
+    """Rebuild c/h/kB under the current code scale (the reference's constants
+    silently keep their import-time scale — 'code scale is set at the
+    beginning', physicl/__init__.py:124)."""
+    global c, h, kB
+    c = Measurement(np.double(299792458), "m**1 s**-1")
+    h = Measurement(np.double(6.62607015e-34), "J**1 s**1")
+    kB = Measurement(np.double(1.380649e-23), "J**1 K**-1")
+
+
+class PhotonObject(Object):
+    """A photon: requires an energy ``E`` and |v| == c
+    (reference: physicl/light.py:18-35)."""
+
+    _obj_type_code = OBJ_PHOTON
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        if not np.isclose(float(np.linalg.norm(np.asarray(self.v, np.double))),
+                          float(np.linalg.norm(np.asarray(c, np.double))),
+                          rtol=1e-12):
+            raise Exception("Not a valid speed.")
+        if "E" not in kwargs:
+            raise Exception("Needs a valid energy.")
+
+
+def E_from_wavelength(wavelength):
+    """lambda [m] -> E [J] (reference: physicl/light.py:39-43)."""
+    return (h * c) / wavelength
+
+
+def wavelength_from_E(E):
+    """E [J] -> lambda [m] (reference: physicl/light.py:45-49)."""
+    return (h * c) / E
+
+
+# ---------------------------------------------------------------------------
+# Planck (Wien-form) spectrum — matches the reference's density exactly
+# (physicl/light.py:53-60): p(E) = 15/(pi^4 kB T) * x^3 * e^-x,  x = E/(kB T).
+# ---------------------------------------------------------------------------
+
+
+def _as_float(x):
+    return float(x.__unscaled__()) if isinstance(x, Measurement) else float(x)
+
+
+def planck_distribution(E, T):
+    """Normalized blackbody density (the reference's Wien-approximation form)."""
+    E_conv = E.__unscaled__() if isinstance(E, Measurement) else E
+    T_conv = T.__unscaled__() if isinstance(T, Measurement) else T
+    kB_conv = kB.__unscaled__()
+    x = E_conv / (kB_conv * T_conv)
+    val = 15.0 / (np.pi ** 4 * kB_conv * T_conv) * x ** 3 * np.exp(-x)
+    return Measurement(val, "J**-1")
+
+
+def _wien_antideriv(x):
+    """Closed-form antiderivative: d/dx [-e^-x (x^3+3x^2+6x+6)] = x^3 e^-x."""
+    return -np.exp(-x) * (x ** 3 + 3 * x ** 2 + 6 * x + 6)
+
+
+def planck_probability(E_min, E_max, T, integrator=None):
+    """Integral of the density over [E_min, E_max] -> (value, abs_error).
+
+    The default integrator is the exact closed form (the reference runs
+    ``scipy.integrate.quad`` per bin, physicl/light.py:63-64); passing a custom
+    ``integrator(fn, a, b)`` reproduces the reference call signature.
+    """
+    if integrator is not None:
+        return integrator(lambda x: planck_distribution(x, T), E_min, E_max)
+    a, b, T_v = _as_float(E_min), _as_float(E_max), _as_float(T)
+    kT = float(kB.__unscaled__()) * T_v
+    val = 15.0 / np.pi ** 4 * (_wien_antideriv(b / kT) - _wien_antideriv(a / kT))
+    return (float(val), 0.0)
+
+
+_planck_cache: dict = {}
+
+
+def planck_cdf(E_min, E_max, T, bins: int = 1000):
+    """Vectorized, memoized per-bin CDF of the Wien-form density.
+
+    Returns ``(E_edges, cdf)`` as float64 numpy arrays: ``E_edges`` has
+    ``bins`` entries (linspace as in physicl/light.py:82); ``cdf[i]`` is the
+    normalized cumulative probability up to edge ``i+1``.
+    """
+    key = (_as_float(E_min), _as_float(E_max), _as_float(T), int(bins))
+    if key in _planck_cache:
+        return _planck_cache[key]
+    a, b, T_v, nb = key
+    kT = float(kB.__unscaled__()) * T_v
+    E = np.linspace(a, b, nb)
+    F = _wien_antideriv(E / kT)
+    gamma = F[1:] - F[:-1]                  # per-bin mass (exact)
+    cdf = np.cumsum(gamma / gamma.sum())
+    _planck_cache[key] = (E, cdf)
+    return E, cdf
+
+
+def planck_phot_distribution(E_min, E_max, T, bins: int = 1000):
+    """Inverse-CDF sample ONE photon energy (API parity with
+    physicl/light.py:73-106; the reference's possible ``None`` return on the
+    first bin is a documented quirk we fix by always returning a valid bin)."""
+    E, cdf = planck_cdf(E_min, E_max, T, bins)
+    rand = np.random.rand()
+    idx = int(np.searchsorted(cdf, rand, side="left"))
+    return Measurement(E[min(idx + 1, len(E) - 1)], "J**1")
+
+
+def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
+                    seed: int = 0) -> np.ndarray:
+    """Sample ``n`` photon energies at once (TPU-native batch generation)."""
+    E, cdf = planck_cdf(E_min, E_max, T, bins)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    u = jax.random.uniform(key, (int(n),), jnp.float32)
+    idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
+                   0, len(E) - 1)
+    return np.asarray(jnp.asarray(E, jnp.float64 if E.dtype == np.float64
+                                  else jnp.float32)[idx])
+
+
+# ---------------------------------------------------------------------------
+# Photon generation (reference: physicl/light.py:109-128)
+# ---------------------------------------------------------------------------
+
+
+def generate_photons_from_E(E) -> List[PhotonObject]:
+    """One +x photon per energy in E (reference: physicl/light.py:109-110)."""
+    return [PhotonObject(E=x, v=c * [1, 0, 0]) for x in E]
+
+
+def generate_photons(n, fn=None, min=0, max=0, bins=-1) -> List[PhotonObject]:
+    """n photons with ``E = min + (max-min) * sample`` moving along +x
+    (reference: physicl/light.py:112-128; default sample ~ np.random.power(3)).
+
+    ``fn`` may be the reference-style zero-arg scalar sampler (host loop) or a
+    vectorized sampler ``fn(size)``; the default is vectorized.
+    """
+    n = int(n)
+    if fn is None:
+        samples = np.random.power(3, size=n)
+    else:
+        try:
+            samples = np.asarray(fn(n), np.double)
+            if samples.shape != (n,):
+                raise TypeError
+        except TypeError:
+            samples = np.array([fn() for _ in range(n)], np.double)
+    out = []
+    for i in range(n):
+        Eo = min + (max - min) * samples[i]
+        out.append(PhotonObject(E=Eo, v=Measurement([c, 0, 0], "m**1 s**-1")))
+    return out
+
+
+def generate_photon_state(n, E, v=None, r=None) -> dict:
+    """Bulk SoA photon population — the fast path for large N (no per-photon
+    Python objects). Returns a dict for ``Simulation.add_photons``.
+
+    ``E``: scalar or (n,) energies [code units]; ``v``: (3,) or (3,n) velocities
+    (default +x at c); ``r``: (3,) or (3,n) positions (default origin).
+    """
+    n = int(n)
+    c_val = float(raw_code_value(c))
+    E_flat = np.asarray(raw_code_value(E), np.float64).reshape(-1)
+    if E_flat.size not in (1, n):
+        raise ValueError(f"E must be scalar or length {n}")
+    E_arr = np.broadcast_to(E_flat, (n,)).copy()
+    if v is None:
+        v_arr = np.zeros((3, n)); v_arr[0, :] = c_val
+    else:
+        v_arr = np.broadcast_to(
+            np.asarray(raw_code_value(v), np.float64).reshape(3, -1), (3, n)).copy()
+    if r is None:
+        r_arr = np.zeros((3, n))
+    else:
+        r_arr = np.broadcast_to(
+            np.asarray(raw_code_value(r), np.float64).reshape(3, -1), (3, n)).copy()
+    return {"n": n, "E": E_arr, "v": v_arr, "r": r_arr, "otype": OBJ_PHOTON}
+
+
+# ---------------------------------------------------------------------------
+# Scatter steps
+# ---------------------------------------------------------------------------
+
+
+def _dr_norm(state: SimState) -> jax.Array:
+    return jnp.sqrt(jnp.sum(state.dr * state.dr, axis=0))
+
+
+class ScatterDeleteStep(Step):
+    """Absorption: photon deleted with probability ``pcoll = A*n*|dr|``
+    (reference kernel ``light_scatter_step_del``, physicl/light.py:146-158 and
+    the CLProgram twin at physicl/light.py:225-260). Deletion = alive-mask
+    clear; the exit predicate sees the updated count the same iteration."""
+
+    def __init__(self, n, A):
+        self.n = _as_float(n)
+        self.A = _as_float(A)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        norm = _dr_norm(state)
+        pcoll = jnp.asarray(self.A * self.n, norm.dtype) * norm
+        u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+        hit = (pcoll >= u) & (state.otype == OBJ_PHOTON) & state.alive
+        return state.replace(alive=state.alive & jnp.logical_not(hit))
+
+
+# The reference ships a hand-written pipeline and a CLProgram rewrite with
+# identical physics (physicl/light.py:131-223 vs 225-260); one class covers both.
+ScatterDeleteStepReference = ScatterDeleteStep
+
+
+_GID_RE = re.compile(r"\[\s*gid\s*\]")
+
+
+def _compile_variable_n(fn_or_expr):
+    """Turn the user's number-density field into a jnp callable over (r0,r1,r2).
+
+    Accepts a Python callable (preferred: strictly more general than the
+    reference) or a C-expression string over ``r0[gid]/r1[gid]/r2[gid]``
+    exactly as the reference splices into its kernel (physicl/light.py:295-299)
+    — evaluated with jnp math, no string codegen.
+    """
+    if callable(fn_or_expr):
+        return fn_or_expr
+    expr = _GID_RE.sub("", str(fn_or_expr))
+    ns = {
+        "exp": jnp.exp, "pow": jnp.power, "sqrt": jnp.sqrt, "fabs": jnp.abs,
+        "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "log": jnp.log,
+        "log10": jnp.log10, "floor": jnp.floor, "ceil": jnp.ceil,
+        "fmin": jnp.minimum, "fmax": jnp.maximum, "M_PI": np.pi, "M_E": np.e,
+    }
+    code = compile(expr, "<variable_n_fn>", "eval")
+    for name in code.co_names:
+        if name not in ns and name not in ("r0", "r1", "r2"):
+            raise ValueError(f"variable_n_fn: unknown symbol {name!r}")
+
+    def fn(r0, r1, r2):
+        return eval(code, {"__builtins__": {}}, {**ns, "r0": r0, "r1": r1, "r2": r2})
+
+    return fn
+
+
+class ScatterIsotropicStep(Step):
+    """Isotropic scatter with optional lambda^-4 (Rayleigh-like) weighting and
+    variable number density n(r) (reference: physicl/light.py:262-359).
+
+    Statistical parity: ``pcoll = A * n(r) * |dr| * ((h c / E)^-4 if enabled)``,
+    inclusive ``>=`` collision test, resample with theta=2*pi*U, phi=pi*U
+    (angle-uniform — the reference's distribution, preserved on purpose), and
+    ``dv = v_new - v_old`` (the CL path's semantics; the reference's Python twin
+    writes dv = v_old, a documented quirk not replicated).
+    """
+
+    def __init__(self, **kwargs):
+        self.n = _as_float(kwargs.get("n", 1))
+        self.A = _as_float(kwargs.get("A", 1))
+        self.wavelength_dep_scattering = kwargs.get("wavelength_dep_scattering", False)
+        self.variable_n = kwargs.get("variable_n", False)
+        self.variable_n_fn = kwargs.get("variable_n_fn", None)
+        self._n_fn = (_compile_variable_n(self.variable_n_fn)
+                      if self.variable_n else None)
+        self._c = None
+        self._coef = None
+        self._wl_base = None
+
+    def setup(self, sim: Simulation) -> None:
+        self._c = float(raw_code_value(c))
+        hc = float(raw_code_value(h)) * float(raw_code_value(c))
+        # Fold all static factors in float64 on the host so no f32 intermediate
+        # under/overflows on device. The reference computes pow(hc/E, -4) raw in
+        # float64 OpenCL (physicl/light.py:301); in f32 that blows the exponent
+        # range, so we compute pcoll = coef * n_var * norm * (E * wl_base)^4
+        # where wl_base^4 carries A (and constant n) at the 1/4 power.
+        if self.wavelength_dep_scattering:
+            folded = self.A * (1.0 if self.variable_n else self.n)
+            self._wl_base = (1.0 / hc) * folded ** 0.25
+            self._coef = 1.0
+        else:
+            self._wl_base = None
+            self._coef = self.A * (1.0 if self.variable_n else self.n)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        if self._c is None:
+            self.setup(None)
+        dtype = state.r.dtype
+        norm = _dr_norm(state)
+        pcoll = jnp.asarray(self._coef, dtype) * norm
+        if self._n_fn is not None:
+            pcoll = pcoll * jnp.asarray(
+                self._n_fn(state.r[0], state.r[1], state.r[2]), dtype)
+        if self._wl_base is not None:
+            base = state.E * jnp.asarray(self._wl_base, dtype)
+            base2 = base * base
+            pcoll = pcoll * (base2 * base2)
+
+        k = ctx.next_key()
+        u3 = jax.random.uniform(k, (3,) + norm.shape, dtype)
+        theta = u3[0] * (2 * np.pi)
+        phi = u3[1] * np.pi
+        scatter = (pcoll >= u3[2]) & (state.otype == OBJ_PHOTON) & state.alive
+
+        sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+        sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+        c_val = jnp.asarray(self._c, dtype)
+        v_new = jnp.stack([sin_t * cos_p, sin_t * sin_p, cos_t]) * c_val
+
+        v = jnp.where(scatter, v_new, state.v)
+        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+        return state.replace(v=v, dv=dv)
+
+
+# Public docs and every example call it ScatterSphericalStep
+# (docs/_build/phys.html:96 vs physicl/light.py:262) — export both names.
+ScatterSphericalStep = ScatterIsotropicStep
+
+
+# ---------------------------------------------------------------------------
+# Measurement steps
+# ---------------------------------------------------------------------------
+
+
+class ScatterMeasureStep(MeasureStep):
+    """Counts photons crossing axis-aligned planes each iteration
+    (reference: physicl/light.py:361-404). Plane = 3-vector with the non-axis
+    coordinates NaN; crossing test: ``r - dr <= loc <= r`` in either direction.
+    Counting is an on-device masked reduction; with ``measure_E`` the crossing
+    photons' energies are captured (fetched per chunk, assembled on host)."""
+
+    def __init__(self, out_fn=None, measure_n: bool = True, measure_locs=(),
+                 measure_E: bool = False):
+        super().__init__(out_fn)
+        self.measure_locs = list(measure_locs)
+        self.measure_n = measure_n
+        self.measure_E = measure_E
+        self._axes = []
+        for loc in self.measure_locs:
+            loc = np.asarray(loc, np.double)
+            axis = 0 if not np.isnan(loc[0]) else (1 if not np.isnan(loc[1]) else 2)
+            self._axes.append((axis, float(loc[axis])))
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        ctx.record(self, "t", state.t)
+        if self.measure_n:
+            ctx.record(self, "n", state.n_alive)
+        for j, (axis, L) in enumerate(self._axes):
+            hi = state.r[axis]
+            lo = hi - state.dr[axis]
+            Lv = jnp.asarray(L, hi.dtype)
+            crossed = (((lo <= Lv) & (Lv <= hi)) | ((lo >= Lv) & (Lv >= hi)))
+            crossed = crossed & state.alive
+            ctx.record(self, f"count{j}", jnp.sum(crossed.astype(jnp.int32)))
+            if self.measure_E:
+                ctx.record(self, f"E{j}",
+                           jnp.where(crossed, state.E, jnp.nan))
+        return state
+
+    def collect(self, sim: Simulation, records) -> None:
+        k = len(records["t"])
+        for i in range(k):
+            row = [records["t"][i]]
+            if self.measure_n:
+                row.append(records["n"][i])
+            for j in range(len(self._axes)):
+                row.append(records[f"count{j}"][i])
+                if self.measure_E:
+                    Es = records[f"E{j}"][i]
+                    row.append(list(Es[~np.isnan(Es)]))
+            self.data.append(np.array(row, dtype=object)
+                             if self.measure_E else np.array(row))
+
+
+class ScatterSignMeasureStep(MeasureStep):
+    """Counts objects with strictly positive vx/vy/vz each iteration — the
+    isotropy diagnostic (reference: physicl/light.py:406-431)."""
+
+    def __init__(self, out_fn=None, measure_n: bool = True):
+        super().__init__(out_fn)
+        self.measure_n = measure_n
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        ctx.record(self, "t", state.t)
+        if self.measure_n:
+            ctx.record(self, "n", state.n_alive)
+        pos = (state.v > 0) & state.alive[None, :]
+        ctx.record(self, "signs", jnp.sum(pos.astype(jnp.int32), axis=1))
+        return state
+
+    def collect(self, sim: Simulation, records) -> None:
+        for i in range(len(records["t"])):
+            row = [records["t"][i]]
+            if self.measure_n:
+                row.append(records["n"][i])
+            row.extend(records["signs"][i])
+            self.data.append(np.array(row))
+
+
+class TracePathMeasureStep(MeasureStep):
+    """Records every object's position each iteration; ``terminate`` reshapes to
+    the reference's t-aligned matrix (physicl/light.py:433-483): first row
+    ``["t", t0, ...]``, then per object ``[id_info(, freq), r vectors..., NaN
+    padding after death]``. Positions stream to host once per chunk (chunk size
+    is auto-limited by the engine's record-buffer budget)."""
+
+    def __init__(self, out_fn=None, trace_type=Object,
+                 id_info_fn: Callable = lambda x: str(type(x)),
+                 trace_dv: bool = False):
+        super().__init__(out_fn)
+        self.trace_type = trace_type
+        self.id_info_fn = id_info_fn
+        self.trace_dv = trace_dv
+        self._pos: List[np.ndarray] = []
+        self._alive: List[np.ndarray] = []
+        self._freq: Optional[np.ndarray] = None
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        ctx.record(self, "pos", state.r)
+        ctx.record(self, "alive", state.alive)
+        if self.trace_dv:
+            scat = jnp.any(state.dv != 0, axis=0) & state.alive
+            ctx.record(self, "scat", scat.astype(jnp.int32))
+        return state
+
+    def collect(self, sim: Simulation, records) -> None:
+        self._pos.append(np.asarray(records["pos"]))      # (k, 3, C)
+        self._alive.append(np.asarray(records["alive"]))  # (k, C)
+        if self.trace_dv:
+            s = np.sum(np.asarray(records["scat"]), axis=0)
+            self._freq = s if self._freq is None else self._freq + s
+
+    def terminate(self, sim: Simulation) -> None:
+        if not self._pos:
+            self.data = [["t"]]
+            super().terminate(sim)
+            return
+        pos = np.concatenate(self._pos, axis=0)      # (T, 3, C)
+        alive = np.concatenate(self._alive, axis=0)  # (T, C)
+        T = pos.shape[0]
+        n0 = sim._initial_count
+        objs = list(sim._pending_objects)
+        rows: List[list] = [["t"] + list(sim.ts)]
+        for i in range(n0):
+            info = self.id_info_fn(objs[i]) if i < len(objs) else str(i)
+            row = [info]
+            if self.trace_dv:
+                row.append(int(self._freq[i]) if self._freq is not None else 0)
+            for ti in range(T):
+                if alive[ti, i]:
+                    row.append(np.array(pos[ti, :, i]))
+                else:
+                    row.extend([np.nan, np.nan, np.nan])
+            rows.append(row)
+        self.data = rows
+        super().terminate(sim)

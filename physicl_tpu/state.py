@@ -1,0 +1,140 @@
+"""Structure-of-arrays simulation state (the TPU replacement for ``sim.objects``).
+
+The reference keeps an array-of-structs Python list of ``Object`` instances and
+loops over it in the interpreter every step (``physicl/__init__.py:421,447,514``).
+Here the whole particle population is a pytree of device-resident arrays, padded
+to a fixed capacity, with an ``alive`` mask instead of list mutation
+(``remove_obj``, ``physicl/light.py:203-205``). Component-major ``(3, C)`` layout
+keeps the particle axis on TPU lanes (last dim tiles to 128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SimState", "OBJ_GENERIC", "OBJ_PHOTON", "pad_capacity"]
+
+# Object type codes stored in SimState.otype (replaces per-object isinstance
+# checks like ``PhotonObject != type(obj): continue`` in physicl/light.py:176).
+OBJ_GENERIC = 0
+OBJ_PHOTON = 1
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def pad_capacity(n: int) -> int:
+    """Round particle count up to a TPU-friendly capacity (multiple of 8*128)."""
+    tile = _LANE * _SUBLANE
+    return max(tile, ((n + tile - 1) // tile) * tile)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Device-resident particle state.
+
+    Vector fields are ``(3, C)`` (component-major); scalars per particle are
+    ``(C,)``. ``alive`` masks padding and deleted particles. All values are in
+    *code units* (the ``Measurement`` scale is applied before upload, so unit
+    bookkeeping compiles away).
+    """
+
+    r: jax.Array            # (3, C) position
+    dr: jax.Array           # (3, C) change in position last step
+    v: jax.Array            # (3, C) velocity
+    dv: jax.Array           # (3, C) change in velocity last step
+    a: jax.Array            # (3, C) acceleration
+    E: jax.Array            # (C,)  energy (photons)
+    alive: jax.Array        # (C,)  bool
+    otype: jax.Array        # (C,)  int32 object type code
+    t: jax.Array            # ()    simulation time
+    dt: jax.Array           # ()    last time increment
+    key: jax.Array          # PRNG key
+    extras: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+
+    def replace(self, **kw) -> "SimState":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def capacity(self) -> int:
+        return self.r.shape[-1]
+
+    @property
+    def n_alive(self) -> jax.Array:
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    @staticmethod
+    def zeros(capacity: int, dtype=jnp.float32, seed: int = 0) -> "SimState":
+        f = lambda *shape: jnp.zeros(shape, dtype)
+        return SimState(
+            r=f(3, capacity), dr=f(3, capacity), v=f(3, capacity),
+            dv=f(3, capacity), a=f(3, capacity), E=f(capacity),
+            alive=jnp.zeros((capacity,), jnp.bool_),
+            otype=jnp.zeros((capacity,), jnp.int32),
+            t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
+            key=jax.random.PRNGKey(seed),
+        )
+
+    @staticmethod
+    def from_population(objects, bulks=(), dtype=jnp.float32, seed: int = 0,
+                        capacity: int | None = None) -> "SimState":
+        """Build SoA state from host ``Object`` instances plus bulk populations.
+
+        This replaces the reference's per-step gather/upload loops
+        (``physicl/__init__.py:602-629``): conversion happens a single time at
+        ``Simulation.start()`` and state stays in HBM for the whole run.
+
+        ``bulks`` is a sequence of dicts from
+        :func:`physicl_tpu.light.generate_photon_state` — the fast path that
+        skips per-particle Python objects entirely.
+        """
+        from physicl_tpu.units import raw_code_value
+
+        n_obj = len(objects)
+        n_bulk = sum(int(b["n"]) for b in bulks)
+        n = n_obj + n_bulk
+        cap = capacity if capacity is not None else pad_capacity(max(n, 1))
+        if cap < n:
+            raise ValueError(f"capacity {cap} < object count {n}")
+        np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+
+        vec = {name: np.zeros((3, cap), np_dtype) for name in
+               ("r", "dr", "v", "dv", "a")}
+        E = np.zeros((cap,), np_dtype)
+        otype = np.zeros((cap,), np.int32)
+        for i, o in enumerate(objects):
+            for name in vec:
+                vec[name][:, i] = raw_code_value(getattr(o, name)).reshape(3)
+            E[i] = float(raw_code_value(getattr(o, "E", 0.0)))
+            otype[i] = getattr(o, "_obj_type_code", OBJ_GENERIC)
+        off = n_obj
+        for b in bulks:
+            k = int(b["n"])
+            sl = slice(off, off + k)
+            vec["r"][:, sl] = b["r"]
+            vec["v"][:, sl] = b["v"]
+            E[sl] = b["E"]
+            otype[sl] = int(b["otype"])
+            off += k
+        alive = np.zeros((cap,), bool)
+        alive[:n] = True
+
+        return SimState(
+            r=jnp.asarray(vec["r"]), dr=jnp.asarray(vec["dr"]),
+            v=jnp.asarray(vec["v"]), dv=jnp.asarray(vec["dv"]),
+            a=jnp.asarray(vec["a"]), E=jnp.asarray(E),
+            alive=jnp.asarray(alive), otype=jnp.asarray(otype),
+            t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
+            key=jax.random.PRNGKey(seed),
+        )
+
+    @staticmethod
+    def from_objects(objects, dtype=jnp.float32, seed: int = 0,
+                     capacity: int | None = None) -> "SimState":
+        return SimState.from_population(objects, (), dtype, seed, capacity)

@@ -1,0 +1,28 @@
+"""Test configuration: run on a virtual 8-device CPU platform.
+
+Must set the env vars before JAX initializes its backends, so this executes at
+conftest import time (pytest loads conftest before any test module).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_code_scale():
+    """Keep the process-global code scale clean between tests."""
+    import physicl_tpu as phys
+
+    yield
+    for u in ("s", "m", "kg", "A", "K", "mol", "cd"):
+        phys.reset_code_scale(u)
+    phys.light.refresh_constants()

@@ -1,0 +1,155 @@
+"""Statistical physics invariants, ported from the reference
+(test/test_light.py:27-66): isotropy sign balance within 10%, and e^-1
+survival at optical depth 1/(nA) within 10%."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light
+
+
+def rand_ray():
+    return {
+        "s": np.array([0] * 3, dtype=np.double),
+        "v": np.array([float(phys.light.c), 0, 0], dtype=np.double),
+        "E": np.double(1),
+    }
+
+
+def sim(seed=0):
+    s = phys.Simulation(
+        bounds=np.array([1000, 1000, 1000]),
+        exit=lambda cond: cond.t >= 0.100,
+        seed=seed,
+    )
+    s.add_photons(phys.light.generate_photon_state(10000, E=1.0))
+    return s
+
+
+def test_scatter_spherical():
+    """Spherical scattering equalizes the share of +x velocities at 50%."""
+    x = sim()
+    x.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))
+    x.add_step(1, phys.newton.NewtonianKinematicsStep())
+    x.add_step(2, phys.light.ScatterIsotropicStep(A=np.double(0.001),
+                                                  n=np.double(0.001)))
+    step = phys.light.ScatterSignMeasureStep(None, True)
+    x.add_step(3, step)
+
+    x.start()
+    x.join()
+    half = np.double(step.data[0][1] * 0.5)
+    mean_xp = sum(y[2] for y in step.data) / len(step.data)
+    error = (half - mean_xp) / half
+    print("Scatter spherical test error: " + str(error))
+    assert np.isclose(error, 0, 0, 0.10)
+
+
+def test_scatter_delete():
+    """Survival at x = 1/(nA) is proportional to e^-1."""
+    x = sim()
+    x.exit = lambda cond: cond.n_objects == 0
+    N_i = 10000
+    x.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))
+    x.add_step(1, phys.newton.NewtonianKinematicsStep())
+    n = 0.001
+    A = 0.001
+    x.add_step(2, phys.light.ScatterDeleteStep(np.double(n), np.double(A)))
+    step = phys.light.ScatterMeasureStep(None, True,
+                                         [[1 / (n * A), np.nan, np.nan]])
+    x.add_step(3, step)
+    x.start()
+    x.join()
+
+    N_x = sum(step.data[2])
+    error = (np.e ** -1 - (N_x / N_i)) / (np.e ** -1)
+    print("Scatter deletion test error: " + str(error))
+    assert np.isclose(error, 0, 0, 0.10)
+
+
+def test_scatter_delete_crossing_counts():
+    """The plane-crossing counter itself: photons crossing x=1/(nA) sum to
+    ~e^-1 of the population (uses the count channel, not the n channel)."""
+    x = sim(seed=3)
+    x.exit = lambda cond: cond.n_objects == 0
+    N_i = 10000
+    x.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))
+    x.add_step(1, phys.newton.NewtonianKinematicsStep())
+    n = 0.001
+    A = 0.001
+    x.add_step(2, phys.light.ScatterDeleteStep(np.double(n), np.double(A)))
+    step = phys.light.ScatterMeasureStep(None, False,
+                                         [[1 / (n * A), np.nan, np.nan]])
+    x.add_step(3, step)
+    x.start()
+    x.join()
+
+    total_crossed = sum(row[1] for row in step.data)
+    # Photons move c*dt ~ 3e5 per step; all survivors cross the plane once.
+    # Discrete-step survival at the crossing is (1-pcoll)^ceil(x/(c dt)),
+    # pcoll = nAc dt — compare against that exact discrete expectation.
+    pcoll = n * A * float(phys.light.c) * 0.001
+    steps_to_plane = int(np.ceil((1 / (n * A)) / (float(phys.light.c) * 0.001)))
+    expected = (1 - pcoll) ** steps_to_plane
+    error = (expected - total_crossed / N_i) / expected
+    print("Crossing-count error vs discrete expectation: " + str(error))
+    assert np.isclose(error, 0, 0, 0.10)
+
+
+def test_wavelength_dep_scattering_rate():
+    """lambda^-4 weighting: photons with 2x energy scatter 16x more often
+    (examples/wavelength_scattering_example.ipynb invariant). Measured as the
+    single-step scatter fraction (dv != 0 after one iteration)."""
+    lam_hc = float(phys.light.h) * float(phys.light.c)
+    E_red = 1.0
+    E_blue = 2.0
+    # pcoll(E) = A*n*c*dt*(hc/E)^-4; pick A so pcoll(red)=0.02, pcoll(blue)=0.32
+    base = float(phys.light.c) * 0.001 * (lam_hc / E_red) ** -4
+    A = 0.02 / base
+
+    frac = {}
+    for nm, E0 in [("red", E_red), ("blue", E_blue)]:
+        s = phys.Simulation(exit=lambda c_: c_.t >= 0.001, seed=11)
+        s.add_photons(phys.light.generate_photon_state(20000, E=E0))
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, phys.light.ScatterIsotropicStep(
+            A=A, n=1.0, wavelength_dep_scattering=True))
+        s.start()
+        s.join()
+        dv = np.asarray(s.sim_state.dv)
+        alive = np.asarray(s.sim_state.alive)
+        frac[nm] = (np.any(dv != 0, axis=0) & alive).sum() / alive.sum()
+    assert np.isclose(frac["red"], 0.02, rtol=0.25)
+    assert np.isclose(frac["blue"], 0.32, rtol=0.15)
+    assert np.isclose(frac["blue"] / frac["red"], 16.0, rtol=0.30)
+
+
+def test_variable_n_string_and_callable():
+    """variable_n accepts both a C-expression string over r0/r1/r2 (reference
+    surface, physicl/light.py:295-299) and a Python callable; both must agree."""
+    res = {}
+    for key, fn in [
+        ("string", "0.001 * exp(-r0[gid] / 1000000.0)"),
+        ("callable", lambda r0, r1, r2: 0.001 * jnp.exp(-r0 / 1000000.0)),
+    ]:
+        s = phys.Simulation(exit=lambda c_: c_.t >= 0.020, seed=5)
+        s.add_photons(phys.light.generate_photon_state(2000, E=1.0))
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, phys.light.ScatterIsotropicStep(
+            A=0.001, variable_n=True, variable_n_fn=fn))
+        sign = phys.light.ScatterSignMeasureStep(None, True)
+        s.add_step(3, sign)
+        s.start()
+        s.join()
+        res[key] = np.array([row[2] for row in sign.data])
+    # identical seeds + identical physics => identical trajectories
+    assert np.array_equal(res["string"], res["callable"])
+
+
+def test_scatter_spherical_step_alias():
+    assert phys.light.ScatterSphericalStep is phys.light.ScatterIsotropicStep
+    assert phys.light.ScatterDeleteStepReference is phys.light.ScatterDeleteStep
