@@ -295,6 +295,8 @@ class Simulation(threading.Thread):
         self.dtype = jnp.float32
         self.capacity: Optional[int] = None
         self.max_record_bytes = 256 * 1024 * 1024
+        self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
+        self.fused_tile_rows = 128
         for attr, val in kwargs.items():
             setattr(self, attr, val)
 
@@ -544,14 +546,25 @@ class Simulation(threading.Thread):
         for s in steps:
             s.setup(self)
 
-        exit_traced = self._probe_exit_traceable(state)
-        if self.chunk_steps is not None:
-            chunk = int(self.chunk_steps)
-        elif not exit_traced:
-            chunk = 1  # host-exact mode: predicate checked every iteration
+        provider = None
+        if self.fuse == "auto":
+            from physicl_tpu.ops.pipeline import try_build_fused
+
+            provider = try_build_fused(self, steps, state)
+        self.used_fused = provider is not None
+
+        if provider is not None:
+            exit_traced = True  # provider owns exit handling via `done`
+            chunk_fn = provider
         else:
-            chunk = self._auto_chunk(steps, state)
-        chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
+            exit_traced = self._probe_exit_traceable(state)
+            if self.chunk_steps is not None:
+                chunk = int(self.chunk_steps)
+            elif not exit_traced:
+                chunk = 1  # host-exact mode: predicate checked every iteration
+            else:
+                chunk = self._auto_chunk(steps, state)
+            chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
 
         while True:
             if not exit_traced:

@@ -181,8 +181,7 @@ def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
     u = jax.random.uniform(key, (int(n),), jnp.float32)
     idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
                    0, len(E) - 1)
-    return np.asarray(jnp.asarray(E, jnp.float64 if E.dtype == np.float64
-                                  else jnp.float32)[idx])
+    return E[np.asarray(idx)]  # gather in host float64, exact bin edges
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,293 @@
+"""Fused multi-step transport kernel (Pallas TPU) — the performance core.
+
+This is the TPU-native replacement for the reference's per-step
+gather->upload->kernel->download->scatter-back round trip
+(physicl/__init__.py:602-664, physicl/light.py:164-205): a single Pallas kernel
+that keeps a tile of photons resident in VMEM and advances it through K whole
+simulation iterations (time update, kinematics, scattering, deletion,
+measurement reductions) before touching HBM again. Photon independence
+(README.md:11 of the reference) is what makes the K-iterations-per-tile
+schedule legal. HBM traffic per photon-step drops by ~K and randomness comes
+from the TPU hardware PRNG instead of host numpy / threefry.
+
+Architecture parallel: where the reference's ``CLProgram.build_kernel``
+assembles an OpenCL C string from step metadata (physicl/__init__.py:583-597),
+``build_plan`` composes traced Python closures from the step list — same slot,
+no string codegen, arbitrary user callables (e.g. variable n(r)) trace straight
+into the kernel.
+
+The fused path is an optimization with identical observable semantics; the
+generic scan engine remains the fallback for step combinations it cannot prove
+fusable (path tracing, energy capture, custom steps, untraceable predicates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from physicl_tpu.state import OBJ_PHOTON, SimState
+
+# Field planes in the packed (NF, C) state array.
+_RX, _RY, _RZ, _DRX, _DRY, _DRZ, _VX, _VY, _VZ, _DVX, _DVY, _DVZ, _E, _ALIVE = range(14)
+_NF = 14
+
+_LANE = 128
+_MAX_REC_COLS = 128
+
+
+def _bits_to_unit(bits):
+    """uint32 bits -> uniform [0,1) float32 (top 24 bits).
+
+    The logical shift must happen as uint32 (an int32 arithmetic shift would
+    smear the sign bit), but Mosaic has no uint32->f32 cast — the shifted
+    value fits in [0, 2^24), so bitcast to int32 for the float conversion.
+    """
+    top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+class _Rng:
+    """Per-iteration uniform stream.
+
+    On TPU hardware: the per-core PRNG (seeded once per tile in the kernel
+    prologue; ``pltpu.prng_random_bits`` advances it). In interpret mode
+    (CPU tests) the pltpu PRNG is emulated as zeros, so we substitute a
+    counter-based hash PRNG (murmur3 finalizer x2) keyed on
+    (seed, iteration, static call index, element coordinates) — stateless,
+    so it needs no carry through the loop.
+    """
+
+    def __init__(self, interpret: bool, seed, k):
+        self.interpret = interpret
+        self.seed = seed
+        self.k = k
+        self.idx = 0  # static per-trace call counter
+
+    def uniform(self, shape):
+        if not self.interpret:
+            # prng_random_bits yields int32 on TPU; bitcast before shifting or
+            # the arithmetic shift smears the sign bit over the mantissa.
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            return _bits_to_unit(bits)
+        self.idx += 1
+        ri = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        ci = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        h = (jnp.uint32(self.seed)
+             ^ (self.k.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+             ^ jnp.uint32((self.idx * 0x7FEB352D) & 0xFFFFFFFF))
+        h = h + ri * jnp.uint32(0x85EBCA6B) + ci * jnp.uint32(0xC2B2AE35)
+        for mul in (0x85EBCA6B, 0xC2B2AE35):
+            h = h ^ (h >> jnp.uint32(16))
+            h = h * jnp.uint32(mul)
+            h = h ^ (h >> jnp.uint32(13))
+        h = h ^ (h >> jnp.uint32(16))
+        return _bits_to_unit(h)
+
+
+@dataclasses.dataclass
+class _Op:
+    kind: str                       # "kin" | "del" | "iso" | "sign" | "cross"
+    coef: float = 0.0               # folded A*n (del/iso)
+    wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
+    n_fn: Optional[Callable] = None  # variable n(r) (iso)
+    c_val: float = 0.0              # |v| for resampled photons (iso)
+    cols: tuple = ()                # record columns (measure ops)
+    axes: tuple = ()                # ((axis, L, col), ...) for cross
+
+
+@dataclasses.dataclass
+class FusedPlan:
+    """Static description of one fused chunk kernel."""
+
+    ops: List[_Op]
+    n_rec_cols: int
+    chunk: int
+    tile_rows: int
+    interpret: bool = False
+
+
+def _emit_iteration(plan: FusedPlan, k, dt, fields, rec_ref, rng: "_Rng"):
+    """Run one simulation iteration on VMEM-resident field values.
+
+    ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns updated
+    fields and accumulates this iteration's record row into ``rec_ref[k]``
+    (the ref was zeroed by the first grid step). Ops execute in the plan's
+    order == step insertion order (reference semantics,
+    physicl/__init__.py:514).
+    """
+    f = list(fields)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _MAX_REC_COLS), 1)
+    row = jnp.zeros((1, _MAX_REC_COLS), jnp.int32)
+
+    def put(row, col, val):
+        return jnp.where(col_iota == col, val.astype(jnp.int32), row)
+
+    alive_b = f[_ALIVE] > 0
+
+    for op in plan.ops:
+        if op.kind == "kin":
+            for d in range(3):
+                dr = f[_VX + d] * dt
+                f[_DRX + d] = dr
+                f[_RX + d] = f[_RX + d] + dr
+        elif op.kind == "del":
+            norm = jnp.sqrt(f[_DRX] ** 2 + f[_DRY] ** 2 + f[_DRZ] ** 2)
+            pcoll = jnp.float32(op.coef) * norm
+            u = rng.uniform(norm.shape)
+            hit = (pcoll >= u) & alive_b
+            alive_b = alive_b & jnp.logical_not(hit)
+            f[_ALIVE] = alive_b.astype(jnp.float32)
+        elif op.kind == "iso":
+            norm = jnp.sqrt(f[_DRX] ** 2 + f[_DRY] ** 2 + f[_DRZ] ** 2)
+            pcoll = jnp.float32(op.coef) * norm
+            if op.n_fn is not None:
+                pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
+                    jnp.float32
+                )
+            if op.wl_base is not None:
+                base = f[_E] * jnp.float32(op.wl_base)
+                b2 = base * base
+                pcoll = pcoll * (b2 * b2)
+            u = rng.uniform(norm.shape)
+            theta = rng.uniform(norm.shape) * jnp.float32(2 * np.pi)
+            phi = rng.uniform(norm.shape) * jnp.float32(np.pi)
+            scatter = (pcoll >= u) & alive_b
+            sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+            sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+            cval = jnp.float32(op.c_val)
+            vnew = (cval * sin_t * cos_p, cval * sin_t * sin_p, cval * cos_t)
+            for d in range(3):
+                old = f[_VX + d]
+                f[_VX + d] = jnp.where(scatter, vnew[d], old)
+                f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
+                                        jnp.float32(0.0))
+        elif op.kind == "sign":
+            n_col, sx_col = op.cols
+            if n_col >= 0:
+                row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
+            for d in range(3):
+                pos = (f[_VX + d] > 0) & alive_b
+                row = put(row, sx_col + d, jnp.sum(pos, dtype=jnp.int32))
+        elif op.kind == "cross":
+            (n_col,) = op.cols
+            if n_col >= 0:
+                row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
+            for axis, L, col in op.axes:
+                hi = f[_RX + axis]
+                lo = hi - f[_DRX + axis]
+                Lv = jnp.float32(L)
+                crossed = (((lo <= Lv) & (Lv <= hi))
+                           | ((lo >= Lv) & (Lv >= hi))) & alive_b
+                row = put(row, col, jnp.sum(crossed, dtype=jnp.int32))
+
+    # col 0: global alive count at iteration end (predicate/trim channel)
+    row = put(row, 0, jnp.sum(alive_b, dtype=jnp.int32))
+    rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
+    return f
+
+
+def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
+    pid = pl.program_id(0)
+    # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
+    tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
+    if not plan.interpret:
+        pltpu.prng_seed(tile_seed)
+    k_act = ctl_ref[1]
+
+    @pl.when(pid == 0)
+    def _():
+        rec_ref[:] = jnp.zeros_like(rec_ref)
+
+    fields = [state_ref[i] for i in range(_NF)]
+
+    def body(k, fields):
+        dt = dts_ref[k]
+        rng = _Rng(plan.interpret, tile_seed, k)
+        return _emit_iteration(plan, k, dt, fields, rec_ref, rng)
+
+    fields = jax.lax.fori_loop(0, k_act, body, fields)
+
+    for i in range(_NF):
+        if i == _E:
+            continue  # energy never mutated by fusable ops
+        out_ref[i] = fields[i]
+
+
+def build_fused_chunk(plan: FusedPlan, capacity: int):
+    """Compile the fused chunk: (packed_state, dts, seed, k_act) -> (state, rec).
+
+    ``packed_state`` is (14, C) f32; rec is (chunk, 128) int32 with col 0 the
+    global alive count per iteration and measure channels per the plan.
+    """
+    rows = capacity // _LANE
+    tile_rows = plan.tile_rows
+    while rows % tile_rows:
+        tile_rows //= 2
+    n_tiles = rows // tile_rows
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ctl [seed, k_act]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dts (chunk,)
+            pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    kernel = partial(_kernel, plan)
+
+    @jax.jit
+    def run(packed, dts, seed, k_act):
+        ctl = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(k_act, jnp.int32)])
+        packed3 = packed.reshape(_NF, rows, _LANE)
+        out, rec = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
+            ],
+            input_output_aliases={2: 0},
+            interpret=pltpu.InterpretParams() if plan.interpret else False,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(ctl, jnp.asarray(dts, jnp.float32), packed3)
+        return out.reshape(_NF, capacity), rec
+
+    return run
+
+
+def pack_state(state: SimState) -> jax.Array:
+    """SimState -> packed (14, C) f32 (one concat; slices come back out)."""
+    return jnp.concatenate(
+        [state.r, state.dr, state.v, state.dv,
+         state.E[None].astype(jnp.float32),
+         state.alive[None].astype(jnp.float32)],
+        axis=0,
+    )
+
+
+def unpack_state(packed: jax.Array, template: SimState) -> SimState:
+    return template.replace(
+        r=packed[_RX:_RX + 3], dr=packed[_DRX:_DRX + 3],
+        v=packed[_VX:_VX + 3], dv=packed[_DVX:_DVX + 3],
+        E=packed[_E].astype(template.E.dtype),
+        alive=packed[_ALIVE] > 0,
+    )

@@ -1,0 +1,303 @@
+"""Fused-pipeline provider: proves a step list fusable, then serves engine
+chunks from the multi-iteration Pallas kernel in :mod:`physicl_tpu.ops.fused`.
+
+Fusability requirements (everything else falls back to the generic scan):
+
+* steps are exactly: one ``UpdateTimeStep`` whose dt function depends on at
+  most ``(t, dt)``, plus any mix of ``NewtonianKinematicsStep``,
+  ``ScatterDeleteStep``, ``ScatterIsotropicStep``, ``ScatterSignMeasureStep``
+  and ``ScatterMeasureStep`` (without energy capture);
+* the population is photons only (the fused kernel elides per-particle type
+  dispatch; mixed populations use the generic path);
+* the exit predicate is either *t-only* (the exact exit iteration is
+  precomputed on the host by replaying the f32 time arithmetic) or
+  *extinction* (``n_objects == 0`` — verified empirically on sample host
+  views; safe to overshoot because iterations on an all-dead population are
+  physical no-ops, and records are trimmed to the exact exit point).
+
+The provider implements the engine's chunk contract
+``state -> (state, done, records, valid)`` so measurement collection,
+``sim.ts`` and CSV output are byte-identical between paths.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from physicl_tpu.state import OBJ_PHOTON, SimState
+from physicl_tpu.units import Measurement, raw_code_value
+from physicl_tpu.ops import fused as F
+
+__all__ = ["try_build_fused", "FusedProvider"]
+
+
+class _TOnly:
+    """Host probe view exposing only t/dt; touching anything else raises."""
+
+    def __init__(self, t, dt):
+        self.t = t
+        self.dt = dt
+
+    def __getattr__(self, name):  # n_objects, objects, bounds, ...
+        raise AttributeError(name)
+
+
+def _probe_t_only(fn) -> bool:
+    try:
+        for t in (0.0, 1.0, 1e30):
+            fn(_TOnly(np.float32(t), np.float32(1e-3)))
+        return True
+    except Exception:
+        return False
+
+
+class _TN:
+    def __init__(self, t, n):
+        self.t = t
+        self.dt = np.float32(1e-3)
+        self.n_objects = n
+        self.objects = _Len(n)
+
+
+class _Len:
+    def __init__(self, n):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+
+def _probe_extinction(fn) -> bool:
+    """True iff fn behaves as 'no objects left' on sampled host views:
+    True whenever n == 0, False whenever n > 0, regardless of t."""
+    try:
+        for t in (0.0, 1e-3, 1e30):
+            if not bool(fn(_TN(np.float32(t), 0))):
+                return False
+            for n in (1, 2, 17, 10_000_000):
+                if bool(fn(_TN(np.float32(t), n))):
+                    return False
+        return True
+    except Exception:
+        return False
+
+
+def _as_f(x):
+    return float(raw_code_value(x)) if isinstance(x, Measurement) else float(x)
+
+
+class FusedProvider:
+    """Callable matching the engine chunk contract, backed by the fused kernel."""
+
+    def __init__(self, sim, plan: F.FusedPlan, rec_map: List[dict],
+                 dt_fn, dt_before_kin: List[bool], measure_after_update:
+                 Dict[str, bool], exit_fn, exit_mode: str):
+        self.sim = sim
+        self.plan = plan
+        self.rec_map = rec_map
+        self.dt_fn = dt_fn
+        self.exit_fn = exit_fn
+        self.exit_mode = exit_mode  # "t" | "n0"
+        self.measure_after_update = measure_after_update
+        self.kernel = None
+        self.t_h = np.float32(0.0)
+        self.dt_h = np.float32(0.0)
+        self.n_h = 0
+        self.chunk_idx = 0
+        self.update_first = dt_before_kin
+
+    def _host_schedule(self):
+        """Replay K iterations of the time stepping in f32 on the host.
+
+        Returns (ts, dts_kin, k_act, done_t): per-iteration time after the
+        update step, dt in effect at kinematics, the number of live iterations
+        this chunk, and whether a t-mode exit fires inside this chunk.
+        """
+        K = self.plan.chunk
+        ts = np.zeros(K, np.float32)
+        ts_before = np.zeros(K, np.float32)
+        dts_kin = np.zeros(K, np.float32)
+        dts_after = np.zeros(K, np.float32)
+        t, dt = self.t_h, self.dt_h
+        k_act, done_t = K, False
+        for i in range(K):
+            if self.exit_mode == "t" and bool(self.exit_fn(_TOnly(t, dt))):
+                k_act, done_t = i, True
+                break
+            ts_before[i] = t
+            if self.update_first:
+                dt = np.float32(_as_f(self.dt_fn(_TOnly(t, dt))))
+                t = np.float32(t + dt)
+                dts_kin[i] = dt
+            else:
+                dts_kin[i] = dt  # kinematics uses last iteration's dt
+                dt = np.float32(_as_f(self.dt_fn(_TOnly(t, dt))))
+                t = np.float32(t + dt)
+            ts[i] = t
+            dts_after[i] = dt
+        return ts, ts_before, dts_kin, dts_after, k_act, done_t
+
+    def __call__(self, state: SimState):
+        if self.kernel is None:
+            self.kernel = F.build_fused_chunk(self.plan, state.capacity)
+            self.n_h = int(jax.device_get(state.n_alive))
+
+        K = self.plan.chunk
+        ts, ts_before, dts_kin, dts_after, k_act, done_t = self._host_schedule()
+
+        seed = int(((int(self.sim.seed) * 2_654_435_761
+                     + self.chunk_idx * 40_503) & 0xFFFFFFFF) & 0x7FFFFFFF)
+        self.chunk_idx += 1
+
+        packed = F.pack_state(state)
+        packed, rec = self.kernel(packed, dts_kin, seed, k_act)
+        rec_np = np.asarray(jax.device_get(rec))
+
+        n_end = rec_np[:, 0]
+        n_before = np.concatenate([[self.n_h], n_end[:-1]])
+
+        if self.exit_mode == "n0":
+            alive_iters = n_before > 0
+            valid = alive_iters & (np.arange(K) < k_act)
+            done = bool((~alive_iters[:k_act]).any())
+        else:
+            valid = np.arange(K) < k_act
+            done = done_t
+
+        n_valid = int(valid.sum())
+        if n_valid:
+            self.t_h = np.float32(ts[n_valid - 1])
+            self.dt_h = np.float32(dts_after[n_valid - 1])
+            self.n_h = int(n_end[n_valid - 1])
+
+        import jax.numpy as jnp
+        new_state = F.unpack_state(packed, state).replace(
+            t=jnp.asarray(float(self.t_h), state.t.dtype),
+            dt=jnp.asarray(float(self.dt_h), state.dt.dtype),
+        )
+
+        records = {}
+        for m in self.rec_map:
+            uid = m["uid"]
+            kind = m["kind"]
+            t_arr = ts if self.measure_after_update.get(uid, True) else ts_before
+            if kind == "ts":
+                records[f"{uid}/ts"] = ts
+            elif kind == "sign":
+                records[f"{uid}/t"] = t_arr
+                if m["n_col"] >= 0:
+                    records[f"{uid}/n"] = rec_np[:, m["n_col"]]
+                records[f"{uid}/signs"] = rec_np[:, m["sx_col"]:m["sx_col"] + 3]
+            elif kind == "cross":
+                records[f"{uid}/t"] = t_arr
+                if m["n_col"] >= 0:
+                    records[f"{uid}/n"] = rec_np[:, m["n_col"]]
+                for j, col in enumerate(m["cnt_cols"]):
+                    records[f"{uid}/count{j}"] = rec_np[:, col]
+
+        return new_state, done, records, valid
+
+
+def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
+    """Return a FusedProvider if the sim is provably fusable, else None."""
+    from physicl_tpu.engine import UpdateTimeStep
+    from physicl_tpu.newton import NewtonianKinematicsStep
+    from physicl_tpu.light import (
+        ScatterDeleteStep,
+        ScatterIsotropicStep,
+        ScatterMeasureStep,
+        ScatterSignMeasureStep,
+    )
+
+    if not getattr(sim, "jit_on", True):
+        return None
+
+    # Photon-only population (host-side knowledge, no device sync).
+    for o in sim._pending_objects:
+        if getattr(o, "_obj_type_code", 0) != OBJ_PHOTON:
+            return None
+    for b in sim._pending_bulk:
+        if int(b["otype"]) != OBJ_PHOTON:
+            return None
+    if not sim._pending_objects and not sim._pending_bulk:
+        return None
+
+    ops: List[F._Op] = []
+    rec_map: List[dict] = []
+    measure_after_update: Dict[str, bool] = {}
+    next_col = 1
+    dt_fn = None
+    update_seen = False
+    update_before_kin = False
+    kin_seen = False
+
+    for s in steps:
+        uid = s._step_uid
+        if type(s) is UpdateTimeStep:
+            if update_seen or not _probe_t_only(s.fn):
+                return None
+            update_seen = True
+            update_before_kin = not kin_seen
+            dt_fn = s.fn
+            rec_map.append({"uid": uid, "kind": "ts"})
+        elif type(s) is NewtonianKinematicsStep:
+            kin_seen = True
+            ops.append(F._Op("kin"))
+        elif type(s) is ScatterDeleteStep:
+            ops.append(F._Op("del", coef=s.A * s.n))
+        elif type(s) is ScatterIsotropicStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "iso", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
+                c_val=s._c,
+            ))
+        elif type(s) is ScatterSignMeasureStep:
+            n_col = next_col if s.measure_n else -1
+            next_col += 1 if s.measure_n else 0
+            sx = next_col
+            next_col += 3
+            ops.append(F._Op("sign", cols=(n_col, sx)))
+            rec_map.append({"uid": uid, "kind": "sign", "n_col": n_col,
+                            "sx_col": sx})
+            measure_after_update[uid] = update_seen
+        elif type(s) is ScatterMeasureStep:
+            if s.measure_E:
+                return None
+            n_col = next_col if s.measure_n else -1
+            next_col += 1 if s.measure_n else 0
+            axes, cnt_cols = [], []
+            for axis, L in s._axes:
+                axes.append((axis, L, next_col))
+                cnt_cols.append(next_col)
+                next_col += 1
+            ops.append(F._Op("cross", cols=(n_col,), axes=tuple(axes)))
+            rec_map.append({"uid": uid, "kind": "cross", "n_col": n_col,
+                            "cnt_cols": cnt_cols})
+            measure_after_update[uid] = update_seen
+        else:
+            return None
+
+    if not update_seen or next_col > F._MAX_REC_COLS:
+        return None
+
+    # Exit predicate classification.
+    if _probe_t_only(sim.exit):
+        exit_mode = "t"
+    elif _probe_extinction(sim.exit):
+        exit_mode = "n0"
+        if not any(op.kind == "del" for op in ops):
+            return None  # nothing can ever die: predicate never fires
+    else:
+        return None
+
+    chunk = int(sim.chunk_steps) if sim.chunk_steps else 256
+    plan = F.FusedPlan(
+        ops=ops, n_rec_cols=next_col, chunk=chunk,
+        tile_rows=getattr(sim, "fused_tile_rows", 128),
+        interpret=(jax.default_backend() == "cpu"),
+    )
+    return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
+                         measure_after_update, sim.exit, exit_mode)

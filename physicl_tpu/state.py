@@ -29,8 +29,15 @@ _SUBLANE = 8
 
 
 def pad_capacity(n: int) -> int:
-    """Round particle count up to a TPU-friendly capacity (multiple of 8*128)."""
-    tile = _LANE * _SUBLANE
+    """Round particle count up to a TPU-friendly capacity.
+
+    Multiple of 128*128 = 16384 so the fused transport kernel always gets
+    full (128 sublane-rows x 128 lanes) tiles — a capacity that factors into
+    small odd row counts would shrink the tile and explode the grid (e.g.
+    1e6 -> 7816 rows = 8*977 would force 8-row tiles). Padding is dead lanes:
+    ~1.6% at 1e6 photons, irrelevant at 1e7.
+    """
+    tile = _LANE * _LANE
     return max(tile, ((n + tile - 1) // tile) * tile)
 
 

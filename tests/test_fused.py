@@ -1,0 +1,137 @@
+"""Fused-pipeline tests: fusability detection, differential vs the generic
+scan path (the fused kernel is an optimization, not a semantics change)."""
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+
+def _build(fuse, seed=0, n=4000, t_end=0.020, delete=False, measure_E=False):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    if delete:
+        s.add_step(2, light.ScatterDeleteStep(np.double(0.001), np.double(0.001)))
+        meas = light.ScatterMeasureStep(None, True, [[1e6, np.nan, np.nan]],
+                                        measure_E=measure_E)
+        s.add_step(3, meas)
+    else:
+        s.add_step(2, light.ScatterIsotropicStep(A=0.001, n=0.001))
+        meas = light.ScatterSignMeasureStep(None, True)
+        s.add_step(3, meas)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    return s, meas
+
+
+def test_fused_detection_positive():
+    s, _ = _build("auto")
+    s.start(); s.join()
+    assert s.used_fused
+
+
+def test_fused_off_respected():
+    s, _ = _build("off")
+    s.start(); s.join()
+    assert not s.used_fused
+
+
+def test_fused_rejects_measure_E():
+    s, _ = _build("auto", delete=True, measure_E=True)
+    s.start(); s.join()
+    assert not s.used_fused
+
+
+def test_fused_rejects_trace_step():
+    s, _ = _build("auto")
+    s.add_step(9, light.TracePathMeasureStep(None))
+    s.start(); s.join()
+    assert not s.used_fused
+
+
+def test_fused_rejects_custom_step():
+    class MyStep(phys.Step):
+        pass
+
+    s, _ = _build("auto")
+    s.add_step(9, MyStep())
+    s.start(); s.join()
+    assert not s.used_fused
+
+
+def test_fused_matches_generic_isotropic_stats():
+    """Sign-balance trajectory agrees between paths (different RNG streams;
+    compare the relaxation statistically)."""
+    res = {}
+    for fuse in ("auto", "off"):
+        s, meas = _build(fuse, seed=3, n=20000, t_end=0.030)
+        s.start(); s.join()
+        res[fuse] = np.array([row[2] / row[1] for row in meas.data])
+        assert s.used_fused == (fuse == "auto")
+    # same length, same times, same relaxation curve within sampling error
+    assert len(res["auto"]) == len(res["off"]) == 30
+    assert np.abs(res["auto"] - res["off"]).max() < 0.03
+
+
+def test_fused_matches_generic_delete_decay():
+    res = {}
+    for fuse in ("auto", "off"):
+        s, meas = _build(fuse, seed=5, n=20000, delete=True)
+        s.exit = lambda x: len(x.objects) == 0
+        s.start(); s.join()
+        res[fuse] = np.array([row[1] for row in meas.data[:15]], float)
+        assert s.used_fused == (fuse == "auto")
+    # exponential decay 0.7002^k: relative agreement within sampling error
+    ratio = res["auto"][:10] / np.maximum(res["off"][:10], 1)
+    assert np.abs(ratio - 1).max() < 0.10
+    # both die out completely
+    assert len(s.objects) == 0
+
+
+def test_fused_ts_and_t_semantics():
+    """ts log and final t identical between paths (host f32 replay)."""
+    out = {}
+    for fuse in ("auto", "off"):
+        s, _ = _build(fuse, t_end=0.0095)
+        s.start(); s.join()
+        out[fuse] = (list(s.ts), float(s.t))
+    assert out["auto"][0] == out["off"][0]
+    assert out["auto"][1] == out["off"][1]
+
+
+def test_fused_update_time_inserted_last():
+    """Insertion order with UpdateTimeStep last: iteration 0 runs with dt=0
+    (reference semantics) — both paths must agree exactly on counts."""
+    rows = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0, fuse=fuse)
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        meas = light.ScatterMeasureStep(
+            None, True, [[1.5 * float(light.c) * 0.001, np.nan, np.nan]])
+        s.add_step(2, meas)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_photons(light.generate_photon_state(100, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        rows[fuse] = [(float(r[0]), int(r[1]), int(r[2])) for r in meas.data]
+    assert rows["auto"] == rows["off"]
+
+
+def test_fused_variable_dt_schedule():
+    """dt growing with t: both paths produce identical ts sequences."""
+    out = {}
+    for fuse in ("auto", "off"):
+        s, _ = _build(fuse, t_end=0.01)
+        s.steps[0].fn = lambda x: 0.001 * (1.0 + 0.5 * float(0))  # const base
+        # replace with genuinely t-dependent fn
+        s.remove_step(0)
+        # NB: removing destroys insertion order; rebuild cleanly
+        s = phys.Simulation(exit=lambda c: c.t >= 0.01, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: 0.001 + 0.1 * x.t))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_photons(light.generate_photon_state(100, E=1.0))
+        s.start(); s.join()
+        out[fuse] = list(s.ts)
+    assert out["auto"] == out["off"]

@@ -1,0 +1,152 @@
+"""Measurement-step behavior tests: plane crossing, energy capture, sign
+counts, path tracing matrix format, CSV output."""
+
+import os
+
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+
+def _basic_sim(n_photons=100, t_end=0.005, seed=0, **kw):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed, **kw)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(n_photons, E=2.5))
+    return s
+
+
+def test_plane_crossing_exact():
+    # Photons at x=0 move +x at c; plane at 2.5 * c * dt is crossed between
+    # iteration 2 (r=2c dt) and 3 (r=3c dt) — exactly once.
+    c_dt = float(light.c) * 0.001
+    s = _basic_sim()
+    meas = light.ScatterMeasureStep(None, True, [[2.5 * c_dt, np.nan, np.nan]])
+    s.add_step(2, meas)
+    s.start(); s.join()
+    counts = [row[2] for row in meas.data]
+    assert counts == [0, 0, 100, 0, 0]
+    ns = [row[1] for row in meas.data]
+    assert ns == [100] * 5
+
+
+def test_plane_crossing_y_and_z_axes():
+    c_dt = float(light.c) * 0.001
+    for axis in (1, 2):
+        v = np.zeros((3, 1)); v[axis, 0] = float(light.c)
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_photons(light.generate_photon_state(50, E=1.0, v=v))
+        loc = [np.nan] * 3
+        loc[axis] = 1.5 * c_dt
+        meas = light.ScatterMeasureStep(None, False, [loc])
+        s.add_step(2, meas)
+        s.start(); s.join()
+        assert [row[1] for row in meas.data] == [0, 50, 0]
+
+
+def test_measure_E_capture():
+    c_dt = float(light.c) * 0.001
+    s = _basic_sim(n_photons=10, t_end=0.003)
+    meas = light.ScatterMeasureStep(None, True, [[1.5 * c_dt, np.nan, np.nan]],
+                                    measure_E=True)
+    s.add_step(2, meas)
+    s.start(); s.join()
+    # crossing iteration: 10 photons with E=2.5 captured
+    row = meas.data[1]
+    assert row[2] == 10
+    assert np.allclose(row[3], 2.5)
+    # non-crossing iterations capture nothing
+    assert meas.data[0][3] == [] and meas.data[2][3] == []
+
+
+def test_sign_measure_initial_beam():
+    s = _basic_sim(n_photons=64, t_end=0.002)
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(2, sign)
+    s.start(); s.join()
+    # +x beam: xp = 64, yp = zp = 0
+    for row in sign.data:
+        assert row[1] == 64 and row[2] == 64 and row[3] == 0 and row[4] == 0
+
+
+def test_csv_output(tmp_path):
+    out = str(tmp_path / "sign.csv")
+    s = _basic_sim(n_photons=8, t_end=0.002)
+    s.add_step(2, light.ScatterSignMeasureStep(out, True))
+    s.start(); s.join()
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 2
+    assert [float(x) for x in lines[0].split(",")][1:] == [8.0, 8.0, 0.0, 0.0]
+
+
+def test_trace_path_matrix_format():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    trace = light.TracePathMeasureStep(None, trace_dv=False)
+    s.add_step(2, trace)
+    for i in range(3):
+        s.add_obj(light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    rows = trace.data
+    assert rows[0][0] == "t" and len(rows[0]) == 1 + 3
+    assert len(rows) == 4
+    c_dt = float(light.c) * 0.001
+    for r in rows[1:]:
+        assert "PhotonObject" in r[0]
+        # iteration i records r AFTER kinematics: (i+1) * c * dt
+        for i, vec in enumerate(r[1:]):
+            assert np.isclose(vec[0], (i + 1) * c_dt, rtol=1e-5)
+
+
+def test_trace_path_dead_objects_nan_padded():
+    s = phys.Simulation(seed=0)
+    s.exit = lambda v: v.t >= 0.005
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    # certain absorption: every photon dies at its first move
+    s.add_step(2, light.ScatterDeleteStep(np.double(1.0), np.double(1.0)))
+    trace = light.TracePathMeasureStep(None)
+    s.add_step(3, trace)
+    s.add_obj(light.PhotonObject(
+        E=np.double(1.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    row = trace.data[1]
+    # dead from iteration 0 on: all NaN padding, 3 values per iteration
+    flat = [x for x in row[1:]]
+    assert all(np.isnan(np.asarray(x)).all() for x in flat)
+
+
+def test_trace_dv_counts_scatters():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    # scatter with certainty every step
+    s.add_step(2, light.ScatterIsotropicStep(A=1.0, n=1.0))
+    trace = light.TracePathMeasureStep(None, trace_dv=True)
+    s.add_step(3, trace)
+    s.add_obj(light.PhotonObject(
+        E=np.double(1.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    row = trace.data[1]
+    freq = row[1]
+    # pcoll = 1*1*c*dt = 3e5 >> 1: scatters every iteration
+    assert freq == len(s.ts)
+
+
+def test_measure_terminate_dict_branch():
+    # reference's dict branch is broken (missing .items()); ours must work
+    step = phys.MeasureStep("/tmp/_physicl_tpu_dict_test.csv")
+    step.data = {"a": [1, 2], "b": [3, 4]}
+    step.terminate(None)
+    lines = open("/tmp/_physicl_tpu_dict_test.csv").read().strip().split("\n")
+    assert lines == ["1, 2", "3, 4"]
+    os.remove("/tmp/_physicl_tpu_dict_test.csv")
