@@ -1,0 +1,84 @@
+"""Headline benchmark: sustained photon-steps/s/chip at 1e7 photons.
+
+Workload: the BASELINE "spherical scattering transport" config — Euler
+kinematics + isotropic scatter (pcoll = A*n*|dr|, angle-uniform resample,
+reference statistics) + per-iteration sign measurement — on 10,000,000
+photons, run through the fused multi-iteration Pallas pipeline exactly as the
+engine dispatches it.
+
+Baseline: the reference's observed isotropic-scatter throughput of
+~2.0e4 photon-steps/s (10k photons on the author's OpenCL workstation,
+BASELINE.md row 1). Prints ONE JSON line.
+
+Methodology: steady-state chunk rate. One warmup chunk (includes XLA/Mosaic
+compile), then R timed chunks chained back-to-back, synchronized by a
+device->host copy of the final chunk's records and state slice (the axon
+relay's block_until_ready can signal early; a D2H copy cannot).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import physicl_tpu as phys
+    import physicl_tpu.newton
+    import physicl_tpu.light as light
+    from physicl_tpu.ops.pipeline import try_build_fused
+    from physicl_tpu.state import SimState
+
+    N = 10_000_000
+    K = 256
+    REPS = 4
+
+    sim = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0, chunk_steps=K)
+    sim.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))
+    sim.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    sim.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                               n=np.double(0.001)))
+    sim.add_step(3, light.ScatterSignMeasureStep(None, True))
+    sim.add_photons(light.generate_photon_state(N, E=1.0))
+
+    state = SimState.from_population([], sim._pending_bulk)
+    steps = sim._ordered_steps()
+    for s in steps:
+        s.setup(sim)
+    provider = try_build_fused(sim, steps, state)
+    assert provider is not None, "flagship pipeline must fuse"
+
+    # Warmup (compile) + hard sync via D2H.
+    state, done, records, valid = provider(state)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        state, done, records, valid = provider(state)
+    _ = np.asarray(jax.device_get(state.r[0, :8]))
+    dt = (time.perf_counter() - t0) / REPS
+
+    # provider() already device_gets the per-chunk records, so each timed
+    # chunk includes the engine's real per-chunk host work.
+    value = N * K / dt
+
+    # Physics sanity inline: +x share must follow 0.5+0.5*(1-pcoll)^k.
+    shares = records["s3/signs"][:, 0] / np.maximum(records["s3/n"], 1)
+    pcoll = 0.001 * 0.001 * float(light.c) * 0.001
+    k0 = 4 * K + 1  # first iteration index of the last timed chunk
+    expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(k0, k0 + K)
+    parity_err = float(np.abs(shares - expect).max())
+    assert parity_err < 0.02, f"scatter parity broken: {parity_err}"
+
+    baseline = 2.0e4  # BASELINE.md: reference isotropic scatter, OpenCL
+    print(json.dumps({
+        "metric": "photon_steps_per_sec_per_chip_at_1e7_isotropic_scatter",
+        "value": round(value, 1),
+        "unit": "photon-steps/s",
+        "vs_baseline": round(value / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -297,6 +297,7 @@ class Simulation(threading.Thread):
         self.max_record_bytes = 256 * 1024 * 1024
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
         self.fused_tile_rows = 128
+        self.mesh = None  # jax.sharding.Mesh: shard the particle axis
         for attr, val in kwargs.items():
             setattr(self, attr, val)
 
@@ -533,10 +534,18 @@ class Simulation(threading.Thread):
         )
         self._initial_count = n0
         cap = self.capacity if self.capacity is not None else pad_capacity(max(n0, 1))
+        if self.mesh is not None:
+            # particle axis must split evenly into tile-aligned shards
+            unit = pad_capacity(1) * int(self.mesh.devices.size)
+            cap = max(unit, ((cap + unit - 1) // unit) * unit)
         state = SimState.from_population(
             self._pending_objects, self._pending_bulk,
             dtype=self.dtype, seed=self.seed, capacity=cap,
         )
+        if self.mesh is not None:
+            from physicl_tpu.parallel.sharding import shard_state
+
+            state = shard_state(state, self.mesh)
         self._host_n_alive = n0
         self._host_t = 0.0
         self._host_dt = 0.0

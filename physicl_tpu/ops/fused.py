@@ -89,7 +89,9 @@ class _Rng:
             h = h * jnp.uint32(mul)
             h = h ^ (h >> jnp.uint32(13))
         h = h ^ (h >> jnp.uint32(16))
-        return _bits_to_unit(h)
+        # plain-XLA conversion (pltpu.bitcast is kernel-only)
+        return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24))
 
 
 @dataclasses.dataclass
@@ -114,12 +116,11 @@ class FusedPlan:
     interpret: bool = False
 
 
-def _emit_iteration(plan: FusedPlan, k, dt, fields, rec_ref, rng: "_Rng"):
+def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
     """Run one simulation iteration on VMEM-resident field values.
 
-    ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns updated
-    fields and accumulates this iteration's record row into ``rec_ref[k]``
-    (the ref was zeroed by the first grid step). Ops execute in the plan's
+    ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns
+    (updated fields, record row (1, 128) int32). Ops execute in the plan's
     order == step insertion order (reference semantics,
     physicl/__init__.py:514).
     """
@@ -190,16 +191,14 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rec_ref, rng: "_Rng"):
 
     # col 0: global alive count at iteration end (predicate/trim channel)
     row = put(row, 0, jnp.sum(alive_b, dtype=jnp.int32))
-    rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
-    return f
+    return f, row
 
 
 def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
     pid = pl.program_id(0)
     # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
     tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
-    if not plan.interpret:
-        pltpu.prng_seed(tile_seed)
+    pltpu.prng_seed(tile_seed)
     k_act = ctl_ref[1]
 
     @pl.when(pid == 0)
@@ -210,8 +209,10 @@ def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
 
     def body(k, fields):
         dt = dts_ref[k]
-        rng = _Rng(plan.interpret, tile_seed, k)
-        return _emit_iteration(plan, k, dt, fields, rec_ref, rng)
+        rng = _Rng(False, tile_seed, k)
+        fields, row = _emit_iteration(plan, k, dt, fields, rng)
+        rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
+        return fields
 
     fields = jax.lax.fori_loop(0, k_act, body, fields)
 
@@ -221,12 +222,45 @@ def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
         out_ref[i] = fields[i]
 
 
+def _build_emulated_chunk(plan: FusedPlan, capacity: int):
+    """Pure-jnp twin of the Pallas kernel for CPU/interpret environments.
+
+    Identical physics and record layout, one logical tile, hash-PRNG
+    randomness. This is also the path the multi-chip dry run exercises under
+    shard_map on virtual CPU devices (interpret-mode pallas_call uses
+    io_callbacks, which deadlock against device_get from the driver thread).
+    """
+    rows = capacity // _LANE
+
+    @jax.jit
+    def run(packed, dts, seed, k_act):
+        dts = jnp.asarray(dts, jnp.float32)
+        seed = jnp.asarray(seed, jnp.int32)
+        fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
+        rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
+
+        def body(k, carry):
+            fields, rec = carry
+            rng = _Rng(True, seed, k)
+            fields, row = _emit_iteration(plan, k, dts[k], fields, rng)
+            return fields, rec.at[k].add(row[0])
+
+        fields, rec = jax.lax.fori_loop(
+            0, jnp.asarray(k_act, jnp.int32), body, (fields, rec0))
+        out = jnp.stack([f.reshape(capacity) for f in fields])
+        return out, rec
+
+    return run
+
+
 def build_fused_chunk(plan: FusedPlan, capacity: int):
     """Compile the fused chunk: (packed_state, dts, seed, k_act) -> (state, rec).
 
     ``packed_state`` is (14, C) f32; rec is (chunk, 128) int32 with col 0 the
     global alive count per iteration and measure channels per the plan.
     """
+    if plan.interpret:
+        return _build_emulated_chunk(plan, capacity)
     rows = capacity // _LANE
     tile_rows = plan.tile_rows
     while rows % tile_rows:
@@ -264,7 +298,6 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
                 jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
             ],
             input_output_aliases={2: 0},
-            interpret=pltpu.InterpretParams() if plan.interpret else False,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),

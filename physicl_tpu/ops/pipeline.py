@@ -142,7 +142,13 @@ class FusedProvider:
 
     def __call__(self, state: SimState):
         if self.kernel is None:
-            self.kernel = F.build_fused_chunk(self.plan, state.capacity)
+            if self.sim.mesh is not None:
+                from physicl_tpu.parallel.sharding import build_sharded_fused
+
+                self.kernel = build_sharded_fused(
+                    self.plan, state.capacity, self.sim.mesh)
+            else:
+                self.kernel = F.build_fused_chunk(self.plan, state.capacity)
             self.n_h = int(jax.device_get(state.n_alive))
 
         K = self.plan.chunk

@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+from physicl_tpu.parallel import make_mesh, shard_state, PHOTON_AXIS
+from physicl_tpu.state import SimState
+
+
+def _n_dev():
+    return len(jax.devices())
+
+
+def test_virtual_devices_present():
+    assert _n_dev() == 8
+
+
+def test_shard_state_layout():
+    mesh = make_mesh()
+    state = SimState.from_population(
+        [], [light.generate_photon_state(100000, E=1.0)],
+        capacity=8 * 16384)
+    st = shard_state(state, mesh)
+    # particle axis sharded 8 ways; scalars replicated
+    assert st.r.sharding.spec == (None, PHOTON_AXIS)
+    assert st.E.sharding.spec == (PHOTON_AXIS,)
+    assert st.t.sharding.spec == ()
+
+
+def _run(mesh, fuse, seed=0, n=20000, delete=False):
+    s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=seed, fuse=fuse,
+                        mesh=mesh)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    if delete:
+        s.exit = lambda x: len(x.objects) == 0
+        s.add_step(2, light.ScatterDeleteStep(np.double(0.001),
+                                              np.double(0.001)))
+        meas = light.ScatterMeasureStep(None, True, [[1e6, np.nan, np.nan]])
+    else:
+        s.add_step(2, light.ScatterIsotropicStep(A=0.001, n=0.001))
+        meas = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, meas)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    return s, meas
+
+
+def test_sharded_generic_matches_unsharded():
+    mesh = make_mesh()
+    res = {}
+    for key, m in [("mesh", mesh), ("single", None)]:
+        s, meas = _run(m, fuse="off", seed=4)
+        res[key] = np.array([row[2] / row[1] for row in meas.data])
+    # same physics, different RNG partitioning: statistical agreement
+    assert len(res["mesh"]) == len(res["single"])
+    assert np.abs(res["mesh"] - res["single"]).max() < 0.03
+
+
+def test_sharded_fused_runs_and_matches():
+    mesh = make_mesh()
+    s, meas = _run(mesh, fuse="auto", seed=4)
+    assert s.used_fused
+    shares = np.array([row[2] / row[1] for row in meas.data])
+    # analytic relaxation: scattering erases the +x bias completely, so
+    # share_k = 0.5 + 0.5*(1 - pcoll)^k with pcoll = A*n*c*dt = 0.2998
+    pcoll = 0.001 * 0.001 * float(light.c) * 0.001
+    expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(1, len(shares) + 1)
+    assert np.abs(shares - expect).max() < 0.02
+
+
+def test_sharded_fused_delete_extinction():
+    mesh = make_mesh()
+    s, meas = _run(mesh, fuse="auto", seed=9, delete=True)
+    assert s.used_fused
+    assert len(s.objects) == 0
+    decay = meas.data[1][1] / meas.data[0][1]
+    assert np.isclose(decay, 0.7002, atol=0.02)
+
+
+def test_sharded_measurement_reductions_are_global():
+    """Counts must cover ALL shards, not one (psum over ICI)."""
+    mesh = make_mesh()
+    s, meas = _run(mesh, fuse="auto", seed=4, n=16384 * 8)
+    assert int(meas.data[0][1]) == 16384 * 8
