@@ -145,10 +145,10 @@ class MeasureStep(Step):
     def terminate(self, sim: "Simulation") -> None:
         if self.out_fn is None:
             return
+        from physicl_tpu.utils.io import write_rows
+
         rows = self.data.values() if isinstance(self.data, dict) else self.data
-        with open(self.out_fn, "w") as f:
-            for x in rows:
-                f.write(", ".join(str(i) for i in list(x)) + "\n")
+        write_rows(self.out_fn, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +312,7 @@ class Simulation(threading.Thread):
         self.run_time = 0.0
         self.ts: List[float] = []
         self.sim_state: Optional[SimState] = None
+        self._restored = None
         self._objects_cache: Optional[List[Object]] = None
         self._host_t = 0.0
         self._host_dt = 0.0
@@ -381,6 +382,25 @@ class Simulation(threading.Thread):
     def set_dev(device_id: int) -> None:
         """Select default device by index (replaces PYOPENCL_CTX selection)."""
         jax.config.update("jax_default_device", jax.devices()[device_id])
+
+    # -- checkpoint / resume (no reference counterpart; SURVEY.md §5) -----------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot full simulation state to an .npz file."""
+        from physicl_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(self, path)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume from a snapshot: the next ``start()`` continues from it
+        instead of building state from added objects."""
+        from physicl_tpu.utils.checkpoint import load_checkpoint
+
+        if self.running:
+            raise RuntimeError("Cannot restore while the simulation is running.")
+        state, meta = load_checkpoint(path)
+        self._restored = (state, meta)
+        self._objects_cache = None
 
     # -- state polling -----------------------------------------------------------
 
@@ -529,26 +549,34 @@ class Simulation(threading.Thread):
         self.running = True
         self._objects_cache = None
 
-        n0 = len(self._pending_objects) + sum(
-            int(b["n"]) for b in self._pending_bulk
-        )
-        self._initial_count = n0
-        cap = self.capacity if self.capacity is not None else pad_capacity(max(n0, 1))
-        if self.mesh is not None:
-            # particle axis must split evenly into tile-aligned shards
-            unit = pad_capacity(1) * int(self.mesh.devices.size)
-            cap = max(unit, ((cap + unit - 1) // unit) * unit)
-        state = SimState.from_population(
-            self._pending_objects, self._pending_bulk,
-            dtype=self.dtype, seed=self.seed, capacity=cap,
-        )
+        if self._restored is not None:
+            state, meta = self._restored
+            self._restored = None
+            self.ts = list(meta.get("ts", []))
+            self._initial_count = int(meta.get("initial_count", 0))
+            n0 = int(jax.device_get(state.n_alive))
+        else:
+            n0 = len(self._pending_objects) + sum(
+                int(b["n"]) for b in self._pending_bulk
+            )
+            self._initial_count = n0
+            cap = (self.capacity if self.capacity is not None
+                   else pad_capacity(max(n0, 1)))
+            if self.mesh is not None:
+                # particle axis must split evenly into tile-aligned shards
+                unit = pad_capacity(1) * int(self.mesh.devices.size)
+                cap = max(unit, ((cap + unit - 1) // unit) * unit)
+            state = SimState.from_population(
+                self._pending_objects, self._pending_bulk,
+                dtype=self.dtype, seed=self.seed, capacity=cap,
+            )
         if self.mesh is not None:
             from physicl_tpu.parallel.sharding import shard_state
 
             state = shard_state(state, self.mesh)
         self._host_n_alive = n0
-        self._host_t = 0.0
-        self._host_dt = 0.0
+        self._host_t = float(jax.device_get(state.t))
+        self._host_dt = float(jax.device_get(state.dt))
         self.sim_state = state
 
         steps = self._ordered_steps()

@@ -150,6 +150,8 @@ class FusedProvider:
             else:
                 self.kernel = F.build_fused_chunk(self.plan, state.capacity)
             self.n_h = int(jax.device_get(state.n_alive))
+            self.t_h = np.float32(jax.device_get(state.t))
+            self.dt_h = np.float32(jax.device_get(state.dt))
 
         K = self.plan.chunk
         ts, ts_before, dts_kin, dts_after, k_act, done_t = self._host_schedule()

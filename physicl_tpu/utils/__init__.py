@@ -1,0 +1,5 @@
+"""Runtime utilities: checkpointing, profiling, fast IO."""
+
+from physicl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint"]

@@ -1,0 +1,93 @@
+"""Declarative kernel-bridge tests (KernelProgram / KernelStep — the
+CLProgram-counterpart surface, reference physicl/__init__.py:543-664 and the
+CLProgram-based ScatterDeleteStep at physicl/light.py:225-260)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+from physicl_tpu.kernels import KernelInput, KernelOutput, KernelProgram, KernelStep
+from physicl_tpu.state import SimState
+
+
+def _sim_with_photons(n=1000, vx=None):
+    s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    return s
+
+
+def test_kernel_program_delete_pattern():
+    """Rebuild the reference's CLProgram-based absorption flagging
+    (physicl/light.py:233-254) with the declarative surface."""
+    n_const, A_const = 0.5, 0.5
+
+    def body(valid, d0, d1, d2, rand, A, n):
+        norm = jnp.sqrt(d0 ** 2 + d1 ** 2 + d2 ** 2)
+        pcoll = A * n * norm
+        return {"res": ((pcoll >= rand) & valid).astype(jnp.int32)}
+
+    sim = _sim_with_photons(1000)
+    # one kinematics iteration so dr is populated
+    sim.start(); sim.join()
+
+    prog = KernelProgram(sim, "test", body)
+    prog.prep_metadata = [
+        KernelInput(name="photon_check", type="obj_action",
+                    code="if type(obj) != physicl.light.PhotonObject: continue"),
+        KernelInput(name="d0", type="obj", obj_attr="dr[0]"),
+        KernelInput(name="d1", type="obj", obj_attr="dr[1]"),
+        KernelInput(name="d2", type="obj", obj_attr="dr[2]"),
+        KernelInput(name="rand", type="obj_def", obj_def="np.random.random()"),
+        KernelInput(name="pht", type="obj_track", obj_track="obj"),
+        KernelInput(name="A", type="const", const_value=str(A_const)),
+        KernelInput(name="n", type="const", const_value=str(n_const)),
+    ]
+    prog.output_metadata = [KernelOutput(name="res", ctype="int")]
+    prog.build_kernel()
+    out = prog.run()
+
+    assert out["res"].shape[0] == sim.sim_state.capacity
+    # pcoll = 0.25 * |dr| = 0.25 * c * dt  >> 1 -> every alive photon flagged
+    flagged = out["res"].sum()
+    assert flagged == 1000
+    assert len(prog.pht) == 1000  # tracked indices
+
+
+def test_kernel_program_obj_def_scaled():
+    def body(valid, u, **kw):
+        return {"res": u}
+
+    prog = KernelProgram(None, "draw", body)
+    prog.prep_metadata = [
+        KernelInput(name="u", type="obj_def",
+                    obj_def="np.random.random() * 2 * np.pi"),
+    ]
+    prog.output_metadata = [KernelOutput(name="res")]
+    state = SimState.from_population(
+        [], [light.generate_photon_state(16384, E=1.0)])
+    out = prog.run(state)
+    assert 0 <= out["res"].min() and out["res"].max() <= 2 * np.pi
+    assert abs(out["res"].mean() - np.pi) < 0.1
+
+
+def test_kernel_step_custom_physics():
+    """Author custom in-loop physics without touching engine internals:
+    a drag that halves vx each iteration."""
+
+    def drag(state, ctx):
+        return state.replace(v=state.v * 0.5)
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, KernelStep(drag, record_fn=lambda st: {
+        "vmax": jnp.max(jnp.where(st.alive, st.v[0], 0.0))}))
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start(); s.join()
+    step = s.steps[1]
+    vmaxs = [row["vmax"] for row in step.data]
+    c0 = float(light.c)
+    assert np.allclose(vmaxs, [c0 / 2, c0 / 4, c0 / 8], rtol=1e-5)

@@ -1,0 +1,93 @@
+"""Checkpoint/resume, native CSV writer, profiling step."""
+
+import os
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+from physicl_tpu.utils import io as pio
+
+
+def _sim(t_end, seed=0, restore=None):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    if restore is None:
+        s.add_photons(light.generate_photon_state(500, E=1.0))
+    else:
+        s.restore_checkpoint(restore)
+    return s
+
+
+def test_checkpoint_resume_equals_straight_run(tmp_path):
+    ckpt = str(tmp_path / "ck.npz")
+
+    # straight run to t=0.010
+    a = _sim(0.010)
+    a.start(); a.join()
+    ra = np.asarray(a.sim_state.r)
+
+    # run to 0.005, checkpoint, resume to 0.010
+    b1 = _sim(0.005)
+    b1.start(); b1.join()
+    b1.save_checkpoint(ckpt)
+    b2 = _sim(0.010, restore=ckpt)
+    b2.start(); b2.join()
+    rb = np.asarray(b2.sim_state.r)
+
+    assert np.allclose(ra, rb, rtol=1e-6)
+    assert len(b2.ts) == len(a.ts) == 10
+    assert np.allclose(b2.ts, a.ts)
+
+
+def test_checkpoint_roundtrip_fields(tmp_path):
+    ckpt = str(tmp_path / "ck.npz")
+    s = _sim(0.003)
+    s.start(); s.join()
+    s.save_checkpoint(ckpt)
+    from physicl_tpu.utils.checkpoint import load_checkpoint
+
+    state, meta = load_checkpoint(ckpt)
+    assert state.capacity == s.sim_state.capacity
+    assert meta["initial_count"] == 500
+    assert np.isclose(float(state.t), 0.003, rtol=1e-5)
+
+
+def test_native_csv_writer(tmp_path):
+    p = str(tmp_path / "m.csv")
+    m = np.array([[1.0, 2.5, np.nan], [3.0, -4.25e-12, 299792458.0]])
+    pio.write_matrix(p, m)
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == 2
+    row0 = lines[0].split(", ")
+    assert float(row0[0]) == 1.0 and float(row0[1]) == 2.5
+    assert row0[2] == "nan"
+    row1 = lines[1].split(", ")
+    assert float(row1[1]) == -4.25e-12
+    assert float(row1[2]) == 299792458.0
+
+
+def test_native_csv_builds():
+    # the fast path should actually build on this image (g++ available)
+    assert pio.native_available()
+
+
+def test_write_rows_ragged_fallback(tmp_path):
+    p = str(tmp_path / "r.csv")
+    pio.write_rows(p, [[1, "a"], [2]])
+    assert open(p).read() == "1, a\n2\n"
+
+
+def test_chunk_timer_step():
+    from physicl_tpu.utils.profiling import ChunkTimerStep
+
+    s = _sim(0.005)
+    timer = ChunkTimerStep()
+    s.add_step(9, timer)
+    s.start(); s.join()
+    assert len(timer.data) >= 1
+    iters = sum(row[0] for row in timer.data)
+    assert iters == 5
