@@ -33,7 +33,7 @@ def main():
 
     N = 10_000_000
     K = 256
-    REPS = 4
+    REPS = 8
 
     sim = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0, chunk_steps=K)
     sim.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))
@@ -50,8 +50,10 @@ def main():
     provider = try_build_fused(sim, steps, state)
     assert provider is not None, "flagship pipeline must fuse"
 
-    # Warmup (compile) + hard sync via D2H.
-    state, done, records, valid = provider(state)
+    # Warmup (compile + relay pipeline fill) + hard sync via D2H.
+    for _ in range(2):
+        state, done, records, valid = provider(state)
+    _ = np.asarray(jax.device_get(state.r[0, :8]))
 
     t0 = time.perf_counter()
     for _ in range(REPS):
@@ -66,7 +68,7 @@ def main():
     # Physics sanity inline: +x share must follow 0.5+0.5*(1-pcoll)^k.
     shares = records["s3/signs"][:, 0] / np.maximum(records["s3/n"], 1)
     pcoll = 0.001 * 0.001 * float(light.c) * 0.001
-    k0 = 4 * K + 1  # first iteration index of the last timed chunk
+    k0 = (2 + REPS - 1) * K + 1  # first iteration index of the last chunk
     expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(k0, k0 + K)
     parity_err = float(np.abs(shares - expect).max())
     assert parity_err < 0.02, f"scatter parity broken: {parity_err}"

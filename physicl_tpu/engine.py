@@ -613,11 +613,17 @@ class Simulation(threading.Thread):
             valid_np = np.asarray(jax.device_get(valid))
             n_valid = int(valid_np.sum())
             records_np = jax.device_get(records)
+            stats = getattr(chunk_fn, "host_stats", None)
             with self._state_lock:
                 self.sim_state = state
-                self._host_t = float(jax.device_get(state.t))
-                self._host_dt = float(jax.device_get(state.dt))
-                self._host_n_alive = int(jax.device_get(state.n_alive))
+                if stats is not None:  # fused provider: no device round trips
+                    self._host_t = stats["t"]
+                    self._host_dt = stats["dt"]
+                    self._host_n_alive = stats["n_alive"]
+                else:
+                    self._host_t = float(jax.device_get(state.t))
+                    self._host_dt = float(jax.device_get(state.dt))
+                    self._host_n_alive = int(jax.device_get(state.n_alive))
                 self.t = Measurement(self._host_t, "s**1")
                 self.dt = Measurement(self._host_dt, "s**1")
             for s in steps:

@@ -71,12 +71,35 @@ class _Rng:
         self.k = k
         self.idx = 0  # static per-trace call counter
 
-    def uniform(self, shape):
+    def bits(self, shape):
+        """Raw uint32 random bits."""
         if not self.interpret:
             # prng_random_bits yields int32 on TPU; bitcast before shifting or
             # the arithmetic shift smears the sign bit over the mantissa.
-            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            return _bits_to_unit(bits)
+            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return self._hash_bits(shape)
+
+    def uniform_pair(self, shape):
+        """Two uniforms from one 32-bit draw (16 bits each)."""
+        b = self.bits(shape)
+        if not self.interpret:
+            hi = pltpu.bitcast(b >> jnp.uint32(16), jnp.int32)
+            lo = pltpu.bitcast(b & jnp.uint32(0xFFFF), jnp.int32)
+        else:
+            hi = (b >> jnp.uint32(16)).astype(jnp.int32)
+            lo = (b & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        scale = jnp.float32(1.0 / (1 << 16))
+        return hi.astype(jnp.float32) * scale, lo.astype(jnp.float32) * scale
+
+    def uniform(self, shape):
+        if not self.interpret:
+            return _bits_to_unit(self.bits(shape))
+        h = self._hash_bits(shape)
+        # plain-XLA conversion (pltpu.bitcast is kernel-only)
+        return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24))
+
+    def _hash_bits(self, shape):
         self.idx += 1
         ri = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         ci = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -89,9 +112,7 @@ class _Rng:
             h = h * jnp.uint32(mul)
             h = h ^ (h >> jnp.uint32(13))
         h = h ^ (h >> jnp.uint32(16))
-        # plain-XLA conversion (pltpu.bitcast is kernel-only)
-        return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-            1.0 / (1 << 24))
+        return h
 
 
 @dataclasses.dataclass
@@ -114,6 +135,13 @@ class FusedPlan:
     chunk: int
     tile_rows: int
     interpret: bool = False
+    # |dr| == c*dt for every particle (all photons at speed c): replaces the
+    # per-photon norm (sqrt + 5 flops) with one scalar per iteration. The
+    # prover enables this only after validating every particle speed.
+    const_norm_speed: Optional[float] = None
+    # draw theta and phi from one 32-bit sample (16 bits each, 2^-16 angular
+    # granularity — far below any statistical tolerance) instead of two.
+    packed_angles: bool = False
 
 
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
@@ -132,6 +160,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
         return jnp.where(col_iota == col, val.astype(jnp.int32), row)
 
     alive_b = f[_ALIVE] > 0
+    shape = f[_RX].shape
+
+    def dr_norm():
+        if plan.const_norm_speed is not None:
+            # all particles move at speed c: |dr| = c*dt, one scalar
+            return jnp.float32(plan.const_norm_speed) * dt
+        return jnp.sqrt(f[_DRX] ** 2 + f[_DRY] ** 2 + f[_DRZ] ** 2)
 
     for op in plan.ops:
         if op.kind == "kin":
@@ -140,15 +175,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
                 f[_DRX + d] = dr
                 f[_RX + d] = f[_RX + d] + dr
         elif op.kind == "del":
-            norm = jnp.sqrt(f[_DRX] ** 2 + f[_DRY] ** 2 + f[_DRZ] ** 2)
-            pcoll = jnp.float32(op.coef) * norm
-            u = rng.uniform(norm.shape)
+            pcoll = jnp.float32(op.coef) * dr_norm()
+            u = rng.uniform(shape)
             hit = (pcoll >= u) & alive_b
             alive_b = alive_b & jnp.logical_not(hit)
             f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "iso":
-            norm = jnp.sqrt(f[_DRX] ** 2 + f[_DRY] ** 2 + f[_DRZ] ** 2)
-            pcoll = jnp.float32(op.coef) * norm
+            pcoll = jnp.float32(op.coef) * dr_norm()
             if op.n_fn is not None:
                 pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
                     jnp.float32
@@ -157,9 +190,14 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
                 base = f[_E] * jnp.float32(op.wl_base)
                 b2 = base * base
                 pcoll = pcoll * (b2 * b2)
-            u = rng.uniform(norm.shape)
-            theta = rng.uniform(norm.shape) * jnp.float32(2 * np.pi)
-            phi = rng.uniform(norm.shape) * jnp.float32(np.pi)
+            u = rng.uniform(shape)
+            if plan.packed_angles:
+                tu, pu = rng.uniform_pair(shape)
+                theta = tu * jnp.float32(2 * np.pi)
+                phi = pu * jnp.float32(np.pi)
+            else:
+                theta = rng.uniform(shape) * jnp.float32(2 * np.pi)
+                phi = rng.uniform(shape) * jnp.float32(np.pi)
             scatter = (pcoll >= u) & alive_b
             sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
             sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)

@@ -108,6 +108,11 @@ class FusedProvider:
         self.n_h = 0
         self.chunk_idx = 0
         self.update_first = dt_before_kin
+        # packed-state cache: when the engine hands back the SimState we
+        # returned last chunk, reuse its packed buffer instead of re-packing
+        # (saves a 14-plane concat + slice round trip per chunk)
+        self._last_state = None
+        self._last_packed = None
 
     def _host_schedule(self):
         """Replay K iterations of the time stepping in f32 on the host.
@@ -160,7 +165,10 @@ class FusedProvider:
                      + self.chunk_idx * 40_503) & 0xFFFFFFFF) & 0x7FFFFFFF)
         self.chunk_idx += 1
 
-        packed = F.pack_state(state)
+        if state is self._last_state and self._last_packed is not None:
+            packed = self._last_packed
+        else:
+            packed = F.pack_state(state)
         packed, rec = self.kernel(packed, dts_kin, seed, k_act)
         rec_np = np.asarray(jax.device_get(rec))
 
@@ -186,6 +194,11 @@ class FusedProvider:
             t=jnp.asarray(float(self.t_h), state.t.dtype),
             dt=jnp.asarray(float(self.dt_h), state.dt.dtype),
         )
+        self._last_state = new_state
+        self._last_packed = packed
+        # host stats for the engine (saves per-chunk device_get round trips)
+        self.host_stats = {"t": float(self.t_h), "dt": float(self.dt_h),
+                           "n_alive": int(self.n_h)}
 
         records = {}
         for m in self.rec_map:
@@ -291,6 +304,33 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     if not update_seen or next_col > F._MAX_REC_COLS:
         return None
 
+    # const-norm fast path: |dr| = speed * dt replaces the per-photon norm.
+    # Valid iff exactly one kinematics step precedes every scatter op (so dr
+    # is always this iteration's v*dt) and every particle moves at one common
+    # speed that matches each isotropic op's resample speed (scattering then
+    # preserves it).
+    const_speed = None
+    kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
+    scatter_positions = [i for i, op in enumerate(ops)
+                         if op.kind in ("del", "iso")]
+    if (len(kin_positions) == 1 and scatter_positions
+            and all(p > kin_positions[0] for p in scatter_positions)):
+        speeds = []
+        for o in sim._pending_objects:
+            speeds.append(float(np.linalg.norm(
+                np.asarray(raw_code_value(o.v), np.float64).reshape(3))))
+        for b in sim._pending_bulk:
+            speeds.extend(np.linalg.norm(
+                np.asarray(b["v"], np.float64), axis=0).tolist())
+        if speeds:
+            s0 = speeds[0]
+            ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-5 * s0
+            for op in ops:
+                if op.kind == "iso" and abs(op.c_val - s0) > 1e-5 * s0:
+                    ok = False
+            if ok:
+                const_speed = s0
+
     # Exit predicate classification.
     if _probe_t_only(sim.exit):
         exit_mode = "t"
@@ -306,6 +346,8 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),
         interpret=(jax.default_backend() == "cpu"),
+        const_norm_speed=const_speed,
+        packed_angles=True,
     )
     return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
                          measure_after_update, sim.exit, exit_mode)
