@@ -1,0 +1,162 @@
+"""Full benchmark suite: one JSON line per BASELINE.json config.
+
+Run on the attached TPU: ``python benchmarks/run_all.py``. The headline
+(driver) benchmark remains ``bench.py`` at the repo root; this suite covers
+every workload family the baseline names:
+
+1. Newtonian kinematics Euler step (runtime1.py shape)
+2. Planck-distribution photon generation (+ spectra parity)
+3. Spherical (isotropic) scattering transport
+4. Wavelength-dependent + variable-n scattering + ScatterDeleteStep with
+   mask-compaction (auto-shrink)
+5. Full pipeline: generate -> propagate -> scatter -> measure;
+   plus the per-photon path-trace variant at reduced N (host-bound by design:
+   it streams every position to the host, like the reference's trace demos).
+"""
+
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
+    """Sustained photon-steps/s via the engine's own chunk provider."""
+    import jax
+    from physicl_tpu.ops.pipeline import try_build_fused
+    from physicl_tpu.state import SimState
+
+    sim = sim_builder()
+    sim.chunk_steps = chunk
+    state = SimState.from_population(sim._pending_objects, sim._pending_bulk)
+    steps = sim._ordered_steps()
+    for s in steps:
+        s.setup(sim)
+    provider = try_build_fused(sim, steps, state)
+    if provider is None:
+        raise RuntimeError("workload did not fuse")
+    for _ in range(2):
+        state, *_ = provider(state)
+    _ = np.asarray(jax.device_get(state.r[0, :8]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, *_ = provider(state)
+    _ = np.asarray(jax.device_get(state.r[0, :8]))
+    return n_photons * chunk * reps / (time.perf_counter() - t0)
+
+
+def wall_rate(sim, n_photons):
+    """End-to-end wall-clock rate of a threaded run (includes compile)."""
+    sim.start()
+    sim.join()
+    return n_photons * len(sim.ts) / sim.run_time, sim
+
+
+def emit(name, value, unit, baseline):
+    print(json.dumps({"metric": name, "value": round(value, 1), "unit": unit,
+                      "vs_baseline": round(value / baseline, 1)}))
+
+
+def main():
+    import physicl_tpu as phys
+    import physicl_tpu.newton
+    import physicl_tpu.light as light
+
+    N = 10_000_000
+
+    # 1. kinematics only
+    def kin():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(np.double(0.0), np.double(0.0)))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("kinematics_euler_1e7", steady_rate(kin, N), "photon-steps/s", 2.0e4)
+
+    # 2. Planck generation
+    T, kT = 5778.0, float(light.kB.value()) * 5778.0
+    light.planck_sample_E(1000, 0.1 * kT, 12 * kT, T, bins=2000)  # warm cache
+    t0 = time.perf_counter()
+    E = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=1)
+    gen_rate = N / (time.perf_counter() - t0)
+    hist, edges = np.histogram(E, bins=40, range=(0.1 * kT, 12 * kT),
+                               density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    analytic = np.array([float(light.planck_distribution(x, T).value())
+                         for x in centers])
+    analytic /= np.trapezoid(analytic, centers)
+    mask = analytic > 0.05 * analytic.max()
+    parity = float(np.abs(hist[mask] - analytic[mask]).max() / analytic[mask].max())
+    assert parity < 0.05, parity
+    # baseline: reference draws one sample per call with a pure-Python CDF
+    # scan (~1e4 samples/s observed order)
+    emit("planck_generation_1e7", gen_rate, "photons/s", 1.0e4)
+
+    # 3. isotropic scatter transport (the headline config)
+    def iso():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                 n=np.double(0.001)))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("isotropic_scatter_1e7", steady_rate(iso, N), "photon-steps/s", 2.0e4)
+
+    # 4. lambda^-4 + variable-n + delete (with auto-shrink compaction)
+    def wl():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        hc = float(light.h) * float(light.c)
+        A = 0.05 / (float(light.c) * 1e-3 * (hc / 1.0) ** -4)
+        s.add_step(2, light.ScatterIsotropicStep(
+            A=A, n=1.0, wavelength_dep_scattering=True,
+            variable_n=True, variable_n_fn="1.0 * exp(-r0[gid] / 1e9)"))
+        s.add_step(3, light.ScatterDeleteStep(np.double(1e-5), np.double(1e-5)))
+        s.add_step(4, light.ScatterMeasureStep(None, True,
+                                               [[1e7, np.nan, np.nan]]))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("wavelength_variable_n_delete_1e7", steady_rate(wl, N),
+         "photon-steps/s", 5.5e3)
+
+    # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
+    # measure), wall clock including compile and Planck generation
+    t0 = time.perf_counter()
+    E = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=2)
+    s = phys.Simulation(exit=lambda c: c.t >= 0.256, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                             n=np.double(0.001)))
+    s.add_step(3, light.ScatterMeasureStep(None, True,
+                                           [[1e7, np.nan, np.nan]]))
+    s.add_photons(light.generate_photon_state(N, E=E))
+    rate, s = wall_rate(s, N)
+    emit("full_pipeline_wall_1e7_incl_compile", rate, "photon-steps/s", 1.4e4)
+
+    # 5b. per-photon path trace (host-streaming by design), reduced N
+    Nt = 100_000
+    s = phys.Simulation(exit=lambda c: c.t >= 0.050, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                             n=np.double(0.001)))
+    s.add_step(3, light.TracePathMeasureStep(None, trace_dv=True))
+    s.add_photons(light.generate_photon_state(Nt, E=1.0))
+    rate, s = wall_rate(s, Nt)
+    emit("path_trace_wall_1e5", rate, "photon-steps/s", 1.4e4)
+
+
+if __name__ == "__main__":
+    main()

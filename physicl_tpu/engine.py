@@ -298,6 +298,9 @@ class Simulation(threading.Thread):
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
         self.fused_tile_rows = 128
         self.mesh = None  # jax.sharding.Mesh: shard the particle axis
+        # compact + shrink capacity when <1/4 of the buffer is alive
+        # (disabled automatically when a step needs stable particle slots)
+        self.auto_shrink = True
         for attr, val in kwargs.items():
             setattr(self, attr, val)
 
@@ -589,6 +592,11 @@ class Simulation(threading.Thread):
 
             provider = try_build_fused(self, steps, state)
         self.used_fused = provider is not None
+        shrink_ok = (
+            self.auto_shrink
+            and self.mesh is None
+            and not any(getattr(s, "needs_stable_ids", False) for s in steps)
+        )
 
         if provider is not None:
             exit_traced = True  # provider owns exit handling via `done`
@@ -639,6 +647,21 @@ class Simulation(threading.Thread):
                 break
             if not exit_traced and n_valid == 0:
                 break
+
+            if (shrink_ok and self._host_n_alive > 0
+                    and self._host_n_alive < state.capacity // 4):
+                from physicl_tpu.ops.compaction import compact_shrink
+
+                new_state = compact_shrink(state, self._host_n_alive)
+                if new_state.capacity != state.capacity:
+                    state = new_state
+                    with self._state_lock:
+                        self.sim_state = state
+                    if provider is not None:
+                        provider.invalidate()
+                    else:
+                        chunk_fn = self._build_chunk_fn(
+                            steps, exit_traced, chunk, state)
 
         with self._state_lock:
             for s in steps:

@@ -468,6 +468,8 @@ class TracePathMeasureStep(MeasureStep):
     padding after death]``. Positions stream to host once per chunk (chunk size
     is auto-limited by the engine's record-buffer budget)."""
 
+    needs_stable_ids = True  # disables engine auto-shrink compaction
+
     def __init__(self, out_fn=None, trace_type=Object,
                  id_info_fn: Callable = lambda x: str(type(x)),
                  trace_dv: bool = False):

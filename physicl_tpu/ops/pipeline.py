@@ -114,6 +114,12 @@ class FusedProvider:
         self._last_state = None
         self._last_packed = None
 
+    def invalidate(self) -> None:
+        """Drop compiled kernel + packed cache (capacity changed)."""
+        self.kernel = None
+        self._last_state = None
+        self._last_packed = None
+
     def _host_schedule(self):
         """Replay K iterations of the time stepping in f32 on the host.
 

@@ -91,3 +91,63 @@ def test_chunk_timer_step():
     assert len(timer.data) >= 1
     iters = sum(row[0] for row in timer.data)
     assert iters == 5
+
+
+def test_compact_and_shrink():
+    import jax.numpy as jnp
+    from physicl_tpu.ops.compaction import compact, compact_shrink
+    from physicl_tpu.state import SimState
+
+    state = SimState.from_population(
+        [], [light.generate_photon_state(16384 * 2, E=1.0)])
+    # kill all but 100 photons with a recognizable pattern
+    alive = np.zeros(state.capacity, bool)
+    keep = np.arange(0, 10000, 100)
+    alive[keep] = True
+    E = np.arange(state.capacity, dtype=np.float32)
+    state = state.replace(alive=jnp.asarray(alive), E=jnp.asarray(E))
+
+    packed = compact(state)
+    assert int(packed.alive[:100].sum()) == 100
+    assert int(packed.alive[100:].sum()) == 0
+    # stable order: E values of survivors preserved in original order
+    assert np.array_equal(np.asarray(packed.E[:100]), E[keep])
+
+    small = compact_shrink(state, 100)
+    assert small.capacity == 16384
+    assert int(small.n_alive) == 100
+    assert np.array_equal(np.asarray(small.E[:100]), E[keep])
+
+
+def test_auto_shrink_extinction_run():
+    # strong absorption: population collapses fast; engine should shrink
+    s = phys.Simulation(seed=0)
+    s.exit = lambda x: len(x.objects) == 0
+    s.chunk_steps = 4  # several chunks so shrink can trigger mid-run
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(0.001), np.double(0.001)))
+    meas = light.ScatterMeasureStep(None, True, [[1e5, np.nan, np.nan]])
+    s.add_step(3, meas)
+    s.add_photons(light.generate_photon_state(16384 * 8, E=1.0))
+    s.start(); s.join()
+    assert len(s.objects) == 0
+    assert s.sim_state.capacity < 16384 * 8  # it shrank
+    # decay statistics unaffected: pcoll = 0.2998 per step
+    ns = np.array([row[1] for row in meas.data[:6]], float)
+    assert np.allclose(ns[1:] / ns[:-1], 0.7002, atol=0.02)
+
+
+def test_auto_shrink_disabled_by_trace_step():
+    s = phys.Simulation(seed=0, exit=lambda c: c.t >= 0.02, chunk_steps=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(0.002), np.double(0.002)))
+    s.add_step(3, light.TracePathMeasureStep(None))
+    for _ in range(64):
+        s.add_obj(light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    assert s.sim_state.capacity == 16384  # never shrank below initial pad
+    assert len(s.steps[3].data) == 65  # header + all 64 rows intact
