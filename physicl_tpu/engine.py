@@ -426,7 +426,8 @@ class Simulation(threading.Thread):
         with self._state_lock:
             host = jax.device_get(
                 {"r": st.r, "dr": st.dr, "v": st.v, "dv": st.dv, "a": st.a,
-                 "E": st.E, "alive": st.alive, "otype": st.otype}
+                 "E": st.E, "alive": st.alive, "otype": st.otype,
+                 "extras": dict(st.extras)}
             )
         out: List[Object] = []
         from physicl_tpu.light import PhotonObject  # local import, avoids cycle
@@ -441,6 +442,9 @@ class Simulation(threading.Thread):
             o.dv = Measurement(list(host["dv"][:, i]), "m**1 s**-1")
             o.a = Measurement(list(host["a"][:, i]), "m**1 s**-2")
             o.E = Measurement(float(host["E"][i]), "J**1")
+            for name, arr in host["extras"].items():
+                setattr(o, name,
+                        arr[..., i] if arr.ndim == 2 else float(arr[i]))
             out.append(o)
         if not self.running:
             self._objects_cache = out

@@ -173,14 +173,20 @@ def planck_phot_distribution(E_min, E_max, T, bins: int = 1000):
 
 
 def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
-                    seed: int = 0) -> np.ndarray:
-    """Sample ``n`` photon energies at once (TPU-native batch generation)."""
+                    seed: int = 0, device: bool = False):
+    """Sample ``n`` photon energies at once (TPU-native batch generation).
+
+    ``device=True`` keeps the samples on the accelerator (feed directly into
+    ``generate_photon_state(..., device=True)`` — no host round trip).
+    """
     E, cdf = planck_cdf(E_min, E_max, T, bins)
     if key is None:
         key = jax.random.PRNGKey(seed)
     u = jax.random.uniform(key, (int(n),), jnp.float32)
     idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
                    0, len(E) - 1)
+    if device:
+        return jnp.asarray(E, jnp.float32)[idx]
     return E[np.asarray(idx)]  # gather in host float64, exact bin edges
 
 
@@ -218,15 +224,36 @@ def generate_photons(n, fn=None, min=0, max=0, bins=-1) -> List[PhotonObject]:
     return out
 
 
-def generate_photon_state(n, E, v=None, r=None) -> dict:
+def generate_photon_state(n, E, v=None, r=None, device=False) -> dict:
     """Bulk SoA photon population — the fast path for large N (no per-photon
     Python objects). Returns a dict for ``Simulation.add_photons``.
 
     ``E``: scalar or (n,) energies [code units]; ``v``: (3,) or (3,n) velocities
     (default +x at c); ``r``: (3,) or (3,n) positions (default origin).
+
+    ``device=True`` builds the arrays with jnp on the accelerator (zero host
+    staging — the right path at 1e7+ photons); ``E`` may then be a jax array
+    (e.g. straight from :func:`planck_sample_E` device output).
     """
     n = int(n)
     c_val = float(raw_code_value(c))
+    if device:
+        import jax.numpy as jnp
+
+        E_arr = jnp.broadcast_to(
+            jnp.asarray(E, jnp.float32).reshape(-1), (n,))
+        if v is None:
+            v_arr = jnp.zeros((3, n), jnp.float32).at[0].set(c_val)
+        else:
+            v_arr = jnp.broadcast_to(jnp.asarray(
+                raw_code_value(v), jnp.float32).reshape(3, -1), (3, n))
+        if r is None:
+            r_arr = jnp.zeros((3, n), jnp.float32)
+        else:
+            r_arr = jnp.broadcast_to(jnp.asarray(
+                raw_code_value(r), jnp.float32).reshape(3, -1), (3, n))
+        return {"n": n, "E": E_arr, "v": v_arr, "r": r_arr,
+                "otype": OBJ_PHOTON}
     E_flat = np.asarray(raw_code_value(E), np.float64).reshape(-1)
     if E_flat.size not in (1, n):
         raise ValueError(f"E must be scalar or length {n}")

@@ -326,11 +326,22 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
             speeds.append(float(np.linalg.norm(
                 np.asarray(raw_code_value(o.v), np.float64).reshape(3))))
         for b in sim._pending_bulk:
-            speeds.extend(np.linalg.norm(
-                np.asarray(b["v"], np.float64), axis=0).tolist())
+            if isinstance(b["v"], jax.Array):
+                # device bulk: reduce on device, fetch two scalars
+                import jax.numpy as jnp
+
+                norms = jnp.sqrt(jnp.sum(b["v"].astype(jnp.float32) ** 2,
+                                         axis=0))
+                speeds.append(float(jax.device_get(jnp.min(norms))))
+                speeds.append(float(jax.device_get(jnp.max(norms))))
+            else:
+                vv = np.asarray(b["v"], np.float64)
+                norms = np.linalg.norm(vv, axis=0)
+                speeds.append(float(norms.min()))
+                speeds.append(float(norms.max()))
         if speeds:
             s0 = speeds[0]
-            ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-5 * s0
+            ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
                 if op.kind == "iso" and abs(op.c_val - s0) > 1e-5 * s0:
                     ok = False

@@ -109,17 +109,70 @@ class SimState:
         cap = capacity if capacity is not None else pad_capacity(max(n, 1))
         if cap < n:
             raise ValueError(f"capacity {cap} < object count {n}")
+
+        # Device-native fast path: a single bulk population whose arrays are
+        # already on device (generate_photon_state(..., device=True)) builds
+        # the state with jnp ops — no host staging, no relay upload.
+        if not objects and len(bulks) == 1 and isinstance(
+                bulks[0]["E"], jax.Array):
+            b = bulks[0]
+            k = int(b["n"])
+
+            def pad_vec(x):
+                x = jnp.asarray(x, dtype)
+                return jnp.pad(x, ((0, 0), (0, cap - k)))
+
+            zeros3 = jnp.zeros((3, cap), dtype)
+            idx = jnp.arange(cap)
+            return SimState(
+                r=pad_vec(b["r"]), dr=zeros3, v=pad_vec(b["v"]),
+                dv=zeros3, a=zeros3,
+                E=jnp.pad(jnp.asarray(b["E"], dtype), (0, cap - k)),
+                alive=idx < k,
+                otype=jnp.where(idx < k, jnp.int32(b["otype"]),
+                                jnp.int32(0)),
+                t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
+                key=jax.random.PRNGKey(seed),
+            )
+
         np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
 
         vec = {name: np.zeros((3, cap), np_dtype) for name in
                ("r", "dr", "v", "dv", "a")}
         E = np.zeros((cap,), np_dtype)
         otype = np.zeros((cap,), np.int32)
+
+        # Arbitrary extra numeric attributes (reference Objects accept any
+        # kwargs, physicl/__init__.py:395-396): scalars -> (C,), 3-vectors
+        # -> (3, C), exposed as state.extras[name].
+        core = {"r", "dr", "v", "dv", "a", "E"}
+        extras_spec: Dict[str, int] = {}
+        for o in objects:
+            for name, val in vars(o).items():
+                if name.startswith("_") or name in core:
+                    continue
+                arr = np.asarray(raw_code_value(val), dtype=np.float64)
+                if arr.shape == ():
+                    extras_spec.setdefault(name, 0)
+                elif arr.shape == (3,):
+                    extras_spec.setdefault(name, 3)
+        extras = {
+            name: np.zeros((cap,) if dim == 0 else (3, cap), np_dtype)
+            for name, dim in extras_spec.items()
+        }
+
         for i, o in enumerate(objects):
             for name in vec:
                 vec[name][:, i] = raw_code_value(getattr(o, name)).reshape(3)
             E[i] = float(raw_code_value(getattr(o, "E", 0.0)))
             otype[i] = getattr(o, "_obj_type_code", OBJ_GENERIC)
+            for name, dim in extras_spec.items():
+                if hasattr(o, name):
+                    val = raw_code_value(getattr(o, name))
+                    if dim == 0:
+                        extras[name][i] = float(val)
+                    else:
+                        extras[name][:, i] = np.asarray(val).reshape(3)
         off = n_obj
         for b in bulks:
             k = int(b["n"])
@@ -139,6 +192,7 @@ class SimState:
             alive=jnp.asarray(alive), otype=jnp.asarray(otype),
             t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
             key=jax.random.PRNGKey(seed),
+            extras={k: jnp.asarray(v) for k, v in extras.items()},
         )
 
     @staticmethod

@@ -314,3 +314,8 @@ class Measurement(np.ndarray):
                     ov.scale = res.scale
                     ov.original_units = res.original_units
         return res
+
+    def rescale(self):
+        """Declared-but-unimplemented in the reference
+        (physicl/__init__.py:289-291); kept for API parity."""
+

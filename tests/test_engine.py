@@ -123,3 +123,46 @@ def test_bulk_photons_path():
     assert len(s.objects) == 1000
     objs = s.objects
     assert np.isclose(float(objs[0].r[0]), float(light.c) * 0.003, rtol=1e-4)
+
+
+def test_device_native_bulk_population():
+    import jax.numpy as jnp
+    import physicl_tpu.light as light
+
+    E_dev = light.planck_sample_E(5000, 1e-20, 5e-19, 5778.0, device=True)
+    assert hasattr(E_dev, "devices")  # stayed on device
+    s = phys.Simulation(exit=lambda v: v.t >= 0.003, seed=7)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, phys.light.ScatterIsotropicStep(A=0.001, n=0.001))
+    s.add_photons(light.generate_photon_state(5000, E=E_dev, device=True))
+    s.start(); s.join()
+    assert s.used_fused  # const-norm prover handles device bulks
+    assert len(s.objects) == 5000
+    # photons scatter, but never travel further than 3 steps at c
+    r = np.asarray(s.sim_state.r)[:, :5000]
+    assert np.all(np.linalg.norm(r, axis=0) <= float(light.c) * 0.003 * 1.001)
+    assert np.isfinite(r).all()
+
+
+def test_object_extras_carried_into_state():
+    s = phys.Simulation(exit=lambda v: v.t >= 0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    o1 = phys.Object(tag=np.double(7.5), s=np.array([1.0, 2.0, 3.0]))
+    o2 = phys.Object(tag=np.double(2.5))
+    s.add_obj(o1); s.add_obj(o2)
+    s.start(); s.join()
+    assert "tag" in s.sim_state.extras and "s" in s.sim_state.extras
+    objs = list(s.objects)
+    assert objs[0].tag == 7.5 and objs[1].tag == 2.5
+    assert np.allclose(objs[0].s, [1.0, 2.0, 3.0])
+
+
+def test_eager_mode_jit_off():
+    s = phys.Simulation(exit=lambda v: v.t >= 0.003, seed=0, jit_on=False)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_obj(phys.Object(v=phys.Measurement([10.0, 0, 0], "m**1 s**-1")))
+    s.start(); s.join()
+    assert not s.used_fused
+    assert np.isclose(float(list(s.objects)[0].r[0]), 0.03, rtol=1e-5)
