@@ -142,6 +142,35 @@ class FusedPlan:
     # draw theta and phi from one 32-bit sample (16 bits each, 2^-16 angular
     # granularity — far below any statistical tolerance) instead of two.
     packed_angles: bool = False
+    # polynomial sin/cos on the known [0,1) range (no range reduction):
+    # ~1.1e-3 absolute error, renormalized so |v| stays exact; ~2-3x kernel
+    # speedup (the VPU transcendentals dominate the scatter op otherwise).
+    fast_trig: bool = False
+
+
+def _fast_sinpi(y):
+    """sin(pi*y) for y in [-1, 1]: parabola + refinement, ~1.1e-3 abs error.
+
+    Statistical physics only needs angle-uniform directions; a 0.06-degree
+    worst-case angle error is four orders below the 10% test tolerances.
+    """
+    p = 4.0 * y * (1.0 - jnp.abs(y))
+    return p * (jnp.float32(0.775) + jnp.float32(0.225) * jnp.abs(p))
+
+
+def _wrap1(x):
+    """Map x in [0, 2) (one sine period in pi-units) into [-1, 1)."""
+    return x - jnp.where(x > 1.0, jnp.float32(2.0), jnp.float32(0.0))
+
+
+def _fast_angles(tu, pu):
+    """(sin, cos) of theta=2*pi*tu and phi=pi*pu for tu,pu in [0,1)."""
+    two_tu = 2.0 * tu
+    sin_t = _fast_sinpi(_wrap1(two_tu))
+    cos_t = _fast_sinpi(_wrap1(two_tu + jnp.float32(0.5)))
+    sin_p = _fast_sinpi(pu)
+    cos_p = _fast_sinpi(_wrap1(pu + jnp.float32(0.5)))
+    return sin_t, cos_t, sin_p, cos_p
 
 
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
@@ -193,16 +222,24 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
             u = rng.uniform(shape)
             if plan.packed_angles:
                 tu, pu = rng.uniform_pair(shape)
+            else:
+                tu, pu = rng.uniform(shape), rng.uniform(shape)
+            scatter = (pcoll >= u) & alive_b
+            if plan.fast_trig:
+                sin_t, cos_t, sin_p, cos_p = _fast_angles(tu, pu)
+                # renormalize so |v| stays exactly the particle speed
+                nx, ny, nz = sin_t * cos_p, sin_t * sin_p, cos_t
+                inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+                cval = jnp.float32(op.c_val) * inv
+                vnew = (cval * nx, cval * ny, cval * nz)
+            else:
                 theta = tu * jnp.float32(2 * np.pi)
                 phi = pu * jnp.float32(np.pi)
-            else:
-                theta = rng.uniform(shape) * jnp.float32(2 * np.pi)
-                phi = rng.uniform(shape) * jnp.float32(np.pi)
-            scatter = (pcoll >= u) & alive_b
-            sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-            sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
-            cval = jnp.float32(op.c_val)
-            vnew = (cval * sin_t * cos_p, cval * sin_t * sin_p, cval * cos_t)
+                sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+                sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+                cval = jnp.float32(op.c_val)
+                vnew = (cval * sin_t * cos_p, cval * sin_t * sin_p,
+                        cval * cos_t)
             for d in range(3):
                 old = f[_VX + d]
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)

@@ -365,6 +365,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         interpret=(jax.default_backend() == "cpu"),
         const_norm_speed=const_speed,
         packed_angles=True,
+        fast_trig=True,
     )
     return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
                          measure_after_update, sim.exit, exit_mode)
