@@ -31,6 +31,25 @@ from physicl_tpu import light  # noqa: F401
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(directory: str = "~/.cache/physicl_tpu_xla",
+                             min_compile_secs: float = 1.0) -> None:
+    """Persist XLA/Mosaic compilations to disk.
+
+    First compiles of the fused transport kernel take tens of seconds on a
+    cold backend; with the cache enabled, repeat runs (same shapes/steps)
+    start almost instantly. Call before the first ``Simulation.start()``.
+    """
+    import os
+
+    import jax
+
+    path = os.path.expanduser(directory)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+
 __all__ = [
     "Measurement",
     "MeasurementError",

@@ -17,10 +17,22 @@ __all__ = ["NewtonianKinematicsStep"]
 class NewtonianKinematicsStep(Step):
     """Euler position update: ``dr = v * dt; r += dr`` for every object.
 
-    Matches the reference exactly: position-only Euler, no acceleration
-    integration (physicl/newton.py:14-16).
+    Matches the reference exactly by default: position-only Euler, no
+    acceleration integration (physicl/newton.py:14-16). Passing
+    ``integrate_acceleration=True`` enables a semi-implicit (symplectic)
+    Euler extension that also integrates ``state.a``:
+    ``dv = a*dt; v += dv; dr = v*dt; r += dr`` (no reference counterpart —
+    the reference stores ``a`` but never uses it).
     """
 
+    def __init__(self, integrate_acceleration: bool = False):
+        self.integrate_acceleration = integrate_acceleration
+
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        if self.integrate_acceleration:
+            dv = state.a * state.dt
+            v = state.v + dv
+            dr = v * state.dt
+            return state.replace(dv=dv, v=v, dr=dr, r=state.r + dr)
         dr = state.v * state.dt
         return state.replace(dr=dr, r=state.r + dr)

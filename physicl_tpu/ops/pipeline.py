@@ -271,6 +271,8 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
             dt_fn = s.fn
             rec_map.append({"uid": uid, "kind": "ts"})
         elif type(s) is NewtonianKinematicsStep:
+            if getattr(s, "integrate_acceleration", False):
+                return None  # acceleration lives outside the packed fields
             kin_seen = True
             ops.append(F._Op("kin"))
         elif type(s) is ScatterDeleteStep:

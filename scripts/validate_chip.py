@@ -1,0 +1,102 @@
+"""On-chip physics validation (run on the attached TPU: no pytest, no CPU
+emulation — this exercises the hardware-PRNG fused kernel end to end).
+
+Checks the reference's statistical invariants plus kernel-specific ones:
+
+1. absorption decay rate per step == 1 - pcoll (hardware-PRNG uniformity);
+2. reference acceptance test: survival proportional to e^-1 at x = 1/(nA);
+3. isotropy relaxation follows 0.5 + 0.5*(1 - pcoll)^k analytically;
+4. scatter directions: |v| = c exactly, theta recovered from vz uniform
+   (the reference's angle-uniform distribution), sign balance at 50%.
+
+Prints PASS/FAIL per check; exits nonzero on any failure.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+FAILURES = []
+
+
+def check(name, ok, detail):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    N = 1_000_000
+    n = A = 0.001
+    pcoll = n * A * float(light.c) * 0.001
+
+    # 1+2: absorption
+    s = phys.Simulation(seed=3)
+    s.exit = lambda x: len(x.objects) == 0
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(n), np.double(A)))
+    meas = light.ScatterMeasureStep(None, True, [[1 / (n * A), np.nan, np.nan]])
+    s.add_step(3, meas)
+    s.add_photons(light.generate_photon_state(N, E=1.0))
+    s.start(); s.join()
+    decays = np.array([meas.data[i + 1][1] / meas.data[i][1] for i in range(5)])
+    check("absorption decay/step", np.allclose(decays, 1 - pcoll, atol=0.01),
+          f"measured {decays.mean():.5f} vs {1 - pcoll:.5f}")
+    N_x = sum(meas.data[2])
+    err = (np.e ** -1 - N_x / N) / np.e ** -1
+    check("e^-1 survival (reference acceptance)", abs(err) < 0.10,
+          f"error {err:+.3%} (tolerance 10%)")
+
+    # 3: isotropy relaxation
+    s = phys.Simulation(exit=lambda c: c.t >= 0.030, seed=7)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=np.double(A), n=np.double(n)))
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(N, E=1.0))
+    s.start(); s.join()
+    shares = np.array([r[2] / r[1] for r in sign.data])
+    expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(1, len(shares) + 1)
+    dev = np.abs(shares - expect).max()
+    check("isotropy relaxation", dev < 0.01, f"max deviation {dev:.4f}")
+
+    # 4: direction distribution after forced scatter
+    s = phys.Simulation(exit=lambda c: c.t >= 0.001, seed=5)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=1.0, n=1.0))
+    s.add_photons(light.generate_photon_state(N, E=1.0))
+    s.start(); s.join()
+    v = np.asarray(s.sim_state.v)[:, :N] / float(light.c)
+    speed_dev = np.abs(np.linalg.norm(v, axis=0) - 1).max()
+    check("|v| = c after scatter", speed_dev < 1e-5, f"max dev {speed_dev:.2e}")
+    p_half = (np.abs(v[2]) < np.cos(np.pi / 4)).mean()
+    check("angle-uniform theta (P(|vz|<cos pi/4) = 0.5)",
+          abs(p_half - 0.5) < 0.01, f"measured {p_half:.4f}")
+    th = np.arccos(np.clip(v[2], -1, 1))
+    hist, _ = np.histogram(th, bins=10, range=(0, np.pi), density=True)
+    check("theta histogram uniform at 1/pi",
+          np.abs(hist - 1 / np.pi).max() < 0.01,
+          f"max dev {np.abs(hist - 1 / np.pi).max():.4f}")
+    signs = [(v[d] > 0).mean() for d in range(3)]
+    check("sign balance", max(abs(x - 0.5) for x in signs) < 0.01,
+          f"shares {[round(x, 4) for x in signs]}")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} FAILED: {FAILURES}")
+        raise SystemExit(1)
+    print("all on-chip validations passed")
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,20 @@ def test_eager_mode_jit_off():
     s.start(); s.join()
     assert not s.used_fused
     assert np.isclose(float(list(s.objects)[0].r[0]), 0.03, rtol=1e-5)
+
+
+def test_kinematics_with_acceleration():
+    s = phys.Simulation(exit=lambda v: v.t >= 0.0035, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep(
+        integrate_acceleration=True))
+    o = phys.Object(a=phys.Measurement([2.0, 0, 0], "m**1 s**-2"))
+    s.add_obj(o)
+    s.start(); s.join()
+    assert not s.used_fused  # acceleration path is generic-only
+    obj = list(s.objects)[0]
+    # semi-implicit Euler from rest: v_k = a*k*dt; x_k = a*dt^2*sum(1..k)
+    dt, a, k = 1e-3, 2.0, 4
+    assert np.isclose(float(obj.v[0]), a * k * dt, rtol=1e-5)
+    assert np.isclose(float(obj.r[0]), a * dt * dt * k * (k + 1) / 2,
+                      rtol=1e-4)
