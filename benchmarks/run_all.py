@@ -80,9 +80,12 @@ def main():
     emit("kinematics_euler_1e7", steady_rate(kin, N), "photon-steps/s", 2.0e4)
 
     # 2. Planck generation
-    T, kT = 5778.0, float(light.kB.value()) * 5778.0
-    light.planck_sample_E(1000, 0.1 * kT, 12 * kT, T, bins=2000)  # warm cache
     import jax
+
+    T, kT = 5778.0, float(light.kB.value()) * 5778.0
+    # warm the CDF cache AND the jitted sampler at the benchmark shape
+    jax.block_until_ready(light.planck_sample_E(
+        N, 0.1 * kT, 12 * kT, T, bins=2000, device=True))
 
     t0 = time.perf_counter()
     E_dev = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=1,

@@ -308,6 +308,9 @@ class Simulation(threading.Thread):
         self.t = Measurement(np.double(0), "s**1")
         self._pending_objects: List[Object] = []
         self._pending_bulk: List[Dict[str, Any]] = []
+        self._pending_inject: List = []
+        self._inject_lock = threading.Lock()
+        self._hwm = 0  # high-water slot mark (injections append here)
         self.steps: Dict[int, Step] = {}
         self._state_lock = threading.Lock()
         self.running = False
@@ -331,8 +334,15 @@ class Simulation(threading.Thread):
         return _HostObjectsProxy(self)
 
     def add_obj(self, obj: Object) -> None:
+        """Add an object. During a run (reference parity: the threaded loop
+        allows it, physicl/__init__.py:443-447) the object is injected at the
+        next chunk boundary."""
         if self.running:
-            raise RuntimeError("Cannot add objects while the simulation is running.")
+            if self.mesh is not None:
+                raise RuntimeError("Mid-run injection is not supported with a mesh.")
+            with self._inject_lock:
+                self._pending_inject.append(("obj", obj))
+            return
         self._pending_objects.append(obj)
         self._objects_cache = None
 
@@ -343,9 +353,14 @@ class Simulation(threading.Thread):
     def add_photons(self, bulk: Dict[str, Any]) -> None:
         """Add a bulk photon population built by
         :func:`physicl_tpu.light.generate_photon_state` — the fast path for
-        large N that never creates per-particle Python objects."""
+        large N that never creates per-particle Python objects. Mid-run
+        additions inject at the next chunk boundary."""
         if self.running:
-            raise RuntimeError("Cannot add objects while the simulation is running.")
+            if self.mesh is not None:
+                raise RuntimeError("Mid-run injection is not supported with a mesh.")
+            with self._inject_lock:
+                self._pending_inject.append(("bulk", bulk))
+            return
         self._pending_bulk.append(bulk)
         self._objects_cache = None
 
@@ -449,6 +464,64 @@ class Simulation(threading.Thread):
         if not self.running:
             self._objects_cache = out
         return out
+
+    # -- mid-run injection --------------------------------------------------------
+
+    def _inject_into_state(self, state: SimState, items):
+        """Write queued objects/bulks into slots [hwm, hwm+k) — contiguous
+        dynamic_update_slice per field; grows capacity when needed."""
+        from jax import lax
+
+        objs = [x for kind, x in items if kind == "obj"]
+        bulks = [x for kind, x in items if kind == "bulk"]
+        k = len(objs) + sum(int(b["n"]) for b in bulks)
+        if k == 0:
+            return state, 0
+        sub = SimState.from_population(objs, bulks, dtype=self.dtype)
+        hwm, cap = self._hwm, state.capacity
+
+        if hwm + k > cap:
+            new_cap = pad_capacity(hwm + k)
+
+            def grow(x):
+                if x.ndim == 0 or x.shape[-1] != cap:
+                    return x
+                pad = [(0, 0)] * (x.ndim - 1) + [(0, new_cap - cap)]
+                return jnp.pad(x, pad)
+
+            state = state.replace(
+                r=grow(state.r), dr=grow(state.dr), v=grow(state.v),
+                dv=grow(state.dv), a=grow(state.a), E=grow(state.E),
+                alive=grow(state.alive), otype=grow(state.otype),
+                extras={n: grow(x) for n, x in state.extras.items()},
+            )
+            cap = new_cap
+
+        def put(dst, src):
+            src = src.astype(dst.dtype)
+            if dst.ndim == 2:
+                return lax.dynamic_update_slice(dst, src[:, :k], (0, hwm))
+            return lax.dynamic_update_slice(dst, src[:k], (hwm,))
+
+        extras = {}
+        for name, arr in state.extras.items():
+            if name in sub.extras:
+                src = sub.extras[name]
+            else:
+                shape = (k,) if arr.ndim == 1 else (3, k)
+                src = jnp.zeros(shape, arr.dtype)
+            extras[name] = put(arr, src)
+
+        state = state.replace(
+            r=put(state.r, sub.r), dr=put(state.dr, sub.dr),
+            v=put(state.v, sub.v), dv=put(state.dv, sub.dv),
+            a=put(state.a, sub.a), E=put(state.E, sub.E),
+            alive=put(state.alive, sub.alive),
+            otype=put(state.otype, sub.otype), extras=extras,
+        )
+        self._pending_objects.extend(objs)  # id registry (trace, id_info_fn)
+        self._hwm = hwm + k
+        return state, k
 
     # -- compilation -------------------------------------------------------------
 
@@ -582,6 +655,7 @@ class Simulation(threading.Thread):
 
             state = shard_state(state, self.mesh)
         self._host_n_alive = n0
+        self._hwm = n0
         self._host_t = float(jax.device_get(state.t))
         self._host_dt = float(jax.device_get(state.dt))
         self.sim_state = state
@@ -653,12 +727,14 @@ class Simulation(threading.Thread):
                 break
 
             if (shrink_ok and self._host_n_alive > 0
+                    and not self._pending_inject
                     and self._host_n_alive < state.capacity // 4):
                 from physicl_tpu.ops.compaction import compact_shrink
 
                 new_state = compact_shrink(state, self._host_n_alive)
                 if new_state.capacity != state.capacity:
                     state = new_state
+                    self._hwm = self._host_n_alive  # survivors packed front
                     with self._state_lock:
                         self.sim_state = state
                     if provider is not None:
@@ -666,6 +742,20 @@ class Simulation(threading.Thread):
                     else:
                         chunk_fn = self._build_chunk_fn(
                             steps, exit_traced, chunk, state)
+
+            if self._pending_inject:
+                with self._inject_lock:
+                    items, self._pending_inject = self._pending_inject, []
+                old_cap = state.capacity
+                state, k_new = self._inject_into_state(state, items)
+                with self._state_lock:
+                    self.sim_state = state
+                    self._host_n_alive += k_new
+                if provider is not None:
+                    provider.invalidate()  # re-inits clocks/counts from state
+                elif state.capacity != old_cap:
+                    chunk_fn = self._build_chunk_fn(
+                        steps, exit_traced, chunk, state)
 
         with self._state_lock:
             for s in steps:

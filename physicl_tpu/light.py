@@ -172,21 +172,50 @@ def planck_phot_distribution(E_min, E_max, T, bins: int = 1000):
     return Measurement(E[min(idx + 1, len(E) - 1)], "J**1")
 
 
+_planck_inv_cache: dict = {}
+_INV_TABLE = 4096
+
+
+@jax.jit
+def _interp_table(table, u):
+    x = u * (_INV_TABLE - 1)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    frac = x - i0
+    i0 = jnp.clip(i0, 0, _INV_TABLE - 2)
+    return table[i0] * (1 - frac) + table[i0 + 1] * frac
+
+
+def _planck_inverse_table(E_min, E_max, T, bins):
+    """Memoized inverse-CDF table: probability grid -> energy (host f64)."""
+    key = (_as_float(E_min), _as_float(E_max), _as_float(T), int(bins))
+    if key not in _planck_inv_cache:
+        E, cdf = planck_cdf(E_min, E_max, T, bins)
+        # cdf[i] is cumulative mass up to edge E[i+1]; prepend (0, E[0])
+        probs = np.concatenate([[0.0], cdf])
+        _planck_inv_cache[key] = np.interp(
+            np.linspace(0.0, 1.0, _INV_TABLE), probs, E)
+    return _planck_inv_cache[key]
+
+
 def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
                     seed: int = 0, device: bool = False):
     """Sample ``n`` photon energies at once (TPU-native batch generation).
 
     ``device=True`` keeps the samples on the accelerator (feed directly into
-    ``generate_photon_state(..., device=True)`` — no host round trip).
+    ``generate_photon_state(..., device=True)`` — no host round trip) and
+    uses a memoized inverse-CDF table with linear interpolation (one gather
+    per sample; a binary search per sample is slow on TPU).
     """
-    E, cdf = planck_cdf(E_min, E_max, T, bins)
     if key is None:
         key = jax.random.PRNGKey(seed)
     u = jax.random.uniform(key, (int(n),), jnp.float32)
+    if device:
+        table = jnp.asarray(_planck_inverse_table(E_min, E_max, T, bins),
+                            jnp.float32)
+        return _interp_table(table, u)
+    E, cdf = planck_cdf(E_min, E_max, T, bins)
     idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
                    0, len(E) - 1)
-    if device:
-        return jnp.asarray(E, jnp.float32)[idx]
     return E[np.asarray(idx)]  # gather in host float64, exact bin edges
 
 
@@ -521,17 +550,28 @@ class TracePathMeasureStep(MeasureStep):
         self._alive.append(np.asarray(records["alive"]))  # (k, C)
         if self.trace_dv:
             s = np.sum(np.asarray(records["scat"]), axis=0)
-            self._freq = s if self._freq is None else self._freq + s
+            if self._freq is None:
+                self._freq = s
+            else:  # capacity can grow between chunks (mid-run injection)
+                m = max(len(s), len(self._freq))
+                self._freq = (np.pad(self._freq, (0, m - len(self._freq)))
+                              + np.pad(s, (0, m - len(s))))
 
     def terminate(self, sim: Simulation) -> None:
         if not self._pos:
             self.data = [["t"]]
             super().terminate(sim)
             return
-        pos = np.concatenate(self._pos, axis=0)      # (T, 3, C)
-        alive = np.concatenate(self._alive, axis=0)  # (T, C)
+        # capacity can grow between chunks (mid-run injection): pad to max C
+        cmax = max(p.shape[-1] for p in self._pos)
+        pos = np.concatenate(
+            [np.pad(p, ((0, 0), (0, 0), (0, cmax - p.shape[-1])))
+             for p in self._pos], axis=0)            # (T, 3, C)
+        alive = np.concatenate(
+            [np.pad(a, ((0, 0), (0, cmax - a.shape[-1])))
+             for a in self._alive], axis=0)          # (T, C)
         T = pos.shape[0]
-        n0 = sim._initial_count
+        n0 = max(sim._initial_count, getattr(sim, "_hwm", 0))
         objs = list(sim._pending_objects)
         rows: List[list] = [["t"] + list(sim.ts)]
         for i in range(n0):

@@ -183,3 +183,47 @@ def test_kinematics_with_acceleration():
     assert np.isclose(float(obj.v[0]), a * k * dt, rtol=1e-5)
     assert np.isclose(float(obj.r[0]), a * dt * dt * k * (k + 1) / 2,
                       rtol=1e-4)
+
+
+def test_midrun_injection():
+    import threading
+    import time as _time
+    import physicl_tpu.light as light
+
+    # slow sim (big chunk count) so we can inject while it runs
+    s = phys.Simulation(exit=lambda v: v.t >= 0.2, seed=0, chunk_steps=8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start()
+    _time.sleep(0.3)  # let it compile/start
+    s.add_photons(light.generate_photon_state(50, E=2.0))
+    s.add_obj(light.PhotonObject(
+        E=np.double(3.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.join()
+    assert len(s.objects) == 151
+    E = np.asarray(s.sim_state.E)
+    alive = np.asarray(s.sim_state.alive)
+    vals, counts = np.unique(E[alive], return_counts=True)
+    assert dict(zip(vals.tolist(), counts.tolist())) == {1.0: 100, 2.0: 50,
+                                                         3.0: 1}
+    # injected photons moved less than originals
+    r = np.asarray(s.sim_state.r)[0]
+    assert r[100] < r[0]
+
+
+def test_midrun_injection_grows_capacity():
+    import time as _time
+    import physicl_tpu.light as light
+
+    s = phys.Simulation(exit=lambda v: v.t >= 0.2, seed=0, chunk_steps=8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(16000, E=1.0))
+    s.start()
+    _time.sleep(0.3)
+    s.add_photons(light.generate_photon_state(16384, E=2.0))  # overflow pad
+    s.join()
+    assert len(s.objects) == 16000 + 16384
+    assert s.sim_state.capacity >= 32768
