@@ -478,7 +478,9 @@ class Simulation(threading.Thread):
         if k == 0:
             return state, 0
         sub = SimState.from_population(objs, bulks, dtype=self.dtype)
-        hwm, cap = self._hwm, state.capacity
+        # device emitters may have advanced the spawn mark past the host view
+        hwm = max(self._hwm, int(jax.device_get(state.n_spawned)))
+        cap = state.capacity
 
         if hwm + k > cap:
             new_cap = pad_capacity(hwm + k)
@@ -518,6 +520,7 @@ class Simulation(threading.Thread):
             a=put(state.a, sub.a), E=put(state.E, sub.E),
             alive=put(state.alive, sub.alive),
             otype=put(state.otype, sub.otype), extras=extras,
+            n_spawned=jnp.asarray(hwm + k, jnp.int32),
         )
         self._pending_objects.extend(objs)  # id registry (trace, id_info_fn)
         self._hwm = hwm + k

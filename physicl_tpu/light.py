@@ -47,6 +47,7 @@ __all__ = [
     "planck_distribution", "planck_probability", "planck_phot_distribution",
     "planck_cdf", "planck_sample_E",
     "generate_photons_from_E", "generate_photons", "generate_photon_state",
+    "PhotonEmitterStep",
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "TracePathMeasureStep",
@@ -435,6 +436,85 @@ class ScatterIsotropicStep(Step):
 # Public docs and every example call it ScatterSphericalStep
 # (docs/_build/phys.html:96 vs physicl/light.py:262) — export both names.
 ScatterSphericalStep = ScatterIsotropicStep
+
+
+class PhotonEmitterStep(Step):
+    """Continuous photon source: spawns ``n_per_step`` photons every iteration
+    *inside the compiled loop* (no reference counterpart — the reference can
+    only populate before ``start()``; combined with absorption this enables
+    steady-state transport problems).
+
+    Spawned photons take slots ``[n_spawned, n_spawned + k)``; emission stops
+    silently when the capacity is full (size ``Simulation(capacity=...)`` for
+    the expected total). ``E`` may be a constant or a sampler
+    ``f(key, k) -> (k,)``; ``v`` defaults to +x at c (pass ``isotropic=True``
+    for angle-uniform directions, matching the scatter distribution); ``r``
+    is the emission point (3-vector, default origin).
+    """
+
+    def __init__(self, n_per_step: int, E=1.0, v=None, r=(0.0, 0.0, 0.0),
+                 isotropic: bool = False):
+        self.n_per_step = int(n_per_step)
+        self.E = E
+        self.v = v
+        self.r = np.asarray(raw_code_value(r), np.float64).reshape(3)
+        self.isotropic = isotropic
+        self._c = None
+
+    def setup(self, sim: Simulation) -> None:
+        self._c = float(raw_code_value(c))
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        if self._c is None:
+            self.setup(None)
+        k = self.n_per_step
+        dtype = state.r.dtype
+        start = state.n_spawned
+        key = ctx.next_key()
+
+        if callable(self.E):
+            E_new = jnp.asarray(self.E(key, k), dtype)
+        else:
+            E_new = jnp.full((k,), float(raw_code_value(self.E)), dtype)
+        if self.isotropic:
+            u = jax.random.uniform(jax.random.fold_in(key, 1), (2, k), dtype)
+            theta, phi = u[0] * (2 * np.pi), u[1] * np.pi
+            v_new = jnp.stack([
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                jnp.cos(theta),
+            ]) * jnp.asarray(self._c, dtype)
+        elif self.v is None:
+            v_new = jnp.zeros((3, k), dtype).at[0].set(self._c)
+        else:
+            v_new = jnp.broadcast_to(jnp.asarray(
+                raw_code_value(self.v), dtype).reshape(3, -1), (3, k))
+        r_new = jnp.broadcast_to(
+            jnp.asarray(self.r, dtype)[:, None], (3, k))
+
+        def emit(state):
+            from jax import lax
+
+            def put2(dst, src):
+                return lax.dynamic_update_slice(dst, src.astype(dst.dtype),
+                                                (0, start))
+
+            def put1(dst, src):
+                return lax.dynamic_update_slice(dst, src.astype(dst.dtype),
+                                                (start,))
+
+            return state.replace(
+                r=put2(state.r, r_new), v=put2(state.v, v_new),
+                dr=put2(state.dr, jnp.zeros((3, k), dtype)),
+                dv=put2(state.dv, jnp.zeros((3, k), dtype)),
+                E=put1(state.E, E_new),
+                alive=put1(state.alive, jnp.ones((k,), jnp.bool_)),
+                otype=put1(state.otype, jnp.full((k,), OBJ_PHOTON, jnp.int32)),
+                n_spawned=start + k,
+            )
+
+        return jax.lax.cond(start + k <= state.capacity, emit,
+                            lambda s: s, state)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ def compact(state: SimState) -> SimState:
         v=scatter_last(state.v), dv=scatter_last(state.dv),
         a=scatter_last(state.a), E=scatter_last(state.E),
         alive=scatter_last(state.alive), otype=scatter_last(state.otype),
+        n_spawned=n_alive,  # survivors packed to front; next slot = count
         extras={k: scatter_last(v) for k, v in state.extras.items()},
     )
 

@@ -62,6 +62,7 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         alive=place(state.alive, 1), otype=place(state.otype, 1),
         t=jax.device_put(state.t, rep), dt=jax.device_put(state.dt, rep),
         key=jax.device_put(state.key, rep),
+        n_spawned=jax.device_put(state.n_spawned, rep),
     )
 
 

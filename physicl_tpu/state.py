@@ -63,6 +63,10 @@ class SimState:
     t: jax.Array            # ()    simulation time
     dt: jax.Array           # ()    last time increment
     key: jax.Array          # PRNG key
+    n_spawned: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    # ^ device-side high-water slot mark: in-scan emitters allocate slots
+    #   [n_spawned, n_spawned+k); host injection keeps it in sync
     extras: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "SimState":
@@ -133,6 +137,7 @@ class SimState:
                                 jnp.int32(0)),
                 t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
                 key=jax.random.PRNGKey(seed),
+                n_spawned=jnp.asarray(k, jnp.int32),
             )
 
         np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
@@ -192,6 +197,7 @@ class SimState:
             alive=jnp.asarray(alive), otype=jnp.asarray(otype),
             t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
             key=jax.random.PRNGKey(seed),
+            n_spawned=jnp.asarray(n, jnp.int32),
             extras={k: jnp.asarray(v) for k, v in extras.items()},
         )
 

@@ -19,7 +19,8 @@ from physicl_tpu.state import SimState
 
 __all__ = ["save_checkpoint", "load_checkpoint", "state_from_checkpoint"]
 
-_FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "t", "dt", "key")
+_FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "t", "dt",
+           "key", "n_spawned")
 
 
 def save_checkpoint(sim, path: str) -> None:

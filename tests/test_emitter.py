@@ -1,0 +1,74 @@
+"""In-scan photon source tests (PhotonEmitterStep — no reference counterpart)."""
+
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+
+def test_emitter_linear_growth():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=0, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(100, E=2.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(50, E=1.0))
+    s.start(); s.join()
+    ns = [int(r[1]) for r in sign.data]
+    assert ns == [50 + 100 * (i + 1) for i in range(10)]
+    assert len(s.objects) == 1050
+    E = np.asarray(s.sim_state.E)
+    alive = np.asarray(s.sim_state.alive)
+    assert (E[alive] == 1.0).sum() == 50 and (E[alive] == 2.0).sum() == 1000
+
+
+def test_emitter_stops_at_capacity():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=0, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(10000, E=1.0))
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(2, sign)
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start(); s.join()
+    # 100 + 10000 fits once; the second batch would exceed 16384 -> skipped
+    assert len(s.objects) == 10100
+
+
+def test_emitter_steady_state_with_absorption():
+    # emission + strong absorption reach a steady population
+    s = phys.Simulation(exit=lambda c: c.t >= 0.040, seed=1, capacity=65536)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(1000, E=1.0, isotropic=True))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    s.add_step(3, light.ScatterDeleteStep(np.double(0.001), np.double(0.001)))
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(4, sign)
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start(); s.join()
+    ns = np.array([int(r[1]) for r in sign.data], float)
+    # emitted photons face deletion the same iteration:
+    # N* = (N* + emit)(1-p)  =>  N* = emit*(1-p)/p = 2335 at p = 0.2998
+    p = 0.001 * 0.001 * float(light.c) * 0.001
+    n_star = 1000 * (1 - p) / p
+    assert abs(ns[-1] - n_star) / n_star < 0.1
+    # population grows toward it monotonically-ish early on
+    assert ns[0] < ns[5] < ns[-1] * 1.1
+
+
+def test_emitter_sampled_energy():
+    import jax
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(
+        500, E=lambda key, k: jax.random.uniform(key, (k,)) + 5.0))
+    s.add_photons(light.generate_photon_state(10, E=1.0))
+    s.start(); s.join()
+    E = np.asarray(s.sim_state.E)
+    alive = np.asarray(s.sim_state.alive)
+    sampled = E[alive][10:]
+    assert len(sampled) == 1000
+    assert np.all((sampled >= 5.0) & (sampled < 6.0))
+    assert abs(sampled.mean() - 5.5) < 0.05
