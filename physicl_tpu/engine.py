@@ -218,6 +218,45 @@ class _TracedView:
         return _TracedObjectsProxy(self._state.n_alive)
 
 
+class _PendingPopulation:
+    """Pre-run ``sim.objects`` when bulk photon populations are queued:
+    ``len()`` covers objects + bulks; iteration materializes bulk entries as
+    PhotonObjects on demand (explicitly expensive at large N — use
+    ``sim._pending_bulk`` arrays for bulk analysis)."""
+
+    def __init__(self, sim: "Simulation"):
+        self._sim = sim
+
+    def __len__(self):
+        return len(self._sim._pending_objects) + sum(
+            int(b["n"]) for b in self._sim._pending_bulk)
+
+    def _materialize(self):
+        from physicl_tpu.light import PhotonObject
+
+        out = list(self._sim._pending_objects)
+        for b in self._sim._pending_bulk:
+            E = np.asarray(b["E"])
+            v = np.asarray(b["v"])
+            r = np.asarray(b["r"])
+            for i in range(int(b["n"])):
+                o = PhotonObject.__new__(PhotonObject)
+                o.r = Measurement(list(r[:, i]), "m**1")
+                o.dr = Measurement([0.0] * 3, "m**1")
+                o.v = Measurement(list(v[:, i]), "m**1 s**-1")
+                o.dv = Measurement([0.0] * 3, "m**1 s**-1")
+                o.a = Measurement([0.0] * 3, "m**1 s**-2")
+                o.E = Measurement(float(E[i]), "J**1")
+                out.append(o)
+        return out
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+
 class _HostObjectsProxy:
     """``sim.objects`` during/after a run: len() reflects the alive count;
     iteration/indexing materializes host Object instances on demand."""
@@ -236,22 +275,35 @@ class _HostObjectsProxy:
 
 
 class _HostView:
-    """Host stand-in for the ``Simulation`` in host-mode exit predicates."""
+    """Host stand-in for the ``Simulation`` in host-mode exit predicates.
+
+    ``objects`` reports the live count cheaply; iterating/indexing it
+    materializes real host objects from device state (correct but slow —
+    documented cost of host-mode predicates, which run once per iteration).
+    """
 
     def __init__(self, sim: "Simulation", t: float, dt: float, n_alive: int):
+        self._sim = sim
         self.bounds = sim.bounds
         self.t = t
         self.dt = dt
         self.n_objects = n_alive
-        self.objects = _FixedLen(n_alive)
+        self.objects = _LazyObjects(sim, n_alive)
 
 
-class _FixedLen:
-    def __init__(self, n):
+class _LazyObjects:
+    def __init__(self, sim, n):
+        self._sim = sim
         self._n = n
 
     def __len__(self):
         return self._n
+
+    def __iter__(self):
+        return iter(self._sim._materialize_objects())
+
+    def __getitem__(self, i):
+        return self._sim._materialize_objects()[i]
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +382,9 @@ class Simulation(threading.Thread):
     @property
     def objects(self):
         if self.sim_state is None and not self.running:
-            return self._pending_objects
+            if not self._pending_bulk:
+                return self._pending_objects
+            return _PendingPopulation(self)
         return _HostObjectsProxy(self)
 
     def add_obj(self, obj: Object) -> None:
@@ -526,6 +580,41 @@ class Simulation(threading.Thread):
         self._hwm = hwm + k
         return state, k
 
+    @staticmethod
+    def _injection_keeps_plan(provider, items) -> bool:
+        """True iff injected particles preserve the fused plan's proven
+        invariants: photon-only population and (when the const-norm fast path
+        is active) the common particle speed."""
+        speed0 = provider.plan.const_norm_speed
+
+        def speed_ok(s):
+            return speed0 is None or abs(s - speed0) <= 1e-4 * speed0
+
+        for kind, x in items:
+            if kind == "obj":
+                if getattr(x, "_obj_type_code", 0) != OBJ_PHOTON:
+                    return False
+                if not speed_ok(float(np.linalg.norm(
+                        raw_code_value(x.v).reshape(3)))):
+                    return False
+            else:
+                if int(x["otype"]) != OBJ_PHOTON:
+                    return False
+                if speed0 is not None:
+                    v = x["v"]
+                    if isinstance(v, jax.Array):
+                        norms = jnp.sqrt(jnp.sum(
+                            v.astype(jnp.float32) ** 2, axis=0))
+                        lo = float(jax.device_get(jnp.min(norms)))
+                        hi = float(jax.device_get(jnp.max(norms)))
+                    else:
+                        norms = np.linalg.norm(np.asarray(v, np.float64),
+                                               axis=0)
+                        lo, hi = float(norms.min()), float(norms.max())
+                    if not (speed_ok(lo) and speed_ok(hi)):
+                        return False
+        return True
+
     # -- compilation -------------------------------------------------------------
 
     def _ordered_steps(self) -> List[Step]:
@@ -602,7 +691,12 @@ class Simulation(threading.Thread):
             return state, done, records, valid
 
         if self.jit_on:
-            return jax.jit(chunk_fn, donate_argnums=0)
+            # NOT donated: self.sim_state aliases the input buffers while a
+            # chunk executes, and the threaded polling surface (sim.objects,
+            # save_checkpoint) may read them concurrently — donation would
+            # invalidate them mid-flight on TPU. The copy this costs is one
+            # state-sized allocation per chunk, amortized over K iterations.
+            return jax.jit(chunk_fn)
         return chunk_fn
 
     # -- run loop ------------------------------------------------------------------
@@ -676,7 +770,10 @@ class Simulation(threading.Thread):
         shrink_ok = (
             self.auto_shrink
             and self.mesh is None
-            and not any(getattr(s, "needs_stable_ids", False) for s in steps)
+            and self.capacity is None  # user-sized capacity is intentional
+            and not any(getattr(s, "needs_stable_ids", False)
+                        or getattr(s, "needs_capacity_headroom", False)
+                        for s in steps)
         )
 
         if provider is not None:
@@ -684,10 +781,12 @@ class Simulation(threading.Thread):
             chunk_fn = provider
         else:
             exit_traced = self._probe_exit_traceable(state)
-            if self.chunk_steps is not None:
+            if not exit_traced:
+                # host-exact mode: the predicate must be checked every
+                # iteration; a larger chunk_steps would overshoot the exit
+                chunk = 1
+            elif self.chunk_steps is not None:
                 chunk = int(self.chunk_steps)
-            elif not exit_traced:
-                chunk = 1  # host-exact mode: predicate checked every iteration
             else:
                 chunk = self._auto_chunk(steps, state)
             chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
@@ -755,7 +854,21 @@ class Simulation(threading.Thread):
                     self.sim_state = state
                     self._host_n_alive += k_new
                 if provider is not None:
-                    provider.invalidate()  # re-inits clocks/counts from state
+                    if self._injection_keeps_plan(provider, items):
+                        provider.invalidate()  # re-inits clocks from state
+                    else:
+                        # injected particles break the fused plan's proven
+                        # invariants (photon-only / uniform speed): fall back
+                        # to the generic scan path for the rest of the run
+                        provider = None
+                        self.used_fused = False
+                        chunk_fn = None
+                        exit_traced = self._probe_exit_traceable(state)
+                        chunk = 1 if not exit_traced else (
+                            int(self.chunk_steps) if self.chunk_steps
+                            else self._auto_chunk(steps, state))
+                        chunk_fn = self._build_chunk_fn(
+                            steps, exit_traced, chunk, state)
                 elif state.capacity != old_cap:
                     chunk_fn = self._build_chunk_fn(
                         steps, exit_traced, chunk, state)

@@ -163,7 +163,8 @@ class KernelProgram:
                 elif item.type == "const":
                     kwargs[item.name] = jnp.asarray(float(item.const_value))
             result = self.kernel_fn(**kwargs)
-            return {o.name: jnp.asarray(result[o.name], o.dtype) for o in outs}
+            return ({o.name: jnp.asarray(result[o.name], o.dtype)
+                     for o in outs}, mask)
 
         self._compiled = jax.jit(pipeline)
         return self
@@ -180,12 +181,14 @@ class KernelProgram:
         key = jax.random.fold_in(jax.random.PRNGKey(
             getattr(self.sim, "seed", 0) if self.sim else 0),
             self._seed_counter)
-        out = self._compiled(state, key)
+        out, mask = self._compiled(state, key)
         host = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
         for item in self.prep_metadata:
             if item.type == "obj_track":
+                # indices of the particles the kernel actually selected
+                # (alive AND passing every obj_action filter)
                 setattr(self, item.name,
-                        np.nonzero(np.asarray(jax.device_get(state.alive)))[0])
+                        np.nonzero(np.asarray(jax.device_get(mask)))[0])
         return host
 
 

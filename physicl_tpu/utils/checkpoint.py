@@ -32,6 +32,8 @@ def save_checkpoint(sim, path: str) -> None:
     with sim._state_lock:
         host = {f: np.asarray(jax.device_get(getattr(state, f)))
                 for f in _FIELDS}
+        for name, arr in state.extras.items():
+            host[f"extra.{name}"] = np.asarray(jax.device_get(arr))
         meta = {
             "ts": list(map(float, sim.ts)),
             "seed": int(sim.seed),
@@ -45,6 +47,10 @@ def load_checkpoint(path: str):
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         kw = {f: jnp.asarray(z[f]) for f in _FIELDS}
+        kw["extras"] = {
+            k[len("extra."):]: jnp.asarray(z[k])
+            for k in z.files if k.startswith("extra.")
+        }
     return SimState(**kw), meta
 
 

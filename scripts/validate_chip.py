@@ -50,10 +50,20 @@ def main():
     decays = np.array([meas.data[i + 1][1] / meas.data[i][1] for i in range(5)])
     check("absorption decay/step", np.allclose(decays, 1 - pcoll, atol=0.01),
           f"measured {decays.mean():.5f} vs {1 - pcoll:.5f}")
+    # the reference's own acceptance formula (test_light.py:62: a whole data
+    # row summed — t + n_alive + count; kept verbatim for parity)
     N_x = sum(meas.data[2])
     err = (np.e ** -1 - N_x / N) / np.e ** -1
-    check("e^-1 survival (reference acceptance)", abs(err) < 0.10,
+    check("e^-1 survival (reference acceptance formula)", abs(err) < 0.10,
           f"error {err:+.3%} (tolerance 10%)")
+    # the physically-sharp version: total plane crossings vs the exact
+    # discrete-step expectation (1 - pcoll)^ceil(x/(c dt))
+    crossed = sum(int(r[2]) for r in meas.data)
+    steps_to_plane = int(np.ceil((1 / (n * A)) / (float(light.c) * 0.001)))
+    expect = (1 - pcoll) ** steps_to_plane
+    cerr = (expect - crossed / N) / expect
+    check("crossing count vs discrete expectation", abs(cerr) < 0.05,
+          f"survival {crossed / N:.4f} vs {expect:.4f} (err {cerr:+.3%})")
 
     # 3: isotropy relaxation
     s = phys.Simulation(exit=lambda c: c.t >= 0.030, seed=7)

@@ -227,3 +227,68 @@ def test_midrun_injection_grows_capacity():
     s.join()
     assert len(s.objects) == 16000 + 16384
     assert s.sim_state.capacity >= 32768
+
+
+def test_midrun_injection_nonphoton_falls_back_from_fused():
+    import time as _time
+    import physicl_tpu.light as light
+
+    s = phys.Simulation(exit=lambda v: v.t >= 0.3, seed=0, chunk_steps=8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, phys.light.ScatterDeleteStep(np.double(1e-9), np.double(1e-9)))
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start()
+    _time.sleep(0.3)
+    assert s.used_fused
+    # a generic (non-photon) object breaks the fused plan's invariants
+    s.add_obj(phys.Object(v=phys.Measurement([5.0, 0, 0], "m**1 s**-1")))
+    s.join()
+    assert not s.used_fused  # engine fell back to the generic path
+    objs = list(s.objects)
+    assert len(objs) == 101
+    # the generic object moved at its own speed, untouched by photon physics
+    slow = [o for o in objs if abs(float(o.v[0]) - 5.0) < 1e-3]
+    assert len(slow) == 1
+
+
+def test_objects_len_includes_pending_bulk():
+    import physicl_tpu.light as light
+
+    s = phys.Simulation()
+    s.add_obj(phys.Object())
+    s.add_photons(light.generate_photon_state(500, E=1.0))
+    assert len(s.objects) == 501
+    # iteration materializes PhotonObjects from the bulk arrays
+    objs = list(s.objects)
+    assert len(objs) == 501
+    assert float(objs[500].E) == 1.0
+
+
+def test_host_mode_predicate_can_iterate_objects():
+    s = phys.Simulation(seed=0)
+    bound = 2.5 * float(phys.light.c) * 0.001
+    s.exit = lambda sim_: all(float(o.r[0]) > bound for o in sim_.objects)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    for _ in range(3):
+        s.add_obj(phys.light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(phys.light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    # photons cross the bound after 3 steps
+    assert len(s.ts) == 3
+
+
+def test_checkpoint_preserves_extras(tmp_path):
+    ckpt = str(tmp_path / "ck.npz")
+    s = phys.Simulation(exit=lambda v: v.t >= 0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_obj(phys.Object(tag=np.double(9.0)))
+    s.start(); s.join()
+    s.save_checkpoint(ckpt)
+    from physicl_tpu.utils.checkpoint import load_checkpoint
+
+    state, _ = load_checkpoint(ckpt)
+    assert "tag" in state.extras
+    assert float(state.extras["tag"][0]) == 9.0
