@@ -605,6 +605,8 @@ class TracePathMeasureStep(MeasureStep):
     is auto-limited by the engine's record-buffer budget)."""
 
     needs_stable_ids = True  # disables engine auto-shrink compaction
+    _data_override = None
+    _cached_rows = None
 
     def __init__(self, out_fn=None, trace_type=Object,
                  id_info_fn: Callable = lambda x: str(type(x)),
@@ -637,12 +639,25 @@ class TracePathMeasureStep(MeasureStep):
                 self._freq = (np.pad(self._freq, (0, m - len(self._freq)))
                               + np.pad(s, (0, m - len(s))))
 
-    def terminate(self, sim: Simulation) -> None:
+    @property
+    def data(self):
+        """The reference's t-aligned trace matrix, assembled lazily on first
+        access (row building is Python-object-heavy at large N; use
+        :meth:`as_arrays` for the dense zero-copy form)."""
+        if self._data_override is not None:
+            return self._data_override
+        if self._cached_rows is None:
+            self._cached_rows = self._build_rows()
+        return self._cached_rows
+
+    @data.setter
+    def data(self, value):
+        self._data_override = value
+
+    def as_arrays(self):
+        """Dense trace: (ts list, positions (T, 3, C), alive (T, C), freq)."""
         if not self._pos:
-            self.data = [["t"]]
-            super().terminate(sim)
-            return
-        # capacity can grow between chunks (mid-run injection): pad to max C
+            return [], np.zeros((0, 3, 0)), np.zeros((0, 0), bool), None
         cmax = max(p.shape[-1] for p in self._pos)
         pos = np.concatenate(
             [np.pad(p, ((0, 0), (0, 0), (0, cmax - p.shape[-1])))
@@ -650,20 +665,33 @@ class TracePathMeasureStep(MeasureStep):
         alive = np.concatenate(
             [np.pad(a, ((0, 0), (0, cmax - a.shape[-1])))
              for a in self._alive], axis=0)          # (T, C)
+        return self._ts, pos, alive, self._freq
+
+    def _build_rows(self):
+        ts, pos, alive, freq = self.as_arrays()
+        if pos.shape[0] == 0:
+            return [["t"]]
         T = pos.shape[0]
-        n0 = max(sim._initial_count, getattr(sim, "_hwm", 0))
-        objs = list(sim._pending_objects)
-        rows: List[list] = [["t"] + list(sim.ts)]
-        for i in range(n0):
-            info = self.id_info_fn(objs[i]) if i < len(objs) else str(i)
+        rows: List[list] = [["t"] + list(ts)]
+        for i in range(self._n_rows):
+            info = (self.id_info_fn(self._objs[i])
+                    if i < len(self._objs) else str(i))
             row = [info]
             if self.trace_dv:
-                row.append(int(self._freq[i]) if self._freq is not None else 0)
+                row.append(int(freq[i]) if freq is not None
+                           and i < len(freq) else 0)
             for ti in range(T):
                 if alive[ti, i]:
                     row.append(np.array(pos[ti, :, i]))
                 else:
                     row.extend([np.nan, np.nan, np.nan])
             rows.append(row)
-        self.data = rows
-        super().terminate(sim)
+        return rows
+
+    def terminate(self, sim: Simulation) -> None:
+        self._data_override = None
+        self._cached_rows = None
+        self._ts = list(sim.ts)
+        self._n_rows = max(sim._initial_count, getattr(sim, "_hwm", 0))
+        self._objs = list(sim._pending_objects)
+        super().terminate(sim)  # writes CSV (builds rows) only if out_fn set

@@ -8,10 +8,15 @@ a single VPU pass, no interpreter work, no host transfers.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+import numpy as np
+
 from physicl_tpu.engine import Step, StepContext
 from physicl_tpu.state import SimState
+from physicl_tpu.units import raw_code_value
 
-__all__ = ["NewtonianKinematicsStep"]
+__all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
+           "ReflectingBoundaryStep"]
 
 
 class NewtonianKinematicsStep(Step):
@@ -36,3 +41,62 @@ class NewtonianKinematicsStep(Step):
             return state.replace(dv=dv, v=v, dr=dr, r=state.r + dr)
         dr = state.v * state.dt
         return state.replace(dr=dr, r=state.r + dr)
+
+
+def _bounds_arrays(bounds, dtype):
+    """Accept the reference's ``sim.bounds`` 3-vector (box [0, b] per axis,
+    physicl/__init__.py:412) or an explicit ((lo0,hi0),(lo1,hi1),(lo2,hi2))."""
+    b = np.asarray(raw_code_value(bounds), np.float64)
+    if b.shape == (3,):
+        lo, hi = np.zeros(3), b
+    elif b.shape == (3, 2):
+        lo, hi = b[:, 0], b[:, 1]
+    else:
+        raise ValueError("bounds must be (3,) or (3, 2)")
+    return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
+
+
+class AbsorbingBoundaryStep(Step):
+    """Deletes particles leaving the box (the behavior ``sim.bounds``
+    suggests but the reference never implements — physicl/__init__.py:412
+    stores it unused). ``bounds=None`` uses ``sim.bounds``."""
+
+    def __init__(self, bounds=None):
+        self.bounds = bounds
+        self._sim_bounds = None
+
+    def setup(self, sim) -> None:
+        if self.bounds is None:
+            self._sim_bounds = sim.bounds
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        b = self.bounds if self.bounds is not None else self._sim_bounds
+        lo, hi = _bounds_arrays(b, state.r.dtype)
+        inside = jnp.all((state.r >= lo[:, None]) & (state.r <= hi[:, None]),
+                         axis=0)
+        return state.replace(alive=state.alive & inside)
+
+
+class ReflectingBoundaryStep(Step):
+    """Specular reflection at the box walls: position folded back inside,
+    velocity component flipped. ``bounds=None`` uses ``sim.bounds``."""
+
+    def __init__(self, bounds=None):
+        self.bounds = bounds
+        self._sim_bounds = None
+
+    def setup(self, sim) -> None:
+        if self.bounds is None:
+            self._sim_bounds = sim.bounds
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        b = self.bounds if self.bounds is not None else self._sim_bounds
+        lo, hi = _bounds_arrays(b, state.r.dtype)
+        lo, hi = lo[:, None], hi[:, None]
+        over = state.r > hi
+        under = state.r < lo
+        r = jnp.where(over, 2 * hi - state.r, state.r)
+        r = jnp.where(under, 2 * lo - r, r)
+        flip = over | under
+        v = jnp.where(flip, -state.v, state.v)
+        return state.replace(r=r, v=v)

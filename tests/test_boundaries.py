@@ -1,0 +1,65 @@
+"""Boundary-condition steps (extension: sim.bounds behavior the reference
+stores but never implements)."""
+
+import numpy as np
+
+import physicl_tpu as phys
+import physicl_tpu.newton as newton
+import physicl_tpu.light as light
+
+
+def _beam_sim(step, t_end=0.005, v=10.0, **kw):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=0, **kw)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, step)
+    s.add_obj(phys.Object(v=phys.Measurement([v, 0, 0], "m**1 s**-1")))
+    return s
+
+
+def test_absorbing_boundary_deletes_leavers():
+    # particle at v=10 crosses x=0.025 between iterations 2 and 3
+    s = _beam_sim(newton.AbsorbingBoundaryStep(
+        np.array([[0.0, 0.025], [-1, 1], [-1, 1]])))
+    s.exit = lambda c_: c_.n_objects == 0
+    s.start(); s.join()
+    assert len(s.ts) == 3
+    assert len(s.objects) == 0
+
+
+def test_absorbing_boundary_uses_sim_bounds():
+    s = _beam_sim(newton.AbsorbingBoundaryStep(),
+                  bounds=np.array([0.025, 1.0, 1.0]))
+    s.exit = lambda c_: c_.n_objects == 0
+    s.start(); s.join()
+    assert len(s.objects) == 0
+
+
+def test_reflecting_boundary_bounces():
+    s = _beam_sim(newton.ReflectingBoundaryStep(
+        np.array([[0.0, 0.025], [-1, 1], [-1, 1]])), t_end=0.004)
+    s.start(); s.join()
+    o = list(s.objects)[0]
+    # iter1 0.01, iter2 0.02, iter3 0.03 -> reflect to 0.02 (v flips),
+    # iter4 back to 0.01
+    assert np.isclose(float(o.r[0]), 0.01, rtol=1e-4)
+    assert np.isclose(float(o.v[0]), -10.0, rtol=1e-6)
+
+
+def test_trace_as_arrays():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    trace = light.TracePathMeasureStep(None)
+    s.add_step(2, trace)
+    for _ in range(4):
+        s.add_obj(light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start(); s.join()
+    ts, pos, alive, freq = trace.as_arrays()
+    assert pos.shape[0] == 3 and alive[:, :4].all()
+    # lazy matrix equals the dense data
+    rows = trace.data
+    assert len(rows) == 5
+    assert np.isclose(rows[1][1][0], pos[0, 0, 0])
