@@ -775,6 +775,16 @@ class Simulation(threading.Thread):
                         or getattr(s, "needs_capacity_headroom", False)
                         for s in steps)
         )
+        # Continuous sources allocate slots contiguously and never reuse
+        # them; recycle via compaction when the arena nears exhaustion.
+        emit_per_iter = sum(
+            getattr(s, "n_per_step", 0) for s in steps
+            if getattr(s, "needs_capacity_headroom", False))
+        recycle_ok = (
+            emit_per_iter > 0
+            and self.mesh is None
+            and not any(getattr(s, "needs_stable_ids", False) for s in steps)
+        )
 
         if provider is not None:
             exit_traced = True  # provider owns exit handling via `done`
@@ -789,6 +799,12 @@ class Simulation(threading.Thread):
                 chunk = int(self.chunk_steps)
             else:
                 chunk = self._auto_chunk(steps, state)
+            _emit = sum(getattr(s, "n_per_step", 0) for s in steps
+                        if getattr(s, "needs_capacity_headroom", False))
+            if _emit:
+                # one chunk's emissions must fit in half the arena (slots
+                # recycle only at chunk boundaries)
+                chunk = max(1, min(chunk, (state.capacity // 2) // _emit))
             chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
 
         while True:
@@ -827,6 +843,27 @@ class Simulation(threading.Thread):
                 break
             if not exit_traced and n_valid == 0:
                 break
+
+            if recycle_ok and not self._pending_inject:
+                if provider is not None:
+                    hwm = provider.hwm_h
+                else:
+                    hwm = int(jax.device_get(state.n_spawned))
+                    self._hwm = max(self._hwm, hwm)
+                # compact when the next chunk could exhaust the arena and at
+                # least half of the used slots are dead
+                need = emit_per_iter * (provider.plan.chunk if provider
+                                        else chunk)
+                if (hwm + need > state.capacity
+                        and self._host_n_alive < hwm // 2):
+                    from physicl_tpu.ops.compaction import compact
+
+                    state = compact(state)
+                    self._hwm = self._host_n_alive
+                    with self._state_lock:
+                        self.sim_state = state
+                    if provider is not None:
+                        provider.resync(state)
 
             if (shrink_ok and self._host_n_alive > 0
                     and not self._pending_inject

@@ -452,6 +452,8 @@ class PhotonEmitterStep(Step):
     is the emission point (3-vector, default origin).
     """
 
+    needs_capacity_headroom = True  # engine auto-shrink would eat our slots
+
     def __init__(self, n_per_step: int, E=1.0, v=None, r=(0.0, 0.0, 0.0),
                  isotropic: bool = False):
         self.n_per_step = int(n_per_step)

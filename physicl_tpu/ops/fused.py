@@ -117,13 +117,22 @@ class _Rng:
 
 @dataclasses.dataclass
 class _Op:
-    kind: str                       # "kin" | "del" | "iso" | "sign" | "cross"
+    kind: str                  # "kin"|"del"|"iso"|"sign"|"cross"|"emit"
     coef: float = 0.0               # folded A*n (del/iso)
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
     n_fn: Optional[Callable] = None  # variable n(r) (iso)
     c_val: float = 0.0              # |v| for resampled photons (iso)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
+    # emit: photons appear in slots [emit_starts[k], +n) each iteration —
+    # the schedule is host-precomputed (slot allocation is contiguous from
+    # the spawn mark), so in-kernel emission is one masked write per tile.
+    emit_n: int = 0
+    emit_E: object = None           # float or jnp-traceable f(key-free) const
+    emit_E_fn: Optional[Callable] = None  # f(u01 array) -> E array
+    emit_r: tuple = (0.0, 0.0, 0.0)
+    emit_v: Optional[tuple] = None  # None => isotropic at c_val
+    emit_sched_idx: int = 0         # which emit schedule row in dts input
 
 
 @dataclasses.dataclass
@@ -173,13 +182,16 @@ def _fast_angles(tu, pu):
     return sin_t, cos_t, sin_p, cos_p
 
 
-def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
+def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
+                    emit_starts_ref=None, gidx=None):
     """Run one simulation iteration on VMEM-resident field values.
 
     ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns
     (updated fields, record row (1, 128) int32). Ops execute in the plan's
     order == step insertion order (reference semantics,
-    physicl/__init__.py:514).
+    physicl/__init__.py:514). ``emit_starts_ref[(op_idx, k)]`` gives emitter
+    slot starts (-1 = inactive this iteration); ``gidx`` is each element's
+    global slot index.
     """
     f = list(fields)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _MAX_REC_COLS), 1)
@@ -245,6 +257,32 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)
                 f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
                                         jnp.float32(0.0))
+        elif op.kind == "emit":
+            # inactive iterations use a far-negative start (never overlaps);
+            # under shard_map starts are shifted into shard-local coordinates
+            # and a window crossing a shard boundary is written piecewise
+            start = emit_starts_ref[op.emit_sched_idx, k]
+            mask = (gidx >= start) & (gidx < start + op.emit_n)
+            f[_E] = jnp.where(mask, jnp.float32(op.emit_E), f[_E])
+            for d in range(3):
+                f[_RX + d] = jnp.where(mask, jnp.float32(op.emit_r[d]),
+                                       f[_RX + d])
+                f[_DRX + d] = jnp.where(mask, jnp.float32(0.0), f[_DRX + d])
+                f[_DVX + d] = jnp.where(mask, jnp.float32(0.0), f[_DVX + d])
+            if op.emit_v is not None:
+                for d in range(3):
+                    f[_VX + d] = jnp.where(mask, jnp.float32(op.emit_v[d]),
+                                           f[_VX + d])
+            else:  # isotropic directions at speed c_val
+                tu, pu = rng.uniform_pair(shape)
+                sin_t, cos_t, sin_p, cos_p = _fast_angles(tu, pu)
+                nx, ny, nz = sin_t * cos_p, sin_t * sin_p, cos_t
+                inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+                cval = jnp.float32(op.c_val) * inv
+                for d, comp in enumerate((nx, ny, nz)):
+                    f[_VX + d] = jnp.where(mask, cval * comp, f[_VX + d])
+            alive_b = alive_b | mask
+            f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "sign":
             n_col, sx_col = op.cols
             if n_col >= 0:
@@ -269,7 +307,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng"):
     return f, row
 
 
-def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
+def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
+            state_ref, out_ref, rec_ref):
     pid = pl.program_id(0)
     # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
     tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
@@ -281,11 +320,17 @@ def _kernel(plan: FusedPlan, ctl_ref, dts_ref, state_ref, out_ref, rec_ref):
         rec_ref[:] = jnp.zeros_like(rec_ref)
 
     fields = [state_ref[i] for i in range(_NF)]
+    # global slot index of each tile element (row-major (rows, 128) layout)
+    gidx = (pid * jnp.int32(tile_rows * _LANE)
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANE), 0)
+            * jnp.int32(_LANE)
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANE), 1))
 
     def body(k, fields):
         dt = dts_ref[k]
         rng = _Rng(False, tile_seed, k)
-        fields, row = _emit_iteration(plan, k, dt, fields, rng)
+        fields, row = _emit_iteration(plan, k, dt, fields, rng,
+                                      emit_ref, gidx)
         rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
         return fields
 
@@ -308,16 +353,21 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     rows = capacity // _LANE
 
     @jax.jit
-    def run(packed, dts, seed, k_act):
+    def run(packed, dts, emit_starts, seed, k_act):
         dts = jnp.asarray(dts, jnp.float32)
+        emit_starts = jnp.asarray(emit_starts, jnp.int32)
         seed = jnp.asarray(seed, jnp.int32)
         fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
+        gidx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0)
+                * jnp.int32(_LANE)
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1))
 
         def body(k, carry):
             fields, rec = carry
             rng = _Rng(True, seed, k)
-            fields, row = _emit_iteration(plan, k, dts[k], fields, rng)
+            fields, row = _emit_iteration(plan, k, dts[k], fields, rng,
+                                          emit_starts, gidx)
             return fields, rec.at[k].add(row[0])
 
         fields, rec = jax.lax.fori_loop(
@@ -347,6 +397,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ctl [seed, k_act]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dts (chunk,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # emit starts (E, chunk)
             pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -358,10 +409,10 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         ],
     )
 
-    kernel = partial(_kernel, plan)
+    kernel = partial(_kernel, plan, tile_rows)
 
     @jax.jit
-    def run(packed, dts, seed, k_act):
+    def run(packed, dts, emit_starts, seed, k_act):
         ctl = jnp.stack([jnp.asarray(seed, jnp.int32),
                          jnp.asarray(k_act, jnp.int32)])
         packed3 = packed.reshape(_NF, rows, _LANE)
@@ -372,11 +423,12 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
                 jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
                 jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
             ],
-            input_output_aliases={2: 0},
+            input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
-        )(ctl, jnp.asarray(dts, jnp.float32), packed3)
+        )(ctl, jnp.asarray(dts, jnp.float32),
+          jnp.asarray(emit_starts, jnp.int32), packed3)
         return out.reshape(_NF, capacity), rec
 
     return run

@@ -33,6 +33,8 @@ from physicl_tpu.ops import fused as F
 
 __all__ = ["try_build_fused", "FusedProvider"]
 
+_EMIT_INACTIVE = -(2 ** 30)  # far-negative start: window never overlaps
+
 
 class _TOnly:
     """Host probe view exposing only t/dt; touching anything else raises."""
@@ -106,8 +108,11 @@ class FusedProvider:
         self.t_h = np.float32(0.0)
         self.dt_h = np.float32(0.0)
         self.n_h = 0
+        self.hwm_h = 0  # host mirror of the device spawn mark
+        self.capacity = 0
         self.chunk_idx = 0
         self.update_first = dt_before_kin
+        self.emit_ops = [op for op in plan.ops if op.kind == "emit"]
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
         # (saves a 14-plane concat + slice round trip per chunk)
@@ -119,6 +124,14 @@ class FusedProvider:
         self.kernel = None
         self._last_state = None
         self._last_packed = None
+
+    def resync(self, state: SimState) -> None:
+        """Re-read host mirrors after an out-of-band state edit that kept
+        the capacity (e.g. slot-recycling compaction); kernel stays compiled."""
+        self._last_state = None
+        self._last_packed = None
+        self.n_h = int(jax.device_get(state.n_alive))
+        self.hwm_h = int(jax.device_get(state.n_spawned))
 
     def _host_schedule(self):
         """Replay K iterations of the time stepping in f32 on the host.
@@ -132,7 +145,11 @@ class FusedProvider:
         ts_before = np.zeros(K, np.float32)
         dts_kin = np.zeros(K, np.float32)
         dts_after = np.zeros(K, np.float32)
+        n_emit = max(1, len(self.emit_ops))
+        emit_starts = np.full((n_emit, K), _EMIT_INACTIVE, np.int32)
+        hwm_after = np.full(K, self.hwm_h, np.int64)
         t, dt = self.t_h, self.dt_h
+        hwm = self.hwm_h
         k_act, done_t = K, False
         for i in range(K):
             if self.exit_mode == "t" and bool(self.exit_fn(_TOnly(t, dt))):
@@ -149,7 +166,13 @@ class FusedProvider:
                 t = np.float32(t + dt)
             ts[i] = t
             dts_after[i] = dt
-        return ts, ts_before, dts_kin, dts_after, k_act, done_t
+            for j, op in enumerate(self.emit_ops):
+                if hwm + op.emit_n <= self.capacity:
+                    emit_starts[j, i] = hwm
+                    hwm += op.emit_n
+            hwm_after[i] = hwm
+        return (ts, ts_before, dts_kin, dts_after, k_act, done_t,
+                emit_starts, hwm_after)
 
     def __call__(self, state: SimState):
         if self.kernel is None:
@@ -163,9 +186,12 @@ class FusedProvider:
             self.n_h = int(jax.device_get(state.n_alive))
             self.t_h = np.float32(jax.device_get(state.t))
             self.dt_h = np.float32(jax.device_get(state.dt))
+            self.hwm_h = int(jax.device_get(state.n_spawned))
+            self.capacity = state.capacity
 
         K = self.plan.chunk
-        ts, ts_before, dts_kin, dts_after, k_act, done_t = self._host_schedule()
+        (ts, ts_before, dts_kin, dts_after, k_act, done_t,
+         emit_starts, hwm_after) = self._host_schedule()
 
         seed = int(((int(self.sim.seed) * 2_654_435_761
                      + self.chunk_idx * 40_503) & 0xFFFFFFFF) & 0x7FFFFFFF)
@@ -175,7 +201,7 @@ class FusedProvider:
             packed = self._last_packed
         else:
             packed = F.pack_state(state)
-        packed, rec = self.kernel(packed, dts_kin, seed, k_act)
+        packed, rec = self.kernel(packed, dts_kin, emit_starts, seed, k_act)
         rec_np = np.asarray(jax.device_get(rec))
 
         n_end = rec_np[:, 0]
@@ -194,11 +220,14 @@ class FusedProvider:
             self.t_h = np.float32(ts[n_valid - 1])
             self.dt_h = np.float32(dts_after[n_valid - 1])
             self.n_h = int(n_end[n_valid - 1])
+            self.hwm_h = int(hwm_after[n_valid - 1])
+            self.sim._hwm = self.hwm_h
 
         import jax.numpy as jnp
         new_state = F.unpack_state(packed, state).replace(
             t=jnp.asarray(float(self.t_h), state.t.dtype),
             dt=jnp.asarray(float(self.dt_h), state.dt.dtype),
+            n_spawned=jnp.asarray(self.hwm_h, jnp.int32),
         )
         self._last_state = new_state
         self._last_packed = packed
@@ -233,6 +262,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     from physicl_tpu.engine import UpdateTimeStep
     from physicl_tpu.newton import NewtonianKinematicsStep
     from physicl_tpu.light import (
+        PhotonEmitterStep,
         ScatterDeleteStep,
         ScatterIsotropicStep,
         ScatterMeasureStep,
@@ -283,6 +313,25 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                 "iso", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
             ))
+        elif type(s) is PhotonEmitterStep:
+            if callable(s.E):  # sampled energies need jax.random keys
+                return None
+            s.setup(sim)
+            if s.isotropic:
+                emit_v = None
+            elif s.v is None:
+                emit_v = (s._c, 0.0, 0.0)
+            else:
+                emit_v = tuple(
+                    float(x) for x in np.asarray(
+                        raw_code_value(s.v), np.float64).reshape(3))
+            ops.append(F._Op(
+                "emit", emit_n=s.n_per_step,
+                emit_E=float(raw_code_value(s.E)),
+                emit_r=tuple(float(x) for x in s.r),
+                emit_v=emit_v, c_val=s._c,
+                emit_sched_idx=sum(1 for o in ops if o.kind == "emit"),
+            ))
         elif type(s) is ScatterSignMeasureStep:
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
@@ -321,8 +370,12 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
     scatter_positions = [i for i, op in enumerate(ops)
                          if op.kind in ("del", "iso")]
+    emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     if (len(kin_positions) == 1 and scatter_positions
-            and all(p > kin_positions[0] for p in scatter_positions)):
+            and all(p > kin_positions[0] for p in scatter_positions)
+            # photons emitted after kinematics carry dr=0 until the next
+            # iteration; const-norm would wrongly charge them a full step
+            and all(p < kin_positions[0] for p in emit_positions)):
         speeds = []
         for o in sim._pending_objects:
             speeds.append(float(np.linalg.norm(
@@ -341,6 +394,12 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                 norms = np.linalg.norm(vv, axis=0)
                 speeds.append(float(norms.min()))
                 speeds.append(float(norms.max()))
+        for op in ops:  # emitted photons join the population at these speeds
+            if op.kind == "emit":
+                if op.emit_v is None:
+                    speeds.append(op.c_val)
+                else:
+                    speeds.append(float(np.linalg.norm(op.emit_v)))
         if speeds:
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
@@ -357,10 +416,19 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         exit_mode = "n0"
         if not any(op.kind == "del" for op in ops):
             return None  # nothing can ever die: predicate never fires
+        if any(op.kind == "emit" for op in ops):
+            # post-extinction device emissions could not be rolled back by
+            # record trimming; only t-exits compose with in-kernel sources
+            return None
     else:
         return None
 
     chunk = int(sim.chunk_steps) if sim.chunk_steps else 256
+    emit_total = sum(op.emit_n for op in ops if op.kind == "emit")
+    if emit_total:
+        # one chunk's emissions must fit in half the arena, or emission
+        # starves mid-chunk before the engine can recycle slots
+        chunk = max(1, min(chunk, (state.capacity // 2) // emit_total))
     plan = F.FusedPlan(
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),

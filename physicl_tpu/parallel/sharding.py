@@ -82,24 +82,28 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
     local_cap = capacity // n_shards
     kern = F.build_fused_chunk(plan, local_cap)
 
-    def per_shard(packed_l, dts, seed, k_act):
+    def per_shard(packed_l, dts, emit_starts, seed, k_act):
         idx = jax.lax.axis_index(PHOTON_AXIS)
         seed_l = (seed + (idx + 1) * jnp.int32(97003)) & jnp.int32(0x7FFFFFFF)
-        out_l, rec_l = kern(packed_l, dts, seed_l, k_act)
+        # emitter slot starts are global; shift into shard-local coordinates
+        # (windows crossing a shard boundary are written piecewise)
+        emit_l = emit_starts - idx.astype(jnp.int32) * jnp.int32(local_cap)
+        out_l, rec_l = kern(packed_l, dts, emit_l, seed_l, k_act)
         rec = jax.lax.psum(rec_l, PHOTON_AXIS)
         return out_l, rec
 
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(None, PHOTON_AXIS), P(), P(), P()),
+        in_specs=(P(None, PHOTON_AXIS), P(), P(), P(), P()),
         out_specs=(P(None, PHOTON_AXIS), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def run(packed, dts, seed, k_act):
+    def run(packed, dts, emit_starts, seed, k_act):
         return sharded(packed, jnp.asarray(dts, jnp.float32),
+                       jnp.asarray(emit_starts, jnp.int32),
                        jnp.asarray(seed, jnp.int32),
                        jnp.asarray(k_act, jnp.int32))
 

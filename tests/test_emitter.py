@@ -72,3 +72,84 @@ def test_emitter_sampled_energy():
     assert len(sampled) == 1000
     assert np.all((sampled >= 5.0) & (sampled < 6.0))
     assert abs(sampled.mean() - 5.5) < 0.05
+
+
+def test_emitter_fuses_with_t_exit():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=0, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(100, E=2.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(50, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    ns = [int(r[1]) for r in sign.data]
+    assert ns == [50 + 100 * (i + 1) for i in range(10)]
+    E = np.asarray(s.sim_state.E)
+    alive = np.asarray(s.sim_state.alive)
+    assert (E[alive] == 2.0).sum() == 1000
+
+
+def test_emitter_fused_matches_generic():
+    """Emission + kinematics + absorption: fused and generic trajectories
+    agree (populations per iteration within sampling error)."""
+    res = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.030, seed=2,
+                            capacity=65536, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(1000, E=1.0, isotropic=True))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        s.add_step(3, light.ScatterDeleteStep(np.double(0.001),
+                                              np.double(0.001)))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(4, sign)
+        s.add_photons(light.generate_photon_state(100, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        res[fuse] = np.array([int(r[1]) for r in sign.data], float)
+    # same emission schedule, same expected decay: within a few % everywhere
+    rel = np.abs(res["auto"] - res["off"]) / np.maximum(res["off"], 1)
+    assert rel.max() < 0.05
+
+
+def test_emitter_fused_capacity_stop_matches_generic():
+    counts = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=0,
+                            capacity=16384, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(10000, E=1.0))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(2, sign)
+        s.add_photons(light.generate_photon_state(100, E=1.0))
+        s.start(); s.join()
+        counts[fuse] = len(s.objects)
+    assert counts["auto"] == counts["off"] == 10100
+
+
+def test_emitter_slot_recycling_sustains_emission():
+    """Continuous source + absorption for far longer than the arena could
+    hold without recycling: population must stay at the fixed point."""
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.2, seed=0,
+                            capacity=16384, fuse=fuse, chunk_steps=32)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(500, E=1.0, isotropic=True))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        s.add_step(3, light.ScatterDeleteStep(np.double(0.001),
+                                              np.double(0.001)))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(4, sign)
+        s.add_photons(light.generate_photon_state(100, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        # without recycling the arena (16384 slots) exhausts after ~33
+        # iterations; with recycling, 200 iterations hold the fixed point
+        p = 0.001 * 0.001 * float(light.c) * 0.001
+        n_star = 500 * (1 - p) / p
+        ns = np.array([int(r[1]) for r in sign.data], float)
+        assert len(ns) == 200
+        tail = ns[-50:]
+        assert abs(tail.mean() - n_star) / n_star < 0.1, (fuse, tail.mean())
