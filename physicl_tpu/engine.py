@@ -361,7 +361,10 @@ class Simulation(threading.Thread):
         self._pending_objects: List[Object] = []
         self._pending_bulk: List[Dict[str, Any]] = []
         self._pending_inject: List = []
+        self._pending_remove: List[int] = []
         self._inject_lock = threading.Lock()
+        self._slot_of: Dict[int, int] = {}  # id(obj) -> slot
+        self._slots_stable = False
         self._hwm = 0  # high-water slot mark (injections append here)
         self.steps: Dict[int, Step] = {}
         self._state_lock = threading.Lock()
@@ -419,8 +422,22 @@ class Simulation(threading.Thread):
         self._objects_cache = None
 
     def remove_obj(self, obj: Object) -> None:
+        """Remove an object. During a run (reference parity:
+        physicl/__init__.py:455-459) the object's slot is cleared at the next
+        chunk boundary; only objects added via ``add_obj`` have an identity
+        (bulk photons do not), and removal is unavailable when compaction may
+        move slots (auto_shrink or a continuous source active)."""
         if self.running:
-            raise RuntimeError("Cannot remove objects while the simulation is running.")
+            if not getattr(self, "_slots_stable", False):
+                raise RuntimeError(
+                    "Mid-run removal needs stable slots: disable auto_shrink "
+                    "and continuous sources, or remove before start().")
+            slot = self._slot_of.get(id(obj))
+            if slot is None:
+                raise ValueError("Object was not added via add_obj().")
+            with self._inject_lock:
+                self._pending_remove.append(slot)
+            return
         self._pending_objects.remove(obj)
         self._objects_cache = None
 
@@ -567,6 +584,9 @@ class Simulation(threading.Thread):
                 shape = (k,) if arr.ndim == 1 else (3, k)
                 src = jnp.zeros(shape, arr.dtype)
             extras[name] = put(arr, src)
+
+        for j, o in enumerate(objs):  # identity registry for remove_obj
+            self._slot_of[id(o)] = hwm + j
 
         state = state.replace(
             r=put(state.r, sub.r), dr=put(state.dr, sub.dr),
@@ -785,6 +805,8 @@ class Simulation(threading.Thread):
             and self.mesh is None
             and not any(getattr(s, "needs_stable_ids", False) for s in steps)
         )
+        self._slots_stable = not (shrink_ok or recycle_ok)
+        self._slot_of = {id(o): i for i, o in enumerate(self._pending_objects)}
 
         if provider is not None:
             exit_traced = True  # provider owns exit handling via `done`
@@ -881,6 +903,18 @@ class Simulation(threading.Thread):
                     else:
                         chunk_fn = self._build_chunk_fn(
                             steps, exit_traced, chunk, state)
+
+            if self._pending_remove:
+                with self._inject_lock:
+                    slots, self._pending_remove = self._pending_remove, []
+                alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(
+                    False)
+                state = state.replace(alive=alive)
+                with self._state_lock:
+                    self.sim_state = state
+                    self._host_n_alive = int(jax.device_get(state.n_alive))
+                if provider is not None:
+                    provider.resync(state)
 
             if self._pending_inject:
                 with self._inject_lock:

@@ -292,3 +292,47 @@ def test_checkpoint_preserves_extras(tmp_path):
     state, _ = load_checkpoint(ckpt)
     assert "tag" in state.extras
     assert float(state.extras["tag"][0]) == 9.0
+
+
+def test_midrun_remove_obj():
+    import time as _time
+    import physicl_tpu.light as light
+
+    s = phys.Simulation(exit=lambda v: v.t >= 0.3, seed=0, chunk_steps=8,
+                        auto_shrink=False)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    tagged = light.PhotonObject(
+        E=np.double(42.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double))
+    s.add_obj(tagged)
+    for _ in range(20):
+        s.add_obj(light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.start()
+    _time.sleep(0.3)
+    s.remove_obj(tagged)
+    s.join()
+    objs = list(s.objects)
+    assert len(objs) == 20
+    assert all(float(o.E) == 1.0 for o in objs)
+
+
+def test_midrun_remove_requires_stable_slots():
+    import time as _time
+    import physicl_tpu.light as light
+
+    s = phys.Simulation(exit=lambda v: v.t >= 0.2, seed=0, chunk_steps=8)
+    # default auto_shrink=True -> slots may move -> removal must refuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    o = light.PhotonObject(
+        E=np.double(1.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double))
+    s.add_obj(o)
+    s.start()
+    _time.sleep(0.2)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        s.remove_obj(o)
+    s.join()

@@ -1,0 +1,71 @@
+"""Property fuzz: random step pipelines must agree between the fused kernel
+and the generic scan path (statistically — the PRNG streams differ)."""
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+
+def _random_pipeline(rng, fuse, seed):
+    s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=seed, fuse=fuse,
+                        capacity=32768)
+    idx = 0
+    s.add_step(idx, phys.UpdateTimeStep(lambda x: np.double(0.001))); idx += 1
+    if rng.random() < 0.4:
+        s.add_step(idx, light.PhotonEmitterStep(
+            int(rng.integers(50, 300)), E=1.0,
+            isotropic=bool(rng.random() < 0.5))); idx += 1
+    s.add_step(idx, phys.newton.NewtonianKinematicsStep()); idx += 1
+    if rng.random() < 0.7:
+        s.add_step(idx, light.ScatterIsotropicStep(
+            A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
+            wavelength_dep_scattering=False)); idx += 1
+    if rng.random() < 0.6:
+        s.add_step(idx, light.ScatterDeleteStep(
+            np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001))); idx += 1
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(idx, sign); idx += 1
+    loc = float(rng.uniform(0.5, 3.5)) * float(light.c) * 0.001
+    cross = light.ScatterMeasureStep(None, True, [[loc, np.nan, np.nan]])
+    s.add_step(idx, cross)
+    s.add_photons(light.generate_photon_state(
+        int(rng.integers(3000, 8000)), E=1.0))
+    return s, sign, cross
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_pipeline_fused_matches_generic(trial):
+    out = {}
+    for fuse in ("auto", "off"):
+        rng = np.random.default_rng(1000 + trial)  # same pipeline both ways
+        s, sign, cross = _random_pipeline(rng, fuse, seed=trial)
+        s.start(); s.join()
+        out[fuse] = {
+            "fused": s.used_fused,
+            "n": np.array([r[1] for r in sign.data], float),
+            "xp": np.array([r[2] for r in sign.data], float),
+            "crossed": float(sum(r[2] for r in cross.data)),
+            "iters": len(s.ts),
+        }
+    a, b = out["auto"], out["off"]
+    assert a["iters"] == b["iters"]
+    assert not b["fused"]
+    # Population trajectories: independent RNG streams compound binomial
+    # noise, so the bound scales like sqrt(n) (plus a drift term), not a
+    # fixed relative tolerance.
+    hi = np.maximum(np.maximum(a["n"], b["n"]), 1)
+    bound = 6 * np.sqrt(hi) + 0.02 * hi
+    assert np.all(np.abs(a["n"] - b["n"]) <= bound), (a["n"], b["n"])
+    # +x-share trajectories agree; share noise compounds like ~1/sqrt(n)
+    big = hi > 500
+    sa = a["xp"] / np.maximum(a["n"], 1)
+    sb = b["xp"] / np.maximum(b["n"], 1)
+    share_bound = 0.02 + 3.0 / np.sqrt(hi)
+    assert np.all(np.abs(sa - sb)[big] <= share_bound[big])
+    # plane-crossing totals agree within a sqrt-scaled tolerance
+    if b["crossed"] > 200:
+        assert (abs(a["crossed"] - b["crossed"])
+                <= 6 * np.sqrt(b["crossed"]) + 0.03 * b["crossed"])
