@@ -532,11 +532,17 @@ class ScatterMeasureStep(MeasureStep):
     photons' energies are captured (fetched per chunk, assembled on host)."""
 
     def __init__(self, out_fn=None, measure_n: bool = True, measure_locs=(),
-                 measure_E: bool = False):
+                 measure_E: bool = False, measure_E_mode: str = "list"):
         super().__init__(out_fn)
         self.measure_locs = list(measure_locs)
         self.measure_n = measure_n
         self.measure_E = measure_E
+        # "list": per-crossing energies, reference row format
+        # (physicl/light.py:388-402); "sum": per-plane energy flux — scalar
+        # per iteration, fusable and cheap at any N
+        if measure_E_mode not in ("list", "sum"):
+            raise ValueError("measure_E_mode must be 'list' or 'sum'")
+        self.measure_E_mode = measure_E_mode
         self._axes = []
         for loc in self.measure_locs:
             loc = np.asarray(loc, np.double)
@@ -554,7 +560,10 @@ class ScatterMeasureStep(MeasureStep):
             crossed = (((lo <= Lv) & (Lv <= hi)) | ((lo >= Lv) & (Lv >= hi)))
             crossed = crossed & state.alive
             ctx.record(self, f"count{j}", jnp.sum(crossed.astype(jnp.int32)))
-            if self.measure_E:
+            if self.measure_E and self.measure_E_mode == "sum":
+                ctx.record(self, f"Esum{j}",
+                           jnp.sum(jnp.where(crossed, state.E, 0.0)))
+            elif self.measure_E:
                 ctx.record(self, f"E{j}",
                            jnp.where(crossed, state.E, jnp.nan))
         return state
@@ -567,11 +576,15 @@ class ScatterMeasureStep(MeasureStep):
                 row.append(records["n"][i])
             for j in range(len(self._axes)):
                 row.append(records[f"count{j}"][i])
-                if self.measure_E:
+                if self.measure_E and self.measure_E_mode == "sum":
+                    row.append(float(records[f"Esum{j}"][i]))
+                elif self.measure_E:
                     Es = records[f"E{j}"][i]
                     row.append(list(Es[~np.isnan(Es)]))
-            self.data.append(np.array(row, dtype=object)
-                             if self.measure_E else np.array(row))
+            self.data.append(
+                np.array(row, dtype=object)
+                if self.measure_E and self.measure_E_mode == "list"
+                else np.array(row))
 
 
 class ScatterSignMeasureStep(MeasureStep):

@@ -196,9 +196,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
     f = list(fields)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _MAX_REC_COLS), 1)
     row = jnp.zeros((1, _MAX_REC_COLS), jnp.int32)
+    row_f = jnp.zeros((1, _MAX_REC_COLS), jnp.float32)
 
     def put(row, col, val):
         return jnp.where(col_iota == col, val.astype(jnp.int32), row)
+
+    def put_f(row_f, col, val):
+        return jnp.where(col_iota == col, val.astype(jnp.float32), row_f)
 
     alive_b = f[_ALIVE] > 0
     shape = f[_RX].shape
@@ -294,21 +298,24 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             (n_col,) = op.cols
             if n_col >= 0:
                 row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
-            for axis, L, col in op.axes:
+            for axis, L, col, e_col in op.axes:
                 hi = f[_RX + axis]
                 lo = hi - f[_DRX + axis]
                 Lv = jnp.float32(L)
                 crossed = (((lo <= Lv) & (Lv <= hi))
                            | ((lo >= Lv) & (Lv >= hi))) & alive_b
                 row = put(row, col, jnp.sum(crossed, dtype=jnp.int32))
+                if e_col >= 0:  # energy flux: sum of crossing photons' E
+                    row_f = put_f(row_f, e_col,
+                                  jnp.sum(jnp.where(crossed, f[_E], 0.0)))
 
     # col 0: global alive count at iteration end (predicate/trim channel)
     row = put(row, 0, jnp.sum(alive_b, dtype=jnp.int32))
-    return f, row
+    return f, row, row_f
 
 
 def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
-            state_ref, out_ref, rec_ref):
+            state_ref, out_ref, rec_ref, recf_ref):
     pid = pl.program_id(0)
     # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
     tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
@@ -318,6 +325,7 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
     @pl.when(pid == 0)
     def _():
         rec_ref[:] = jnp.zeros_like(rec_ref)
+        recf_ref[:] = jnp.zeros_like(recf_ref)
 
     fields = [state_ref[i] for i in range(_NF)]
     # global slot index of each tile element (row-major (rows, 128) layout)
@@ -329,9 +337,10 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
     def body(k, fields):
         dt = dts_ref[k]
         rng = _Rng(False, tile_seed, k)
-        fields, row = _emit_iteration(plan, k, dt, fields, rng,
-                                      emit_ref, gidx)
+        fields, row, row_f = _emit_iteration(plan, k, dt, fields, rng,
+                                             emit_ref, gidx)
         rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
+        recf_ref[pl.ds(k, 1), :] = recf_ref[pl.ds(k, 1), :] + row_f
         return fields
 
     fields = jax.lax.fori_loop(0, k_act, body, fields)
@@ -359,21 +368,22 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         seed = jnp.asarray(seed, jnp.int32)
         fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
+        recf0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.float32)
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0)
                 * jnp.int32(_LANE)
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1))
 
         def body(k, carry):
-            fields, rec = carry
+            fields, rec, rec_f = carry
             rng = _Rng(True, seed, k)
-            fields, row = _emit_iteration(plan, k, dts[k], fields, rng,
-                                          emit_starts, gidx)
-            return fields, rec.at[k].add(row[0])
+            fields, row, row_f = _emit_iteration(plan, k, dts[k], fields,
+                                                 rng, emit_starts, gidx)
+            return fields, rec.at[k].add(row[0]), rec_f.at[k].add(row_f[0])
 
-        fields, rec = jax.lax.fori_loop(
-            0, jnp.asarray(k_act, jnp.int32), body, (fields, rec0))
+        fields, rec, rec_f = jax.lax.fori_loop(
+            0, jnp.asarray(k_act, jnp.int32), body, (fields, rec0, recf0))
         out = jnp.stack([f.reshape(capacity) for f in fields])
-        return out, rec
+        return out, rec, rec_f
 
     return run
 
@@ -406,6 +416,8 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
 
@@ -416,12 +428,14 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         ctl = jnp.stack([jnp.asarray(seed, jnp.int32),
                          jnp.asarray(k_act, jnp.int32)])
         packed3 = packed.reshape(_NF, rows, _LANE)
-        out, rec = pl.pallas_call(
+        out, rec, rec_f = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
                 jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
+                jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS),
+                                     jnp.float32),
             ],
             input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(
@@ -429,7 +443,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
             ),
         )(ctl, jnp.asarray(dts, jnp.float32),
           jnp.asarray(emit_starts, jnp.int32), packed3)
-        return out.reshape(_NF, capacity), rec
+        return out.reshape(_NF, capacity), rec, rec_f
 
     return run
 

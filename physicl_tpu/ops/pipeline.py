@@ -113,6 +113,9 @@ class FusedProvider:
         self.chunk_idx = 0
         self.update_first = dt_before_kin
         self.emit_ops = [op for op in plan.ops if op.kind == "emit"]
+        self.has_f_cols = any(
+            e_col >= 0 for op in plan.ops if op.kind == "cross"
+            for (_, _, _, e_col) in op.axes)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
         # (saves a 14-plane concat + slice round trip per chunk)
@@ -201,8 +204,10 @@ class FusedProvider:
             packed = self._last_packed
         else:
             packed = F.pack_state(state)
-        packed, rec = self.kernel(packed, dts_kin, emit_starts, seed, k_act)
+        packed, rec, rec_f = self.kernel(packed, dts_kin, emit_starts, seed,
+                                         k_act)
         rec_np = np.asarray(jax.device_get(rec))
+        recf_np = np.asarray(jax.device_get(rec_f)) if self.has_f_cols else None
 
         n_end = rec_np[:, 0]
         n_before = np.concatenate([[self.n_h], n_end[:-1]])
@@ -253,6 +258,9 @@ class FusedProvider:
                     records[f"{uid}/n"] = rec_np[:, m["n_col"]]
                 for j, col in enumerate(m["cnt_cols"]):
                     records[f"{uid}/count{j}"] = rec_np[:, col]
+                for j, col in enumerate(m.get("e_cols", [])):
+                    if col >= 0:
+                        records[f"{uid}/Esum{j}"] = recf_np[:, col]
 
         return new_state, done, records, valid
 
@@ -286,6 +294,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
     next_col = 1
+    next_fcol = 0  # float record channels (energy sums)
     dt_fn = None
     update_seen = False
     update_before_kin = False
@@ -342,23 +351,29 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                             "sx_col": sx})
             measure_after_update[uid] = update_seen
         elif type(s) is ScatterMeasureStep:
-            if s.measure_E:
-                return None
+            if s.measure_E and s.measure_E_mode != "sum":
+                return None  # per-photon E lists need the generic path
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
-            axes, cnt_cols = [], []
+            axes, cnt_cols, e_cols = [], [], []
             for axis, L in s._axes:
-                axes.append((axis, L, next_col))
+                e_col = -1
+                if s.measure_E:
+                    e_col = next_fcol
+                    next_fcol += 1
+                axes.append((axis, L, next_col, e_col))
                 cnt_cols.append(next_col)
+                e_cols.append(e_col)
                 next_col += 1
             ops.append(F._Op("cross", cols=(n_col,), axes=tuple(axes)))
             rec_map.append({"uid": uid, "kind": "cross", "n_col": n_col,
-                            "cnt_cols": cnt_cols})
+                            "cnt_cols": cnt_cols, "e_cols": e_cols})
             measure_after_update[uid] = update_seen
         else:
             return None
 
-    if not update_seen or next_col > F._MAX_REC_COLS:
+    if (not update_seen or next_col > F._MAX_REC_COLS
+            or next_fcol > F._MAX_REC_COLS):
         return None
 
     # const-norm fast path: |dr| = speed * dt replaces the per-photon norm.

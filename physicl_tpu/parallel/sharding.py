@@ -88,15 +88,16 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
         # emitter slot starts are global; shift into shard-local coordinates
         # (windows crossing a shard boundary are written piecewise)
         emit_l = emit_starts - idx.astype(jnp.int32) * jnp.int32(local_cap)
-        out_l, rec_l = kern(packed_l, dts, emit_l, seed_l, k_act)
+        out_l, rec_l, recf_l = kern(packed_l, dts, emit_l, seed_l, k_act)
         rec = jax.lax.psum(rec_l, PHOTON_AXIS)
-        return out_l, rec
+        rec_f = jax.lax.psum(recf_l, PHOTON_AXIS)
+        return out_l, rec, rec_f
 
     sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(None, PHOTON_AXIS), P(), P(), P(), P()),
-        out_specs=(P(None, PHOTON_AXIS), P()),
+        out_specs=(P(None, PHOTON_AXIS), P(), P()),
         check_vma=False,
     )
 

@@ -150,3 +150,25 @@ def test_measure_terminate_dict_branch():
     lines = open("/tmp/_physicl_tpu_dict_test.csv").read().strip().split("\n")
     assert lines == ["1, 2", "3, 4"]
     os.remove("/tmp/_physicl_tpu_dict_test.csv")
+
+
+def test_measure_E_sum_mode_fused_and_generic():
+    c_dt = float(light.c) * 0.001
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        meas = light.ScatterMeasureStep(
+            None, True, [[1.5 * c_dt, np.nan, np.nan]],
+            measure_E=True, measure_E_mode="sum")
+        s.add_step(2, meas)
+        s.add_photons(light.generate_photon_state(10, E=2.5))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = [(float(r[0]), int(r[1]), int(r[2]), float(r[3]))
+                     for r in meas.data]
+    assert out["auto"] == out["off"]
+    # crossing iteration: 10 photons of E=2.5 -> Esum = 25
+    assert out["auto"][1][2] == 10 and out["auto"][1][3] == 25.0
+    assert out["auto"][0][3] == 0.0 and out["auto"][2][3] == 0.0
