@@ -364,7 +364,6 @@ class Simulation(threading.Thread):
         self._pending_remove: List[int] = []
         self._inject_lock = threading.Lock()
         self._slot_of: Dict[int, int] = {}  # id(obj) -> slot
-        self._slots_stable = False
         self._hwm = 0  # high-water slot mark (injections append here)
         self.steps: Dict[int, Step] = {}
         self._state_lock = threading.Lock()
@@ -428,7 +427,7 @@ class Simulation(threading.Thread):
         (bulk photons do not), and removal is unavailable when compaction may
         move slots (auto_shrink or a continuous source active)."""
         if self.running:
-            if not getattr(self, "_slots_stable", False):
+            if not self._slots_stable:
                 raise RuntimeError(
                     "Mid-run removal needs stable slots: disable auto_shrink "
                     "and continuous sources, or remove before start().")
@@ -600,6 +599,33 @@ class Simulation(threading.Thread):
         self._hwm = hwm + k
         return state, k
 
+    def _population_policies(self):
+        """(shrink_ok, recycle_ok, emit_per_iter) — which slot-moving
+        policies apply to the current configuration. Pure function of the
+        config, so remove_obj can consult it before the run thread computes
+        anything."""
+        steps = list(self.steps.values())
+        stable_ids = any(getattr(s, "needs_stable_ids", False) for s in steps)
+        emit_per_iter = sum(
+            getattr(s, "n_per_step", 0) for s in steps
+            if getattr(s, "needs_capacity_headroom", False))
+        shrink_ok = (
+            self.auto_shrink
+            and self.mesh is None
+            and self.capacity is None  # user-sized capacity is intentional
+            and not stable_ids
+            and emit_per_iter == 0
+        )
+        # Continuous sources allocate slots contiguously and never reuse
+        # them; recycle via compaction when the arena nears exhaustion.
+        recycle_ok = emit_per_iter > 0 and self.mesh is None and not stable_ids
+        return shrink_ok, recycle_ok, emit_per_iter
+
+    @property
+    def _slots_stable(self) -> bool:
+        shrink_ok, recycle_ok, _ = self._population_policies()
+        return not (shrink_ok or recycle_ok)
+
     @staticmethod
     def _injection_keeps_plan(provider, items) -> bool:
         """True iff injected particles preserve the fused plan's proven
@@ -745,6 +771,9 @@ class Simulation(threading.Thread):
         self.ts = []
         self.running = True
         self._objects_cache = None
+        # identity registry for mid-run remove_obj (objects map to the first
+        # slots in insertion order); built before any slow device work
+        self._slot_of = {id(o): i for i, o in enumerate(self._pending_objects)}
 
         if self._restored is not None:
             state, meta = self._restored
@@ -787,26 +816,7 @@ class Simulation(threading.Thread):
 
             provider = try_build_fused(self, steps, state)
         self.used_fused = provider is not None
-        shrink_ok = (
-            self.auto_shrink
-            and self.mesh is None
-            and self.capacity is None  # user-sized capacity is intentional
-            and not any(getattr(s, "needs_stable_ids", False)
-                        or getattr(s, "needs_capacity_headroom", False)
-                        for s in steps)
-        )
-        # Continuous sources allocate slots contiguously and never reuse
-        # them; recycle via compaction when the arena nears exhaustion.
-        emit_per_iter = sum(
-            getattr(s, "n_per_step", 0) for s in steps
-            if getattr(s, "needs_capacity_headroom", False))
-        recycle_ok = (
-            emit_per_iter > 0
-            and self.mesh is None
-            and not any(getattr(s, "needs_stable_ids", False) for s in steps)
-        )
-        self._slots_stable = not (shrink_ok or recycle_ok)
-        self._slot_of = {id(o): i for i, o in enumerate(self._pending_objects)}
+        shrink_ok, recycle_ok, emit_per_iter = self._population_policies()
 
         if provider is not None:
             exit_traced = True  # provider owns exit handling via `done`
@@ -821,12 +831,11 @@ class Simulation(threading.Thread):
                 chunk = int(self.chunk_steps)
             else:
                 chunk = self._auto_chunk(steps, state)
-            _emit = sum(getattr(s, "n_per_step", 0) for s in steps
-                        if getattr(s, "needs_capacity_headroom", False))
-            if _emit:
+            if emit_per_iter:
                 # one chunk's emissions must fit in half the arena (slots
                 # recycle only at chunk boundaries)
-                chunk = max(1, min(chunk, (state.capacity // 2) // _emit))
+                chunk = max(1, min(chunk,
+                                   (state.capacity // 2) // emit_per_iter))
             chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
 
         while True:
@@ -866,12 +875,16 @@ class Simulation(threading.Thread):
             if not exit_traced and n_valid == 0:
                 break
 
+            if emit_per_iter and provider is None:
+                # keep the host spawn mark fresh (trace row counts, removal)
+                self._hwm = max(self._hwm,
+                                int(jax.device_get(state.n_spawned)))
+
             if recycle_ok and not self._pending_inject:
                 if provider is not None:
                     hwm = provider.hwm_h
                 else:
-                    hwm = int(jax.device_get(state.n_spawned))
-                    self._hwm = max(self._hwm, hwm)
+                    hwm = self._hwm
                 # compact when the next chunk could exhaust the arena and at
                 # least half of the used slots are dead
                 need = emit_per_iter * (provider.plan.chunk if provider
@@ -933,16 +946,28 @@ class Simulation(threading.Thread):
                         # to the generic scan path for the rest of the run
                         provider = None
                         self.used_fused = False
-                        chunk_fn = None
                         exit_traced = self._probe_exit_traceable(state)
                         chunk = 1 if not exit_traced else (
                             int(self.chunk_steps) if self.chunk_steps
                             else self._auto_chunk(steps, state))
+                        if emit_per_iter:
+                            chunk = max(1, min(
+                                chunk,
+                                (state.capacity // 2) // emit_per_iter))
                         chunk_fn = self._build_chunk_fn(
                             steps, exit_traced, chunk, state)
                 elif state.capacity != old_cap:
                     chunk_fn = self._build_chunk_fn(
                         steps, exit_traced, chunk, state)
+
+        if self._pending_remove:  # removals queued during the final chunk
+            with self._inject_lock:
+                slots, self._pending_remove = self._pending_remove, []
+            alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(False)
+            state = state.replace(alive=alive)
+            with self._state_lock:
+                self.sim_state = state
+                self._host_n_alive = int(jax.device_get(state.n_alive))
 
         with self._state_lock:
             for s in steps:

@@ -128,8 +128,7 @@ class _Op:
     # the schedule is host-precomputed (slot allocation is contiguous from
     # the spawn mark), so in-kernel emission is one masked write per tile.
     emit_n: int = 0
-    emit_E: object = None           # float or jnp-traceable f(key-free) const
-    emit_E_fn: Optional[Callable] = None  # f(u01 array) -> E array
+    emit_E: float = 0.0             # constant emitted energy (code units)
     emit_r: tuple = (0.0, 0.0, 0.0)
     emit_v: Optional[tuple] = None  # None => isotropic at c_val
     emit_sched_idx: int = 0         # which emit schedule row in dts input

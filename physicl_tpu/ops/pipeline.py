@@ -221,6 +221,7 @@ class FusedProvider:
             done = done_t
 
         n_valid = int(valid.sum())
+        hwm_before = self.hwm_h
         if n_valid:
             self.t_h = np.float32(ts[n_valid - 1])
             self.dt_h = np.float32(dts_after[n_valid - 1])
@@ -234,6 +235,13 @@ class FusedProvider:
             dt=jnp.asarray(float(self.dt_h), state.dt.dtype),
             n_spawned=jnp.asarray(self.hwm_h, jnp.int32),
         )
+        if self.hwm_h > hwm_before:
+            # the packed state carries no otype plane; mark in-kernel-emitted
+            # slots as photons so the generic path / materialization agree
+            idx = jnp.arange(state.capacity)
+            emitted = (idx >= hwm_before) & (idx < self.hwm_h)
+            new_state = new_state.replace(otype=jnp.where(
+                emitted, jnp.int32(OBJ_PHOTON), new_state.otype))
         self._last_state = new_state
         self._last_packed = packed
         # host stats for the engine (saves per-chunk device_get round trips)

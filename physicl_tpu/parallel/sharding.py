@@ -70,7 +70,7 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
     """Fused transport chunk under shard_map: each shard advances its local
     photons K iterations in VMEM; record rows cross chips as one psum.
 
-    Matches build_fused_chunk's signature: (packed (14,C), dts, seed, k_act)
+    Matches build_fused_chunk's signature: (packed (14,C), dts, emit_starts, seed, k_act)
     -> (packed, rec). Seeds are decorrelated per shard via axis_index.
     """
     from jax import shard_map

@@ -153,3 +153,21 @@ def test_emitter_slot_recycling_sustains_emission():
         assert len(ns) == 200
         tail = ns[-50:]
         assert abs(tail.mean() - n_star) / n_star < 0.1, (fuse, tail.mean())
+
+
+def test_fused_emitted_photons_have_photon_otype():
+    from physicl_tpu.state import OBJ_PHOTON
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.005, seed=0, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(100, E=2.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(50, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    otype = np.asarray(s.sim_state.otype)
+    alive = np.asarray(s.sim_state.alive)
+    assert np.all(otype[alive] == OBJ_PHOTON)
+    # materialization returns PhotonObject for emitted photons too
+    objs = list(s.objects)
+    assert all(type(o).__name__ == "PhotonObject" for o in objs)
