@@ -99,4 +99,8 @@ class ReflectingBoundaryStep(Step):
         r = jnp.where(under, 2 * lo - r, r)
         flip = over | under
         v = jnp.where(flip, -state.v, state.v)
-        return state.replace(r=r, v=v)
+        # keep dr consistent with the folded position (same-iteration
+        # plane-crossing tests compute the segment as [r - dr, r]); the
+        # straight old->folded segment approximates the two-leg bounce path
+        dr = r - (state.r - state.dr)
+        return state.replace(r=r, dr=dr, v=v)
