@@ -348,6 +348,9 @@ class Simulation(threading.Thread):
         self.capacity: Optional[int] = None
         self.max_record_bytes = 256 * 1024 * 1024
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
+        # generic-path PRNG: None = threefry (default, cross-backend
+        # reproducible); "rbg" = TPU hardware generator (faster fallback path)
+        self.prng_impl = None
         self.fused_tile_rows = 128
         self.mesh = None  # jax.sharding.Mesh: shard the particle axis
         # compact + shrink capacity when <1/4 of the buffer is alive
@@ -795,6 +798,7 @@ class Simulation(threading.Thread):
             state = SimState.from_population(
                 self._pending_objects, self._pending_bulk,
                 dtype=self.dtype, seed=self.seed, capacity=cap,
+                prng_impl=self.prng_impl,
             )
         if self.mesh is not None:
             from physicl_tpu.parallel.sharding import shard_state

@@ -93,8 +93,18 @@ class SimState:
         )
 
     @staticmethod
+    def make_key(seed: int, prng_impl: str | None = None):
+        """PRNG key for the generic path. ``prng_impl='rbg'`` uses the
+        hardware random-bit generator (faster on TPU; stream not reproducible
+        across backends); default is JAX's threefry."""
+        if prng_impl:
+            return jax.random.key(seed, impl=prng_impl)
+        return jax.random.PRNGKey(seed)
+
+    @staticmethod
     def from_population(objects, bulks=(), dtype=jnp.float32, seed: int = 0,
-                        capacity: int | None = None) -> "SimState":
+                        capacity: int | None = None,
+                        prng_impl: str | None = None) -> "SimState":
         """Build SoA state from host ``Object`` instances plus bulk populations.
 
         This replaces the reference's per-step gather/upload loops
@@ -136,7 +146,7 @@ class SimState:
                 otype=jnp.where(idx < k, jnp.int32(b["otype"]),
                                 jnp.int32(0)),
                 t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
-                key=jax.random.PRNGKey(seed),
+                key=SimState.make_key(seed, prng_impl),
                 n_spawned=jnp.asarray(k, jnp.int32),
             )
 
@@ -196,7 +206,7 @@ class SimState:
             a=jnp.asarray(vec["a"]), E=jnp.asarray(E),
             alive=jnp.asarray(alive), otype=jnp.asarray(otype),
             t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
-            key=jax.random.PRNGKey(seed),
+            key=SimState.make_key(seed, prng_impl),
             n_spawned=jnp.asarray(n, jnp.int32),
             extras={k: jnp.asarray(v) for k, v in extras.items()},
         )

@@ -336,3 +336,21 @@ def test_midrun_remove_requires_stable_slots():
     with _pytest.raises(RuntimeError):
         s.remove_obj(o)
     s.join()
+
+
+def test_prng_impl_rbg_option():
+    import physicl_tpu.light as light
+
+    s = phys.Simulation(exit=lambda v: v.t >= 0.010, seed=0, fuse="off",
+                        prng_impl="rbg")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=0.001, n=0.001))
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(20000, E=1.0))
+    s.start(); s.join()
+    shares = np.array([r[2] / r[1] for r in sign.data])
+    pcoll = 1e-6 * float(light.c) * 1e-3
+    expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(1, len(shares) + 1)
+    assert np.abs(shares - expect).max() < 0.02
