@@ -87,11 +87,13 @@ def main():
     jax.block_until_ready(light.planck_sample_E(
         N, 0.1 * kT, 12 * kT, T, bins=2000, device=True))
 
+    reps = 4
     t0 = time.perf_counter()
-    E_dev = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000, seed=1,
-                                  device=True)
-    jax.block_until_ready(E_dev)
-    gen_rate = N / (time.perf_counter() - t0)
+    for r in range(reps):
+        E_dev = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000,
+                                      seed=1 + r, device=True)
+    _ = np.asarray(jax.device_get(E_dev[:8]))  # D2H sync (relay-proof)
+    gen_rate = N * reps / (time.perf_counter() - t0)
     E = np.asarray(jax.device_get(E_dev[:1_000_000]))  # parity sample
     hist, edges = np.histogram(E, bins=40, range=(0.1 * kT, 12 * kT),
                                density=True)

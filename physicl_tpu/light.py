@@ -177,8 +177,13 @@ _planck_inv_cache: dict = {}
 _INV_TABLE = 4096
 
 
-@jax.jit
-def _interp_table(table, u):
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=2)
+def _sample_from_table(table, key, n):
+    """One fused dispatch: uniforms + inverse-CDF linear interpolation."""
+    u = jax.random.uniform(key, (n,), jnp.float32)
     x = u * (_INV_TABLE - 1)
     i0 = jnp.floor(x).astype(jnp.int32)
     frac = x - i0
@@ -209,11 +214,11 @@ def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
     """
     if key is None:
         key = jax.random.PRNGKey(seed)
-    u = jax.random.uniform(key, (int(n),), jnp.float32)
     if device:
         table = jnp.asarray(_planck_inverse_table(E_min, E_max, T, bins),
                             jnp.float32)
-        return _interp_table(table, u)
+        return _sample_from_table(table, key, int(n))
+    u = jax.random.uniform(key, (int(n),), jnp.float32)
     E, cdf = planck_cdf(E_min, E_max, T, bins)
     idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
                    0, len(E) - 1)
