@@ -344,9 +344,10 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
 
     fields = jax.lax.fori_loop(0, k_act, body, fields)
 
+    emits_energy = any(op.kind == "emit" for op in plan.ops)
     for i in range(_NF):
-        if i == _E:
-            continue  # energy never mutated by fusable ops
+        if i == _E and not emits_energy:
+            continue  # energy untouched unless an emitter writes it
         out_ref[i] = fields[i]
 
 

@@ -109,9 +109,11 @@ def test_emitter_fused_matches_generic():
         s.start(); s.join()
         assert s.used_fused == (fuse == "auto")
         res[fuse] = np.array([int(r[1]) for r in sign.data], float)
-    # same emission schedule, same expected decay: within a few % everywhere
-    rel = np.abs(res["auto"] - res["off"]) / np.maximum(res["off"], 1)
-    assert rel.max() < 0.05
+    # same emission schedule, same expected decay; independent RNG streams
+    # compound binomial noise, so the bound scales like sqrt(n)
+    hi = np.maximum(np.maximum(res["auto"], res["off"]), 1)
+    assert np.all(np.abs(res["auto"] - res["off"]) <= 6 * np.sqrt(hi)
+                  + 0.02 * hi)
 
 
 def test_emitter_fused_capacity_stop_matches_generic():
