@@ -461,12 +461,20 @@ class Simulation(threading.Thread):
         physicl/__init__.py:470-499)."""
         res: Dict[str, Any] = {}
         for d in jax.devices():
-            res[str(d)] = {
+            info = {
                 "platform": d.platform,
                 "id": d.id,
                 "process_index": d.process_index,
                 "device_kind": d.device_kind,
             }
+            try:  # HBM usage where the backend reports it
+                stats = d.memory_stats()
+                if stats:
+                    info["bytes_in_use"] = stats.get("bytes_in_use")
+                    info["bytes_limit"] = stats.get("bytes_limit")
+            except Exception:
+                pass
+            res[str(d)] = info
         return res
 
     @staticmethod
