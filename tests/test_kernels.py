@@ -91,3 +91,19 @@ def test_kernel_step_custom_physics():
     vmaxs = [row["vmax"] for row in step.data]
     c0 = float(light.c)
     assert np.allclose(vmaxs, [c0 / 2, c0 / 4, c0 / 8], rtol=1e-5)
+
+
+def test_kernel_program_against_running_sim_state():
+    """KernelProgram.run() reads the sim's live device state mid/post run."""
+    s = _sim_with_photons(500)
+    s.start(); s.join()
+
+    def body(valid, x, **kw):
+        return {"maxx": jnp.max(jnp.where(valid, x, -jnp.inf)) * jnp.ones(1)}
+
+    prog = KernelProgram(s, "peek", body)
+    prog.prep_metadata = [KernelInput(name="x", type="obj", obj_attr="r[0]")]
+    prog.output_metadata = [KernelOutput(name="maxx")]
+    out = prog.run()
+    # 3 iterations at c*dt
+    assert np.isclose(out["maxx"][0], 3 * float(light.c) * 0.001, rtol=1e-4)

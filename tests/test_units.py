@@ -126,3 +126,34 @@ def test_deepcopy():
     assert np.all(np.asarray(x.view(np.ndarray)) == np.asarray(y.view(np.ndarray)))
     assert y.units == x.units and y.scale == x.scale
     assert y.original_units is not x.original_units
+
+
+def test_accessor_strings():
+    x = phys.Measurement(2.0, "m**1")
+    assert x.fstr() == "2.0"
+    assert "2" in x.valstr()
+    y = phys.Measurement([1.0, 2.0], "eV**1")
+    assert y.unitstr() == "eV**1"
+
+
+def test_power_with_caret_operator():
+    # grammar accepts ^ as well as ** (reference regex, physicl/__init__.py:95)
+    a = phys.Measurement(3, "m^2 s^-1")
+    b = phys.Measurement(3, "m**2 s**-1")
+    assert a == b and a.units == b.units
+
+
+def test_division_by_plain_number():
+    v = phys.Measurement(10.0, "m**1 s**-1")
+    half = v / 2.0
+    assert float(half.view(np.ndarray)) == 5.0
+    # reference coercion semantics: the plain 2.0 adopts the FIRST operand's
+    # units before the divide, so the dimension powers cancel to zero
+    # (physicl/__init__.py:216,231-257; verified by the differential fuzz)
+    assert half.units == {"L": 0, "T": 0}
+
+
+def test_comparison_operators():
+    a = phys.Measurement(1, "au**1")
+    b = phys.Measurement(2 * 149597870700, "m**1")
+    assert bool(a < b) and bool(b > a) and not bool(a == b)
