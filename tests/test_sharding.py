@@ -92,3 +92,50 @@ def test_sharded_measurement_reductions_are_global():
     mesh = make_mesh()
     s, meas = _run(mesh, fuse="auto", seed=4, n=16384 * 8)
     assert int(meas.data[0][1]) == 16384 * 8
+
+
+def test_sharded_fused_emitter_windows_cross_shards():
+    """Emission windows are written piecewise when they straddle a shard
+    boundary; counts must be exact across the whole mesh."""
+    mesh = make_mesh()
+    # capacity 8 shards x 16384; emission of 3000/step starts at hwm=10000
+    # and repeatedly crosses the 16384-multiple shard boundaries
+    s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=0, mesh=mesh,
+                        capacity=16384 * 8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(3000, E=2.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(10000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    ns = [int(r[1]) for r in sign.data]
+    assert ns == [10000 + 3000 * (i + 1) for i in range(20)]
+    E = np.asarray(jax.device_get(s.sim_state.E))
+    alive = np.asarray(jax.device_get(s.sim_state.alive))
+    assert (E[alive] == 2.0).sum() == 60000
+    assert (E[alive] == 1.0).sum() == 10000
+
+
+def test_sharded_emitter_recycling_disabled_cleanly():
+    """Recycling compaction is mesh-incompatible (recycle_ok requires no
+    mesh); a source on a mesh runs until the arena fills, then stops
+    emitting — identical counts fused vs generic."""
+    mesh = make_mesh()
+    counts = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=1, mesh=mesh,
+                            capacity=16384 * 8, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(10000, E=1.0))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(2, sign)
+        s.add_photons(light.generate_photon_state(16384 * 8 - 25000, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        counts[fuse] = [int(r[1]) for r in sign.data]
+    assert counts["auto"] == counts["off"]
+    # two emissions fit (25000 // 10000), then the arena is full
+    n0 = 16384 * 8 - 25000
+    assert counts["auto"][:3] == [n0 + 10000, n0 + 20000, n0 + 20000]
