@@ -32,8 +32,8 @@ def main():
     from physicl_tpu.state import SimState
 
     N = 10_000_000
-    K = 256
-    REPS = 8
+    K = 1024
+    REPS = 4
 
     sim = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0, chunk_steps=K)
     sim.add_step(0, phys.UpdateTimeStep(lambda s: np.double(0.001)))

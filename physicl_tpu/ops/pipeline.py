@@ -446,7 +446,10 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     else:
         return None
 
-    chunk = int(sim.chunk_steps) if sim.chunk_steps else 256
+    # 1024 iterations per dispatch amortizes per-chunk host/dispatch overhead
+    # (device kernel: ~95ms per 256 iters at 1e7 photons; the dev relay adds
+    # ~40-80ms dead time per dispatch)
+    chunk = int(sim.chunk_steps) if sim.chunk_steps else 1024
     emit_total = sum(op.emit_n for op in ops if op.kind == "emit")
     if emit_total:
         # one chunk's emissions must fit in half the arena, or emission
