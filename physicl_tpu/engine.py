@@ -241,12 +241,14 @@ class _PendingPopulation:
             r = np.asarray(b["r"])
             for i in range(int(b["n"])):
                 o = PhotonObject.__new__(PhotonObject)
-                o.r = Measurement(list(r[:, i]), "m**1")
-                o.dr = Measurement([0.0] * 3, "m**1")
-                o.v = Measurement(list(v[:, i]), "m**1 s**-1")
-                o.dv = Measurement([0.0] * 3, "m**1 s**-1")
-                o.a = Measurement([0.0] * 3, "m**1 s**-2")
-                o.E = Measurement(float(E[i]), "J**1")
+                # bulk arrays store code-unit values (generate_photon_state
+                # applies raw_code_value): wrap without re-scaling
+                o.r = Measurement.from_code(r[:, i], "m**1")
+                o.dr = Measurement.from_code([0.0] * 3, "m**1")
+                o.v = Measurement.from_code(v[:, i], "m**1 s**-1")
+                o.dv = Measurement.from_code([0.0] * 3, "m**1 s**-1")
+                o.a = Measurement.from_code([0.0] * 3, "m**1 s**-2")
+                o.E = Measurement.from_code(float(E[i]), "J**1")
                 out.append(o)
         return out
 
@@ -532,12 +534,14 @@ class Simulation(threading.Thread):
                 o = PhotonObject.__new__(PhotonObject)
             else:
                 o = Object.__new__(Object)
-            o.r = Measurement(list(host["r"][:, i]), "m**1")
-            o.dr = Measurement(list(host["dr"][:, i]), "m**1")
-            o.v = Measurement(list(host["v"][:, i]), "m**1 s**-1")
-            o.dv = Measurement(list(host["dv"][:, i]), "m**1 s**-1")
-            o.a = Measurement(list(host["a"][:, i]), "m**1 s**-2")
-            o.E = Measurement(float(host["E"][i]), "J**1")
+            # Device state is already in code units: wrap with from_code so a
+            # non-unit set_code_scale is not applied a second time.
+            o.r = Measurement.from_code(host["r"][:, i], "m**1")
+            o.dr = Measurement.from_code(host["dr"][:, i], "m**1")
+            o.v = Measurement.from_code(host["v"][:, i], "m**1 s**-1")
+            o.dv = Measurement.from_code(host["dv"][:, i], "m**1 s**-1")
+            o.a = Measurement.from_code(host["a"][:, i], "m**1 s**-2")
+            o.E = Measurement.from_code(float(host["E"][i]), "J**1")
             for name, arr in host["extras"].items():
                 setattr(o, name,
                         arr[..., i] if arr.ndim == 2 else float(arr[i]))
@@ -871,8 +875,8 @@ class Simulation(threading.Thread):
                     self._host_t = float(jax.device_get(state.t))
                     self._host_dt = float(jax.device_get(state.dt))
                     self._host_n_alive = int(jax.device_get(state.n_alive))
-                self.t = Measurement(self._host_t, "s**1")
-                self.dt = Measurement(self._host_dt, "s**1")
+                self.t = Measurement.from_code(self._host_t, "s**1")
+                self.dt = Measurement.from_code(self._host_dt, "s**1")
             for s in steps:
                 prefix = f"{s._step_uid}/"
                 local = {

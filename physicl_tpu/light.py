@@ -165,12 +165,17 @@ def planck_cdf(E_min, E_max, T, bins: int = 1000):
 
 def planck_phot_distribution(E_min, E_max, T, bins: int = 1000):
     """Inverse-CDF sample ONE photon energy (API parity with
-    physicl/light.py:73-106; the reference's possible ``None`` return on the
-    first bin is a documented quirk we fix by always returning a valid bin)."""
+    physicl/light.py:73-106).
+
+    Bin convention matches the reference exactly: a draw landing in mass bin
+    ``x`` (``cdf[x-1] <= rand <= cdf[x]``) returns the bin's lower energy
+    edge ``E[x]`` (physicl/light.py:101-104). The reference's possible
+    ``None`` return when ``rand`` falls below ``cdf[0]`` is a documented
+    quirk we fix by returning the first edge ``E[0]`` instead."""
     E, cdf = planck_cdf(E_min, E_max, T, bins)
     rand = np.random.rand()
     idx = int(np.searchsorted(cdf, rand, side="left"))
-    return Measurement(E[min(idx + 1, len(E) - 1)], "J**1")
+    return Measurement(E[min(idx, len(E) - 1)], "J**1")
 
 
 _planck_inv_cache: dict = {}
@@ -292,7 +297,9 @@ def planck_sample_E(n, E_min, E_max, T, bins: int = 1000, key=None,
         return _sample_from_table(table, key, int(n))
     u = jax.random.uniform(key, (int(n),), jnp.float32)
     E, cdf = planck_cdf(E_min, E_max, T, bins)
-    idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u) + 1,
+    # lower-edge bin convention, matching the reference scan and
+    # planck_phot_distribution above
+    idx = jnp.clip(jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u),
                    0, len(E) - 1)
     return E[np.asarray(idx)]  # gather in host float64, exact bin edges
 

@@ -93,14 +93,20 @@ class ReflectingBoundaryStep(Step):
         b = self.bounds if self.bounds is not None else self._sim_bounds
         lo, hi = _bounds_arrays(b, state.r.dtype)
         lo, hi = lo[:, None], hi[:, None]
-        over = state.r > hi
-        under = state.r < lo
-        r = jnp.where(over, 2 * hi - state.r, state.r)
-        r = jnp.where(under, 2 * lo - r, r)
-        flip = over | under
-        v = jnp.where(flip, -state.v, state.v)
+        # Triangle-wave fold: maps ANY overshoot (even > one box width, i.e.
+        # multiple wall bounces in one dt) back inside [lo, hi]. y in [0, 2L)
+        # parameterizes one full reflection period; the descending half
+        # (y > L) is a position reflected an odd number of times, so the
+        # velocity component flips there.
+        L = hi - lo
+        y = jnp.mod(state.r - lo, 2 * L)
+        odd = y > L
+        r = lo + jnp.where(odd, 2 * L - y, y)
+        outside = (state.r > hi) | (state.r < lo)
+        v = jnp.where(outside & odd, -state.v, state.v)
+        r = jnp.where(outside, r, state.r)
         # keep dr consistent with the folded position (same-iteration
         # plane-crossing tests compute the segment as [r - dr, r]); the
-        # straight old->folded segment approximates the two-leg bounce path
+        # straight old->folded segment approximates the multi-leg bounce path
         dr = r - (state.r - state.dr)
         return state.replace(r=r, dr=dr, v=v)

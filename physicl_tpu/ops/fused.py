@@ -344,10 +344,11 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
 
     fields = jax.lax.fori_loop(0, k_act, body, fields)
 
-    emits_energy = any(op.kind == "emit" for op in plan.ops)
+    # Write EVERY plane, including untouched ones like E: Pallas TPU output
+    # windows are copied back wholesale and are NOT guaranteed to be
+    # initialized from the input_output_aliases'd input, so skipping a plane
+    # store can corrupt it at chunk boundaries. One plane store is negligible.
     for i in range(_NF):
-        if i == _E and not emits_energy:
-            continue  # energy untouched unless an emitter writes it
         out_ref[i] = fields[i]
 
 

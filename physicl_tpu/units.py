@@ -205,6 +205,19 @@ class Measurement(np.ndarray):
         res.original_units = dict(original_units)
         return res
 
+    @staticmethod
+    def from_code(raw, units: str = "") -> "Measurement":
+        """Wrap a value that is ALREADY in code units (device readback path).
+
+        ``Measurement(raw, units)`` treats ``raw`` as being in the stated
+        units and multiplies the global code scale in; device state is already
+        code-scaled, so host readbacks must use this constructor instead or
+        every value comes back wrong by the scale factor under a non-unit
+        ``set_code_scale``.
+        """
+        scale, dims, original = _parse_units(units)
+        return Measurement._wrap(raw, scale, dims, original)
+
     def __array_finalize__(self, obj):
         if obj is None:
             return

@@ -63,3 +63,29 @@ def test_trace_as_arrays():
     rows = trace.data
     assert len(rows) == 5
     assert np.isclose(rows[1][1][0], pos[0, 0, 0])
+
+
+def test_reflecting_boundary_multi_width_overshoot():
+    """A particle overshooting the box by more than one box width must fold
+    back inside (triangle-wave fold), with the velocity sign tracking the
+    parity of wall bounces."""
+    # box [0, 0.025] wide 0.025; v=100 -> dr=0.1 per iter = 4 box widths
+    s = _beam_sim(newton.ReflectingBoundaryStep(
+        np.array([[0.0, 0.025], [-1, 1], [-1, 1]])), t_end=0.001, v=100.0)
+    s.start(); s.join()
+    o = list(s.objects)[0]
+    x = float(o.r[0])
+    assert 0.0 <= x <= 0.025, f"particle left the box: {x}"
+    # r=0.1 -> y=mod(0.1, 0.05)=0.0 -> even #bounces -> v unchanged
+    assert np.isclose(x, 0.0, atol=1e-6)
+    assert np.isclose(float(o.v[0]), 100.0, rtol=1e-6)
+
+
+def test_reflecting_boundary_odd_overshoot():
+    # v=30 -> dr=0.03: y=mod(0.03,0.05)=0.03>L=0.025 -> odd -> flip
+    s = _beam_sim(newton.ReflectingBoundaryStep(
+        np.array([[0.0, 0.025], [-1, 1], [-1, 1]])), t_end=0.001, v=30.0)
+    s.start(); s.join()
+    o = list(s.objects)[0]
+    assert np.isclose(float(o.r[0]), 0.02, rtol=1e-4)  # 2L - y = 0.05-0.03
+    assert np.isclose(float(o.v[0]), -30.0, rtol=1e-6)

@@ -354,3 +354,32 @@ def test_prng_impl_rbg_option():
     pcoll = 1e-6 * float(light.c) * 1e-3
     expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(1, len(shares) + 1)
     assert np.abs(shares - expect).max() < 0.02
+
+
+def test_host_readback_under_code_scale():
+    """Host-visible positions/velocities/E and sim.t must be correct under a
+    non-unit code scale (readbacks wrap device values with from_code instead
+    of re-applying the scale at construction)."""
+    import physicl_tpu.light as light
+
+    phys.set_code_scale("m", 0.001)  # mm code units
+    light.refresh_constants()
+    try:
+        s = phys.Simulation(exit=lambda v: v.t >= 0.003, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        o = phys.Object(v=phys.Measurement([10.0, 0, 0], "m**1 s**-1"))
+        s.add_obj(o)
+        s.start(); s.join()
+        out = list(s.objects)[0]
+        # 3 iterations of dt=1e-3 at 10 m/s -> 0.03 m; the m code scale is
+        # 0.001, so the stored code value is 0.03 * 0.001 = 3e-5
+        assert np.isclose(float(np.asarray(out.r.view(np.ndarray))[0]),
+                          3e-5, rtol=1e-4), "raw code value wrong"
+        assert np.isclose(float(out.r.value()[0]), 0.03, rtol=1e-4), \
+            "value() must convert back to meters"
+        assert np.isclose(float(out.v.value()[0]), 10.0, rtol=1e-5)
+        assert np.isclose(float(s.t.value()), 0.003, rtol=1e-5)
+    finally:
+        phys.reset_code_scale("m")
+        light.refresh_constants()
