@@ -48,7 +48,16 @@ def main():
     for s in steps:
         s.setup(sim)
     provider = try_build_fused(sim, steps, state)
-    assert provider is not None, "flagship pipeline must fuse"
+    used_fused = provider is not None
+    if provider is None:
+        # A fusability regression must be VISIBLE in BENCH_r*.json (as a much
+        # lower, "fused": false number), not kill the benchmark.
+        chunk_fn = sim._build_chunk_fn(
+            steps, lambda view: sim.exit(view), K, state)
+
+        def provider(st):
+            st, done, records, valid = chunk_fn(st)
+            return st, done, jax.device_get(records), valid
 
     # Warmup (compile + relay pipeline fill) + hard sync via D2H.
     for _ in range(2):
@@ -79,6 +88,7 @@ def main():
         "value": round(value, 1),
         "unit": "photon-steps/s",
         "vs_baseline": round(value / baseline, 1),
+        "fused": used_fused,
     }))
 
 

@@ -713,7 +713,26 @@ class Simulation(threading.Thread):
             return 256
         return int(np.clip(self.max_record_bytes // max(bytes_per_iter, 1), 1, 256))
 
-    def _build_chunk_fn(self, steps: List[Step], exit_traced: bool, chunk: int,
+    def _exit_traced_fn(self, state: SimState):
+        """The device-traceable exit predicate for the generic path, or None.
+
+        Three tiers (cheapest first): the user predicate traces directly;
+        else, if it empirically behaves as 'no objects left' on sampled host
+        views (the reference-idiomatic ``lambda x: len(x.objects) == 0``,
+        physicl/__init__.py:414 — untraceable because ``len`` cannot return a
+        tracer), substitute the equivalent device test ``n_alive == 0`` so
+        the run keeps chunked scans instead of dropping to one host round
+        trip per iteration; else None (host-exact mode, chunk=1).
+        """
+        if self._probe_exit_traceable(state):
+            return lambda view: self.exit(view)
+        from physicl_tpu.ops.pipeline import _probe_extinction
+
+        if _probe_extinction(self.exit):
+            return lambda view: view.n_objects == 0
+        return None
+
+    def _build_chunk_fn(self, steps: List[Step], exit_fn, chunk: int,
                         state0: SimState):
         def run_iter(state: SimState):
             key, iter_key = jax.random.split(state.key)
@@ -728,9 +747,9 @@ class Simulation(threading.Thread):
 
         def body(carry, _):
             state, done = carry
-            if exit_traced:
+            if exit_fn is not None:
                 done = done | jnp.asarray(
-                    self.exit(_TracedView(state, self)), jnp.bool_
+                    exit_fn(_TracedView(state, self)), jnp.bool_
                 )
 
             def live(state):
@@ -836,9 +855,11 @@ class Simulation(threading.Thread):
 
         if provider is not None:
             exit_traced = True  # provider owns exit handling via `done`
+            exit_fn = None      # (re-derived if injection forces a fallback)
             chunk_fn = provider
         else:
-            exit_traced = self._probe_exit_traceable(state)
+            exit_fn = self._exit_traced_fn(state)
+            exit_traced = exit_fn is not None
             if not exit_traced:
                 # host-exact mode: the predicate must be checked every
                 # iteration; a larger chunk_steps would overshoot the exit
@@ -852,7 +873,8 @@ class Simulation(threading.Thread):
                 # recycle only at chunk boundaries)
                 chunk = max(1, min(chunk,
                                    (state.capacity // 2) // emit_per_iter))
-            chunk_fn = self._build_chunk_fn(steps, exit_traced, chunk, state)
+            self.chunk_used = chunk  # observability: 1 == host-exact mode
+            chunk_fn = self._build_chunk_fn(steps, exit_fn, chunk, state)
 
         while True:
             if not exit_traced:
@@ -931,7 +953,7 @@ class Simulation(threading.Thread):
                         provider.invalidate()
                     else:
                         chunk_fn = self._build_chunk_fn(
-                            steps, exit_traced, chunk, state)
+                            steps, exit_fn, chunk, state)
 
             if self._pending_remove:
                 with self._inject_lock:
@@ -962,7 +984,8 @@ class Simulation(threading.Thread):
                         # to the generic scan path for the rest of the run
                         provider = None
                         self.used_fused = False
-                        exit_traced = self._probe_exit_traceable(state)
+                        exit_fn = self._exit_traced_fn(state)
+                        exit_traced = exit_fn is not None
                         chunk = 1 if not exit_traced else (
                             int(self.chunk_steps) if self.chunk_steps
                             else self._auto_chunk(steps, state))
@@ -971,10 +994,10 @@ class Simulation(threading.Thread):
                                 chunk,
                                 (state.capacity // 2) // emit_per_iter))
                         chunk_fn = self._build_chunk_fn(
-                            steps, exit_traced, chunk, state)
+                            steps, exit_fn, chunk, state)
                 elif state.capacity != old_cap:
                     chunk_fn = self._build_chunk_fn(
-                        steps, exit_traced, chunk, state)
+                        steps, exit_fn, chunk, state)
 
         if self._pending_remove:  # removals queued during the final chunk
             with self._inject_lock:

@@ -383,3 +383,48 @@ def test_host_readback_under_code_scale():
     finally:
         phys.reset_code_scale("m")
         light.refresh_constants()
+
+
+def test_host_extinction_predicate_gets_chunked_scans():
+    """The reference-idiomatic host predicate ``len(x.objects) == 0`` is
+    untraceable; the engine must detect it behaves as extinction and keep
+    chunked scans (not drop to one host round trip per iteration)."""
+    import physicl_tpu.light as light
+
+    def run(exit_fn):
+        s = phys.Simulation(exit=exit_fn, seed=7, fuse="off")
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(n=np.double(2.0),
+                                              A=np.double(2.0)))
+        s.add_photons(light.generate_photon_state(2000, E=1.0))
+        s.start(); s.join()
+        return s
+
+    s_host = run(lambda x: len(x.objects) == 0)
+    assert s_host.chunk_used > 1, "extinction probe must enable chunking"
+    assert len(s_host.objects) == 0
+    # identical results to the natively traceable form of the same predicate
+    s_traced = run(lambda v: v.n_objects == 0)
+    assert s_host.ts == s_traced.ts
+
+
+def test_host_only_predicate_still_exact():
+    """A predicate that genuinely needs host values stays in chunk=1 mode."""
+    import physicl_tpu.light as light
+
+    seen = []
+
+    def ex(x):
+        # touches materialized objects -> not traceable, not extinction-shaped
+        n_right = sum(1 for o in x.objects if float(o.r[0]) > 0.0025)
+        seen.append(n_right)
+        return n_right >= 1
+
+    s = phys.Simulation(exit=ex, seed=0, fuse="off")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+    s.start(); s.join()
+    assert s.chunk_used == 1
+    assert len(s.ts) == 3  # crosses 0.002 after iteration 3 (r=0.003)
