@@ -29,13 +29,20 @@ for label, fn in [
     sim.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
     sim.add_step(2, light.ScatterSphericalStep(
         A=0.001, variable_n=True, variable_n_fn=fn))
+    # photons escaping the 6000 km simulation box are absorbed — the full
+    # atmosphere scenario (lambda^-4-ready scatter + variable n + boundary)
+    # stays on the fused Pallas fast path
+    box = 6.0e6
+    sim.add_step(3, physicl_tpu.newton.AbsorbingBoundaryStep(
+        np.array([[-box, box], [-box, box], [-box, box]])))
     sign = light.ScatterSignMeasureStep(None, True)
-    sim.add_step(3, sign)
+    sim.add_step(4, sign)
     # photons moving straight up (+z): scattering rate decays as they climb
     v = np.zeros((3, 1)); v[2, 0] = float(light.c)
     sim.add_photons(light.generate_photon_state(50_000, E=1.0, v=v))
     sim.start()
     sim.join()
-    zp_share = [row[4] / row[1] for row in sign.data]
-    print(f"{label:9s}: +z share by iteration "
+    assert sim.used_fused, "atmosphere scenario must stay on the fused path"
+    zp_share = [row[4] / max(row[1], 1) for row in sign.data]
+    print(f"{label:9s}: fused={sim.used_fused} +z share by iteration "
           f"{['%.3f' % x for x in zp_share[:6]]} ... {zp_share[-1]:.3f}")

@@ -117,8 +117,9 @@ class _Rng:
 
 @dataclasses.dataclass
 class _Op:
-    kind: str                  # "kin"|"del"|"iso"|"sign"|"cross"|"emit"
+    kind: str  # "kin"|"del"|"iso"|"sign"|"cross"|"emit"|"absorb"|"reflect"
     coef: float = 0.0               # folded A*n (del/iso)
+    bounds: tuple = ()              # ((lo, hi) per axis,) for absorb/reflect
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
     n_fn: Optional[Callable] = None  # variable n(r) (iso)
     c_val: float = 0.0              # |v| for resampled photons (iso)
@@ -286,6 +287,31 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     f[_VX + d] = jnp.where(mask, cval * comp, f[_VX + d])
             alive_b = alive_b | mask
             f[_ALIVE] = alive_b.astype(jnp.float32)
+        elif op.kind == "absorb":
+            # kill particles that left the box (newton.AbsorbingBoundaryStep)
+            inside = None
+            for d, (lo, hi) in enumerate(op.bounds):
+                ok = (f[_RX + d] >= jnp.float32(lo)) & (
+                    f[_RX + d] <= jnp.float32(hi))
+                inside = ok if inside is None else (inside & ok)
+            alive_b = alive_b & inside
+            f[_ALIVE] = alive_b.astype(jnp.float32)
+        elif op.kind == "reflect":
+            # triangle-wave fold per axis (newton.ReflectingBoundaryStep):
+            # handles arbitrary overshoot; odd fold parity flips the velocity
+            for d, (lo, hi) in enumerate(op.bounds):
+                lo_f, hi_f = jnp.float32(lo), jnp.float32(hi)
+                L = hi_f - lo_f
+                r0 = f[_RX + d]
+                y = jnp.mod(r0 - lo_f, 2 * L)
+                odd = y > L
+                folded = lo_f + jnp.where(odd, 2 * L - y, y)
+                outside = (r0 > hi_f) | (r0 < lo_f)
+                r1 = jnp.where(outside, folded, r0)
+                f[_VX + d] = jnp.where(outside & odd, -f[_VX + d],
+                                       f[_VX + d])
+                f[_DRX + d] = r1 - (r0 - f[_DRX + d])
+                f[_RX + d] = r1
         elif op.kind == "sign":
             n_col, sx_col = op.cols
             if n_col >= 0:

@@ -5,8 +5,10 @@ Fusability requirements (everything else falls back to the generic scan):
 
 * steps are exactly: one ``UpdateTimeStep`` whose dt function depends on at
   most ``(t, dt)``, plus any mix of ``NewtonianKinematicsStep``,
-  ``ScatterDeleteStep``, ``ScatterIsotropicStep``, ``ScatterSignMeasureStep``
-  and ``ScatterMeasureStep`` (without energy capture);
+  ``ScatterDeleteStep``, ``ScatterIsotropicStep``, ``AbsorbingBoundaryStep``,
+  ``ReflectingBoundaryStep``, ``PhotonEmitterStep``,
+  ``ScatterSignMeasureStep`` and ``ScatterMeasureStep`` (without per-photon
+  energy-list capture);
 * the population is photons only (the fused kernel elides per-particle type
   dispatch; mixed populations use the generic path);
 * the exit predicate is either *t-only* (the exact exit iteration is
@@ -276,7 +278,12 @@ class FusedProvider:
 def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     """Return a FusedProvider if the sim is provably fusable, else None."""
     from physicl_tpu.engine import UpdateTimeStep
-    from physicl_tpu.newton import NewtonianKinematicsStep
+    from physicl_tpu.newton import (
+        AbsorbingBoundaryStep,
+        NewtonianKinematicsStep,
+        ReflectingBoundaryStep,
+        _static_bounds,
+    )
     from physicl_tpu.light import (
         PhotonEmitterStep,
         ScatterDeleteStep,
@@ -324,6 +331,12 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
             ops.append(F._Op("kin"))
         elif type(s) is ScatterDeleteStep:
             ops.append(F._Op("del", coef=s.A * s.n))
+        elif type(s) is AbsorbingBoundaryStep:
+            s.setup(sim)
+            ops.append(F._Op("absorb", bounds=_static_bounds(s, sim)))
+        elif type(s) is ReflectingBoundaryStep:
+            s.setup(sim)
+            ops.append(F._Op("reflect", bounds=_static_bounds(s, sim)))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
             ops.append(F._Op(
@@ -394,11 +407,18 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     scatter_positions = [i for i, op in enumerate(ops)
                          if op.kind in ("del", "iso")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
+    reflect_positions = [i for i, op in enumerate(ops)
+                         if op.kind == "reflect"]
     if (len(kin_positions) == 1 and scatter_positions
             and all(p > kin_positions[0] for p in scatter_positions)
             # photons emitted after kinematics carry dr=0 until the next
             # iteration; const-norm would wrongly charge them a full step
-            and all(p < kin_positions[0] for p in emit_positions)):
+            and all(p < kin_positions[0] for p in emit_positions)
+            # a reflection folds dr, so a scatter op downstream of it must
+            # use the computed |dr|, not c*dt
+            and not any(kin_positions[0] < q < p
+                        for q in reflect_positions
+                        for p in scatter_positions)):
         speeds = []
         for o in sim._pending_objects:
             speeds.append(float(np.linalg.norm(
@@ -437,7 +457,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         exit_mode = "t"
     elif _probe_extinction(sim.exit):
         exit_mode = "n0"
-        if not any(op.kind == "del" for op in ops):
+        if not any(op.kind in ("del", "absorb") for op in ops):
             return None  # nothing can ever die: predicate never fires
         if any(op.kind == "emit" for op in ops):
             # post-extinction device emissions could not be rolled back by

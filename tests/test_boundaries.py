@@ -89,3 +89,80 @@ def test_reflecting_boundary_odd_overshoot():
     o = list(s.objects)[0]
     assert np.isclose(float(o.r[0]), 0.02, rtol=1e-4)  # 2L - y = 0.05-0.03
     assert np.isclose(float(o.v[0]), -30.0, rtol=1e-6)
+
+
+def _photon_box_sim(boundary_step, fuse, n=4096, t_end=0.005, seed=3):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=0.001, n=0.001))
+    s.add_step(3, boundary_step)
+    meas = light.ScatterSignMeasureStep(None, True)
+    s.add_step(4, meas)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    return s, meas
+
+
+def test_absorbing_boundary_fuses():
+    """Absorbing boundary + scatter stays on the fused path with statistics
+    matching the generic scan (same seed-independent invariants)."""
+    L = float(light.c) * 0.003  # box soaks up ~everything by iteration 3-4
+    box = np.array([[-L, L], [-L, L], [-L, L]])
+    s_f, m_f = _photon_box_sim(newton.AbsorbingBoundaryStep(box), "auto")
+    assert s_f.used_fused
+    s_g, m_g = _photon_box_sim(newton.AbsorbingBoundaryStep(box), "off")
+    assert not s_g.used_fused
+    n_f = np.array([r[1] for r in m_f.data], float)
+    n_g = np.array([r[1] for r in m_g.data], float)
+    # unscattered photons all exit at the same iteration; scattered ones
+    # differ per RNG stream — counts agree within the scattered fraction
+    assert n_f.shape == n_g.shape
+    assert np.all(np.abs(n_f - n_g) <= 0.02 * 4096 + 8)
+
+
+def test_reflecting_boundary_fuses_and_matches_generic():
+    L = float(light.c) * 0.0025  # reflects the beam mid-run
+    box = np.array([[-L, L], [-L, L], [-L, L]])
+    s_f, m_f = _photon_box_sim(newton.ReflectingBoundaryStep(box), "auto")
+    assert s_f.used_fused
+    s_g, m_g = _photon_box_sim(newton.ReflectingBoundaryStep(box), "off")
+    # +x sign counts collapse after the wall bounce on both paths (pcoll is
+    # ~0.3/iter here, so ~15% have already scattered at the first measure)
+    sx_f = np.array([r[2] for r in m_f.data], float)
+    sx_g = np.array([r[2] for r in m_g.data], float)
+    for sx in (sx_f, sx_g):
+        assert 0.80 * 4096 < sx[0] <= 4096
+        assert sx[-1] < 0.45 * 4096
+    assert np.all(np.abs(sx_f - sx_g) <= 0.03 * 4096 + 8)
+    # no photon may end outside the box on either path
+    for s in (s_f, s_g):
+        r = np.asarray(s.sim_state.r)[:, :4096]
+        assert np.all(np.abs(r) <= L * (1 + 1e-5))
+
+
+def test_reflect_before_scatter_disables_const_norm_but_fuses():
+    """kin -> reflect -> scatter must still fuse, with the scatter op using
+    the computed |dr| (reflection folds dr), and match the generic path."""
+    L = float(light.c) * 0.0015
+    box = np.array([[-L, L], [-L, L], [-L, L]])
+
+    def build(fuse):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.004, seed=5, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, newton.NewtonianKinematicsStep())
+        s.add_step(2, newton.ReflectingBoundaryStep(box))
+        s.add_step(3, light.ScatterDeleteStep(n=0.01, A=0.01))
+        meas = light.ScatterMeasureStep(None, True)
+        s.add_step(4, meas)
+        s.add_photons(light.generate_photon_state(4096, E=1.0))
+        s.start(); s.join()
+        return s, meas
+
+    s_f, m_f = build("auto")
+    assert s_f.used_fused
+    s_g, m_g = build("off")
+    n_f = np.array([r[1] for r in m_f.data], float)
+    n_g = np.array([r[1] for r in m_g.data], float)
+    assert n_f.shape == n_g.shape
+    assert np.all(np.abs(n_f - n_g) <= 0.03 * 4096 + 8)
