@@ -844,6 +844,11 @@ class Simulation(threading.Thread):
         steps = self._ordered_steps()
         for s in steps:
             s.setup(self)
+        # record channels that must stay device-resident (path tracing):
+        # the engine never device_gets them; the owning step holds the jax
+        # arrays and the host sees them only on explicit assembly
+        dev_keys = {f"{s._step_uid}/{nm}" for s in steps
+                    for nm in getattr(s, "device_records", ())}
 
         provider = None
         if self.fuse == "auto":
@@ -885,7 +890,13 @@ class Simulation(threading.Thread):
             state, done, records, valid = chunk_fn(state)
             valid_np = np.asarray(jax.device_get(valid))
             n_valid = int(valid_np.sum())
-            records_np = jax.device_get(records)
+            if dev_keys:
+                records_np = jax.device_get(
+                    {k: v for k, v in records.items() if k not in dev_keys})
+                records_np.update(
+                    {k: v for k, v in records.items() if k in dev_keys})
+            else:
+                records_np = jax.device_get(records)
             stats = getattr(chunk_fn, "host_stats", None)
             with self._state_lock:
                 self.sim_state = state
@@ -902,7 +913,8 @@ class Simulation(threading.Thread):
             for s in steps:
                 prefix = f"{s._step_uid}/"
                 local = {
-                    k[len(prefix):]: np.asarray(v)[:n_valid]
+                    k[len(prefix):]: (v[:n_valid] if k in dev_keys
+                                      else np.asarray(v)[:n_valid])
                     for k, v in records_np.items()
                     if k.startswith(prefix)
                 }

@@ -700,10 +700,19 @@ class TracePathMeasureStep(MeasureStep):
     """Records every object's position each iteration; ``terminate`` reshapes to
     the reference's t-aligned matrix (physicl/light.py:433-483): first row
     ``["t", t0, ...]``, then per object ``[id_info(, freq), r vectors..., NaN
-    padding after death]``. Positions stream to host once per chunk (chunk size
-    is auto-limited by the engine's record-buffer budget)."""
+    padding after death]``.
+
+    TPU-native design: per-iteration positions are DEVICE-RESIDENT — the
+    fused kernel DMAs them to an HBM stream buffer (and the generic scan
+    keeps its record ys on device via the engine's device-records channel);
+    nothing crosses to the host until the trace matrix is assembled
+    (``data`` / ``as_arrays`` / CSV terminate). Device chunks beyond
+    ``device_hold_bytes`` spill to host RAM oldest-first so HBM stays
+    bounded on long runs."""
 
     needs_stable_ids = True  # disables engine auto-shrink compaction
+    device_records = ("pos", "alive", "scat")
+    device_hold_bytes = 4 << 30
     _data_override = None
     _cached_rows = None
 
@@ -714,9 +723,9 @@ class TracePathMeasureStep(MeasureStep):
         self.trace_type = trace_type
         self.id_info_fn = id_info_fn
         self.trace_dv = trace_dv
-        self._pos: List[np.ndarray] = []
-        self._alive: List[np.ndarray] = []
-        self._freq: Optional[np.ndarray] = None
+        self._pos: List = []    # (k, 3, C) per chunk — jax or (spilled) np
+        self._alive: List = []  # (k, C) per chunk
+        self._freq = None       # (C,) scatter-event counts (device)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         ctx.record(self, "pos", state.r)
@@ -727,16 +736,34 @@ class TracePathMeasureStep(MeasureStep):
         return state
 
     def collect(self, sim: Simulation, records) -> None:
-        self._pos.append(np.asarray(records["pos"]))      # (k, 3, C)
-        self._alive.append(np.asarray(records["alive"]))  # (k, C)
-        if self.trace_dv:
-            s = np.sum(np.asarray(records["scat"]), axis=0)
+        self._pos.append(records["pos"])      # (k, 3, C)
+        self._alive.append(records["alive"])  # (k, C)
+        if self.trace_dv and "scat" in records:
+            s = jnp.sum(jnp.asarray(records["scat"]).astype(jnp.int32),
+                        axis=0)
             if self._freq is None:
                 self._freq = s
             else:  # capacity can grow between chunks (mid-run injection)
-                m = max(len(s), len(self._freq))
-                self._freq = (np.pad(self._freq, (0, m - len(self._freq)))
-                              + np.pad(s, (0, m - len(s))))
+                m = max(s.shape[0], self._freq.shape[0])
+                self._freq = (
+                    jnp.pad(self._freq, (0, m - self._freq.shape[0]))
+                    + jnp.pad(s, (0, m - s.shape[0])))
+        self._maybe_spill()
+
+    def _maybe_spill(self) -> None:
+        """Move the oldest device-held chunks to host RAM once the total
+        device footprint exceeds ``device_hold_bytes``."""
+        total = sum(int(p.nbytes) for p in self._pos
+                    if isinstance(p, jax.Array))
+        if total <= self.device_hold_bytes:
+            return
+        for i in range(len(self._pos)):
+            if total <= self.device_hold_bytes:
+                break
+            if isinstance(self._pos[i], jax.Array):
+                total -= int(self._pos[i].nbytes)
+                self._pos[i] = np.asarray(jax.device_get(self._pos[i]))
+                self._alive[i] = np.asarray(jax.device_get(self._alive[i]))
 
     @property
     def data(self):
@@ -754,17 +781,25 @@ class TracePathMeasureStep(MeasureStep):
         self._data_override = value
 
     def as_arrays(self):
-        """Dense trace: (ts list, positions (T, 3, C), alive (T, C), freq)."""
+        """Dense trace: (ts list, positions (T, 3, C), alive (T, C), freq).
+
+        This is the host-assembly point: device-held chunks are fetched here
+        (one transfer per chunk), not during the run.
+        """
         if not self._pos:
             return [], np.zeros((0, 3, 0)), np.zeros((0, 0), bool), None
-        cmax = max(p.shape[-1] for p in self._pos)
+        pos_l = [np.asarray(jax.device_get(p)) for p in self._pos]
+        alive_l = [np.asarray(jax.device_get(a)) for a in self._alive]
+        cmax = max(p.shape[-1] for p in pos_l)
         pos = np.concatenate(
             [np.pad(p, ((0, 0), (0, 0), (0, cmax - p.shape[-1])))
-             for p in self._pos], axis=0)            # (T, 3, C)
+             for p in pos_l], axis=0)            # (T, 3, C)
         alive = np.concatenate(
             [np.pad(a, ((0, 0), (0, cmax - a.shape[-1])))
-             for a in self._alive], axis=0)          # (T, C)
-        return self._ts, pos, alive, self._freq
+             for a in alive_l], axis=0)          # (T, C)
+        freq = (None if self._freq is None
+                else np.asarray(jax.device_get(self._freq)))
+        return self._ts, pos, alive, freq
 
     def _build_rows(self):
         ts, pos, alive, freq = self.as_arrays()

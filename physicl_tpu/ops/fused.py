@@ -117,9 +117,14 @@ class _Rng:
 
 @dataclasses.dataclass
 class _Op:
-    kind: str  # "kin"|"del"|"iso"|"sign"|"cross"|"emit"|"absorb"|"reflect"
+    kind: str  # "kin"|"del"|"iso"|"sign"|"cross"|"emit"|"absorb"|"reflect"|"trace"
     coef: float = 0.0               # folded A*n (del/iso)
     bounds: tuple = ()              # ((lo, hi) per axis,) for absorb/reflect
+    # stream planes (device-resident per-iteration per-photon outputs):
+    # trace uses planes [p, p+1, p+2] for r and optionally p+3 for scatter
+    # flags; cross uses one plane per measured plane for E capture
+    stream0: int = -1               # first stream plane this op writes
+    stream_scat: bool = False       # trace: also write dv!=0 flags
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
     n_fn: Optional[Callable] = None  # variable n(r) (iso)
     c_val: float = 0.0              # |v| for resampled photons (iso)
@@ -155,6 +160,11 @@ class FusedPlan:
     # ~1.1e-3 absolute error, renormalized so |v| stays exact; ~2-3x kernel
     # speedup (the VPU transcendentals dominate the scatter op otherwise).
     fast_trig: bool = False
+    # number of per-iteration per-photon output planes (path tracing,
+    # per-photon energy capture). The kernel DMAs them from a double-buffered
+    # VMEM scratch to an HBM (chunk, n, rows, 128) buffer each iteration —
+    # device-resident: nothing streams to the host until the user asks.
+    n_stream: int = 0
 
 
 def _fast_sinpi(y):
@@ -197,6 +207,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _MAX_REC_COLS), 1)
     row = jnp.zeros((1, _MAX_REC_COLS), jnp.int32)
     row_f = jnp.zeros((1, _MAX_REC_COLS), jnp.float32)
+    stream: List = [None] * plan.n_stream
+    _nan = jnp.float32(np.nan)
 
     def put(row, col, val):
         return jnp.where(col_iota == col, val.astype(jnp.int32), row)
@@ -312,6 +324,16 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                        f[_VX + d])
                 f[_DRX + d] = r1 - (r0 - f[_DRX + d])
                 f[_RX + d] = r1
+        elif op.kind == "trace":
+            # per-photon positions at this step's position in the pipeline;
+            # dead/padding slots encode as NaN (the reference row format's
+            # NaN padding after death, physicl/light.py:463-483)
+            for d in range(3):
+                stream[op.stream0 + d] = jnp.where(alive_b, f[_RX + d], _nan)
+            if op.stream_scat:  # scatter-event flags for trace_dv frequency
+                scat = ((f[_DVX] != 0) | (f[_DVY] != 0)
+                        | (f[_DVZ] != 0)) & alive_b
+                stream[op.stream0 + 3] = scat.astype(jnp.float32)
         elif op.kind == "sign":
             n_col, sx_col = op.cols
             if n_col >= 0:
@@ -323,7 +345,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             (n_col,) = op.cols
             if n_col >= 0:
                 row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
-            for axis, L, col, e_col in op.axes:
+            for axis, L, col, e_col, ecap in op.axes:
                 hi = f[_RX + axis]
                 lo = hi - f[_DRX + axis]
                 Lv = jnp.float32(L)
@@ -333,14 +355,18 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 if e_col >= 0:  # energy flux: sum of crossing photons' E
                     row_f = put_f(row_f, e_col,
                                   jnp.sum(jnp.where(crossed, f[_E], 0.0)))
+                if ecap >= 0:  # per-photon E capture (reference list mode,
+                    # physicl/light.py:388-402): E where crossed, NaN else
+                    stream[ecap] = jnp.where(crossed, f[_E], _nan)
 
     # col 0: global alive count at iteration end (predicate/trim channel)
     row = put(row, 0, jnp.sum(alive_b, dtype=jnp.int32))
-    return f, row, row_f
+    return f, row, row_f, stream
 
 
 def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
-            state_ref, out_ref, rec_ref, recf_ref):
+            state_ref, out_ref, rec_ref, recf_ref, stream_ref=None,
+            stream_scratch=None, stream_sem=None):
     pid = pl.program_id(0)
     # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
     tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
@@ -359,16 +385,46 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
             * jnp.int32(_LANE)
             + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANE), 1))
 
+    def _stream_dma(k, slot):
+        """DMA descriptor: VMEM scratch slot -> HBM stream row k, this tile's
+        rows. Rebuilt identically for start() and the later wait()."""
+        return pltpu.make_async_copy(
+            stream_scratch.at[slot],
+            stream_ref.at[k, :, pl.ds(pid * tile_rows, tile_rows), :],
+            stream_sem.at[slot],
+        )
+
     def body(k, fields):
         dt = dts_ref[k]
         rng = _Rng(False, tile_seed, k)
-        fields, row, row_f = _emit_iteration(plan, k, dt, fields, rng,
-                                             emit_ref, gidx)
+        fields, row, row_f, stream = _emit_iteration(plan, k, dt, fields,
+                                                     rng, emit_ref, gidx)
         rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
         recf_ref[pl.ds(k, 1), :] = recf_ref[pl.ds(k, 1), :] + row_f
+        if plan.n_stream:
+            # double-buffered offload: reuse a scratch slot only after its
+            # previous DMA (iteration k-2) completed
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k >= 2)
+            def _():
+                _stream_dma(k - 2, slot).wait()
+
+            for p in range(plan.n_stream):
+                stream_scratch[slot, p] = stream[p]
+            _stream_dma(k, slot).start()
         return fields
 
     fields = jax.lax.fori_loop(0, k_act, body, fields)
+
+    if plan.n_stream:  # drain in-flight stream DMAs before the kernel exits
+        @pl.when(k_act >= 2)
+        def _():
+            _stream_dma(k_act - 2, jax.lax.rem(k_act - 2, 2)).wait()
+
+        @pl.when(k_act >= 1)
+        def _():
+            _stream_dma(k_act - 1, jax.lax.rem(k_act - 1, 2)).wait()
 
     # Write EVERY plane, including untouched ones like E: Pallas TPU output
     # windows are copied back wholesale and are NOT guaranteed to be
@@ -396,20 +452,29 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
         recf0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.float32)
+        stream0 = jnp.full((plan.chunk, plan.n_stream, rows, _LANE), jnp.nan,
+                           jnp.float32)
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0)
                 * jnp.int32(_LANE)
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1))
 
         def body(k, carry):
-            fields, rec, rec_f = carry
+            fields, rec, rec_f, stream_buf = carry
             rng = _Rng(True, seed, k)
-            fields, row, row_f = _emit_iteration(plan, k, dts[k], fields,
-                                                 rng, emit_starts, gidx)
-            return fields, rec.at[k].add(row[0]), rec_f.at[k].add(row_f[0])
+            fields, row, row_f, stream = _emit_iteration(
+                plan, k, dts[k], fields, rng, emit_starts, gidx)
+            if plan.n_stream:
+                stream_buf = stream_buf.at[k].set(jnp.stack(stream))
+            return (fields, rec.at[k].add(row[0]),
+                    rec_f.at[k].add(row_f[0]), stream_buf)
 
-        fields, rec, rec_f = jax.lax.fori_loop(
-            0, jnp.asarray(k_act, jnp.int32), body, (fields, rec0, recf0))
+        fields, rec, rec_f, stream_buf = jax.lax.fori_loop(
+            0, jnp.asarray(k_act, jnp.int32), body,
+            (fields, rec0, recf0, stream0))
         out = jnp.stack([f.reshape(capacity) for f in fields])
+        if plan.n_stream:
+            return (out, rec, rec_f,
+                    stream_buf.reshape(plan.chunk, plan.n_stream, capacity))
         return out, rec, rec_f
 
     return run
@@ -429,6 +494,31 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         tile_rows //= 2
     n_tiles = rows // tile_rows
 
+    out_specs = [
+        pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.float32),
+    ]
+    scratch_shapes = []
+    if plan.n_stream:
+        # stream buffer stays whole in HBM; tiles DMA their row stripe per
+        # iteration from a double-buffered VMEM scratch
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (plan.chunk, plan.n_stream, rows, _LANE), jnp.float32))
+        scratch_shapes = [
+            pltpu.VMEM((2, plan.n_stream, tile_rows, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
@@ -438,14 +528,8 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
             pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = partial(_kernel, plan, tile_rows)
@@ -455,21 +539,20 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         ctl = jnp.stack([jnp.asarray(seed, jnp.int32),
                          jnp.asarray(k_act, jnp.int32)])
         packed3 = packed.reshape(_NF, rows, _LANE)
-        out, rec, rec_f = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
-                jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
-                jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS),
-                                     jnp.float32),
-            ],
+            out_shape=out_shape,
             input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
         )(ctl, jnp.asarray(dts, jnp.float32),
           jnp.asarray(emit_starts, jnp.int32), packed3)
+        out, rec, rec_f = res[0], res[1], res[2]
+        if plan.n_stream:
+            stream = res[3].reshape(plan.chunk, plan.n_stream, capacity)
+            return out.reshape(_NF, capacity), rec, rec_f, stream
         return out.reshape(_NF, capacity), rec, rec_f
 
     return run

@@ -117,7 +117,7 @@ class FusedProvider:
         self.emit_ops = [op for op in plan.ops if op.kind == "emit"]
         self.has_f_cols = any(
             e_col >= 0 for op in plan.ops if op.kind == "cross"
-            for (_, _, _, e_col) in op.axes)
+            for (_, _, _, e_col, _ecap) in op.axes)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
         # (saves a 14-plane concat + slice round trip per chunk)
@@ -206,8 +206,11 @@ class FusedProvider:
             packed = self._last_packed
         else:
             packed = F.pack_state(state)
-        packed, rec, rec_f = self.kernel(packed, dts_kin, emit_starts, seed,
-                                         k_act)
+        res = self.kernel(packed, dts_kin, emit_starts, seed, k_act)
+        if self.plan.n_stream:
+            packed, rec, rec_f, stream = res
+        else:
+            (packed, rec, rec_f), stream = res, None
         rec_np = np.asarray(jax.device_get(rec))
         recf_np = np.asarray(jax.device_get(rec_f)) if self.has_f_cols else None
 
@@ -271,6 +274,18 @@ class FusedProvider:
                 for j, col in enumerate(m.get("e_cols", [])):
                     if col >= 0:
                         records[f"{uid}/Esum{j}"] = recf_np[:, col]
+                for j, p in enumerate(m.get("ecap_planes", [])):
+                    if p >= 0:  # per-photon E capture, NaN-coded (K, C)
+                        records[f"{uid}/E{j}"] = stream[:, p, :]
+            elif kind == "trace":
+                # device-resident: the engine's device-records channel keeps
+                # these on the accelerator; the host sees them only when the
+                # user assembles the trace matrix
+                pos = stream[:, m["p0"]:m["p0"] + 3, :]
+                records[f"{uid}/pos"] = pos
+                records[f"{uid}/alive"] = ~jnp.isnan(pos[:, 0, :])
+                if m["scat"]:
+                    records[f"{uid}/scat"] = stream[:, m["p0"] + 3, :]
 
         return new_state, done, records, valid
 
@@ -290,6 +305,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         ScatterIsotropicStep,
         ScatterMeasureStep,
         ScatterSignMeasureStep,
+        TracePathMeasureStep,
     )
 
     if not getattr(sim, "jit_on", True):
@@ -309,7 +325,8 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
     next_col = 1
-    next_fcol = 0  # float record channels (energy sums)
+    next_fcol = 0   # float record channels (energy sums)
+    next_plane = 0  # stream planes (trace positions, per-photon E capture)
     dt_fn = None
     update_seen = False
     update_before_kin = False
@@ -372,24 +389,36 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                             "sx_col": sx})
             measure_after_update[uid] = update_seen
         elif type(s) is ScatterMeasureStep:
-            if s.measure_E and s.measure_E_mode != "sum":
-                return None  # per-photon E lists need the generic path
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
-            axes, cnt_cols, e_cols = [], [], []
+            want_sum = s.measure_E and s.measure_E_mode == "sum"
+            want_list = s.measure_E and s.measure_E_mode == "list"
+            axes, cnt_cols, e_cols, ecap_planes = [], [], [], []
             for axis, L in s._axes:
                 e_col = -1
-                if s.measure_E:
+                ecap = -1
+                if want_sum:
                     e_col = next_fcol
                     next_fcol += 1
-                axes.append((axis, L, next_col, e_col))
+                elif want_list:  # per-photon E capture: one stream plane
+                    ecap = next_plane
+                    next_plane += 1
+                axes.append((axis, L, next_col, e_col, ecap))
                 cnt_cols.append(next_col)
                 e_cols.append(e_col)
+                ecap_planes.append(ecap)
                 next_col += 1
             ops.append(F._Op("cross", cols=(n_col,), axes=tuple(axes)))
             rec_map.append({"uid": uid, "kind": "cross", "n_col": n_col,
-                            "cnt_cols": cnt_cols, "e_cols": e_cols})
+                            "cnt_cols": cnt_cols, "e_cols": e_cols,
+                            "ecap_planes": ecap_planes})
             measure_after_update[uid] = update_seen
+        elif type(s) is TracePathMeasureStep:
+            p0 = next_plane
+            next_plane += 3 + (1 if s.trace_dv else 0)
+            ops.append(F._Op("trace", stream0=p0, stream_scat=s.trace_dv))
+            rec_map.append({"uid": uid, "kind": "trace", "p0": p0,
+                            "scat": s.trace_dv})
         else:
             return None
 
@@ -475,6 +504,12 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         # one chunk's emissions must fit in half the arena, or emission
         # starves mid-chunk before the engine can recycle slots
         chunk = max(1, min(chunk, (state.capacity // 2) // emit_total))
+    if next_plane:
+        # stream planes allocate (chunk, n_planes, C) f32 per dispatch; cap
+        # the chunk so one dispatch stays within the record-buffer budget
+        bytes_per_iter = next_plane * state.capacity * 4
+        budget = int(getattr(sim, "max_record_bytes", 256 << 20))
+        chunk = max(1, min(chunk, budget // max(bytes_per_iter, 1)))
     plan = F.FusedPlan(
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),
@@ -482,6 +517,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,
+        n_stream=next_plane,
     )
     return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
                          measure_after_update, sim.exit, exit_mode)

@@ -88,16 +88,22 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
         # emitter slot starts are global; shift into shard-local coordinates
         # (windows crossing a shard boundary are written piecewise)
         emit_l = emit_starts - idx.astype(jnp.int32) * jnp.int32(local_cap)
-        out_l, rec_l, recf_l = kern(packed_l, dts, emit_l, seed_l, k_act)
+        res = kern(packed_l, dts, emit_l, seed_l, k_act)
+        out_l, rec_l, recf_l = res[0], res[1], res[2]
         rec = jax.lax.psum(rec_l, PHOTON_AXIS)
         rec_f = jax.lax.psum(recf_l, PHOTON_AXIS)
+        if plan.n_stream:  # per-photon planes stay sharded with the photons
+            return out_l, rec, rec_f, res[3]
         return out_l, rec, rec_f
 
+    out_specs = (P(None, PHOTON_AXIS), P(), P())
+    if plan.n_stream:
+        out_specs = out_specs + (P(None, None, PHOTON_AXIS),)
     sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(None, PHOTON_AXIS), P(), P(), P(), P()),
-        out_specs=(P(None, PHOTON_AXIS), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
 

@@ -38,17 +38,20 @@ def test_fused_off_respected():
     assert not s.used_fused
 
 
-def test_fused_rejects_measure_E():
+def test_fused_accepts_measure_E():
+    # round 2: per-photon E capture fuses via a stream plane (was a
+    # generic-path fallback in round 1)
     s, _ = _build("auto", delete=True, measure_E=True)
     s.start(); s.join()
-    assert not s.used_fused
+    assert s.used_fused
 
 
-def test_fused_rejects_trace_step():
+def test_fused_accepts_trace_step():
+    # round 2: path tracing fuses via device-resident stream planes
     s, _ = _build("auto")
     s.add_step(9, light.TracePathMeasureStep(None))
     s.start(); s.join()
-    assert not s.used_fused
+    assert s.used_fused
 
 
 def test_fused_rejects_custom_step():

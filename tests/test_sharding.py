@@ -139,3 +139,30 @@ def test_sharded_emitter_recycling_disabled_cleanly():
     # two emissions fit (25000 // 10000), then the arena is full
     n0 = 16384 * 8 - 25000
     assert counts["auto"][:3] == [n0 + 10000, n0 + 20000, n0 + 20000]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_fused_trace_stream():
+    """Stream planes (path trace) under shard_map: per-photon outputs stay
+    sharded with the photons; the assembled matrix covers every shard."""
+    import physicl_tpu.newton as newton
+
+    mesh = make_mesh(8)
+    N = 8 * 16384
+    s = phys.Simulation(exit=lambda c: c.t >= 0.004, seed=0, mesh=mesh,
+                        chunk_steps=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                             n=np.double(0.001)))
+    tr = light.TracePathMeasureStep(None)
+    s.add_step(3, tr)
+    s.add_photons(light.generate_photon_state(N, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    ts, pos, alive, freq = tr.as_arrays()
+    assert pos.shape == (4, 3, N)
+    assert alive[:, :N].all()
+    seg = np.diff(pos[:, :, :N], axis=0)
+    d = np.linalg.norm(seg, axis=1)
+    assert np.allclose(d, float(light.c) * 1e-3, rtol=2e-3)
