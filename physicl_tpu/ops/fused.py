@@ -135,6 +135,9 @@ class _Op:
     # the spawn mark), so in-kernel emission is one masked write per tile.
     emit_n: int = 0
     emit_E: float = 0.0             # constant emitted energy (code units)
+    # sampled energies: traced inverse CDF over a uniform (e.g.
+    # PlanckSampler.icdf) evaluated on hardware-PRNG draws inside the kernel
+    emit_E_fn: Optional[Callable] = None
     emit_r: tuple = (0.0, 0.0, 0.0)
     emit_v: Optional[tuple] = None  # None => isotropic at c_val
     emit_sched_idx: int = 0         # which emit schedule row in dts input
@@ -279,7 +282,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             # and a window crossing a shard boundary is written piecewise
             start = emit_starts_ref[op.emit_sched_idx, k]
             mask = (gidx >= start) & (gidx < start + op.emit_n)
-            f[_E] = jnp.where(mask, jnp.float32(op.emit_E), f[_E])
+            if op.emit_E_fn is not None:  # in-kernel sampled energies
+                E_new = op.emit_E_fn(rng.uniform(shape))
+                f[_E] = jnp.where(mask, E_new, f[_E])
+            else:
+                f[_E] = jnp.where(mask, jnp.float32(op.emit_E), f[_E])
             for d in range(3):
                 f[_RX + d] = jnp.where(mask, jnp.float32(op.emit_r[d]),
                                        f[_RX + d])

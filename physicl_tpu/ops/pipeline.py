@@ -361,7 +361,10 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                 c_val=s._c,
             ))
         elif type(s) is PhotonEmitterStep:
-            if callable(s.E):  # sampled energies need jax.random keys
+            # sampled energies fuse when the sampler exposes a traced
+            # inverse CDF over a uniform (PlanckSampler protocol); arbitrary
+            # key-based samplers need the generic path's jax.random keys
+            if callable(s.E) and not hasattr(s.E, "icdf"):
                 return None
             s.setup(sim)
             if s.isotropic:
@@ -374,7 +377,9 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                         raw_code_value(s.v), np.float64).reshape(3))
             ops.append(F._Op(
                 "emit", emit_n=s.n_per_step,
-                emit_E=float(raw_code_value(s.E)),
+                emit_E=(0.0 if callable(s.E)
+                        else float(raw_code_value(s.E))),
+                emit_E_fn=(s.E.icdf if callable(s.E) else None),
                 emit_r=tuple(float(x) for x in s.r),
                 emit_v=emit_v, c_val=s._c,
                 emit_sched_idx=sum(1 for o in ops if o.kind == "emit"),

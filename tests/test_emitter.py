@@ -173,3 +173,63 @@ def test_fused_emitted_photons_have_photon_otype():
     # materialization returns PhotonObject for emitted photons too
     objs = list(s.objects)
     assert all(type(o).__name__ == "PhotonObject" for o in objs)
+
+
+def test_planck_sampler_emitter_fuses_with_spectrum_parity():
+    """PhotonEmitterStep(E=PlanckSampler(...)) must keep the fused path: the
+    kernel evaluates the inverse CDF on in-kernel uniforms. The emitted
+    energy spectrum must match the analytic Planck curve on BOTH paths."""
+    T = 5778.0
+    kT = float(light.kB.value()) * T
+    a, b = 0.1 * kT, 12 * kT
+    sampler = light.PlanckSampler(a, b, T, bins=2000)
+
+    spectra = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.032, seed=0,
+                            capacity=65536, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(2000, E=sampler))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        s.add_photons(light.generate_photon_state(128, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        E = np.asarray(s.sim_state.E)
+        alive = np.asarray(s.sim_state.alive)
+        sampled = E[alive][128:]
+        assert len(sampled) == 64000
+        spectra[fuse] = sampled
+
+    centers = None
+    for fuse, sampled in spectra.items():
+        hist, edges = np.histogram(sampled, bins=40, range=(a, b),
+                                   density=True)
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        analytic = np.array(
+            [float(light.planck_distribution(x, T).value())
+             for x in centers])
+        analytic /= np.trapezoid(analytic, centers)
+        # 64k samples: low-density bins carry ~6% binomial noise, so gate on
+        # the meaningful part of the spectrum and allow 2 sigma + fit error
+        mask = analytic > 0.10 * analytic.max()
+        rel = np.abs(hist[mask] - analytic[mask]) / analytic[mask]
+        assert rel.max() < 0.12, f"{fuse}: {rel.max()}"
+
+
+def test_planck_sampler_icdf_matches_call():
+    """The traced inverse CDF and the key-based sampler draw from the same
+    distribution (shared polynomial)."""
+    import jax
+    import jax.numpy as jnp
+
+    sampler = light.PlanckSampler(1e-20, 5e-19, 5778.0)
+    u = jnp.linspace(0.001, 0.999, 4096, dtype=jnp.float32)
+    via_icdf = np.asarray(sampler.icdf(u))
+    assert np.all((via_icdf >= 1e-20) & (via_icdf <= 5e-19))
+    assert np.all(np.diff(via_icdf) >= -1e-25)  # inverse CDF is monotone
+    via_call = np.asarray(sampler(jax.random.PRNGKey(0), 200_000))
+    # same distribution: compare quantiles
+    qs = np.quantile(via_call, np.linspace(0.05, 0.95, 10))
+    qs_icdf = np.asarray(sampler.icdf(
+        jnp.linspace(0.05, 0.95, 10, dtype=jnp.float32)))
+    assert np.allclose(qs, qs_icdf, rtol=0.02)

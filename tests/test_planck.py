@@ -97,3 +97,25 @@ def test_E_wavelength_roundtrip():
     E = light.E_from_wavelength(lam)
     back = light.wavelength_from_E(E)
     assert np.isclose(float(back), 550e-9, rtol=1e-12)
+
+
+def test_planck_kernel_and_poly_samplers_agree():
+    """All device sampling methods share the polynomial: quantiles agree."""
+    import jax
+
+    T = 5778.0
+    kT = float(light.kB.value()) * T
+    a, b = 0.1 * kT, 12 * kT
+    E_poly = np.asarray(light.planck_sample_E(
+        100_000, a, b, T, bins=2000, device=True, device_method="poly"))
+    E_table = np.asarray(light.planck_sample_E(
+        100_000, a, b, T, bins=2000, device=True, device_method="table"))
+    q = np.linspace(0.05, 0.95, 10)
+    assert np.allclose(np.quantile(E_poly, q), np.quantile(E_table, q),
+                       rtol=0.02)
+    if jax.default_backend() == "tpu":  # pltpu PRNG is zeros in interpret
+        E_kern = np.asarray(light.planck_sample_E(
+            100_000, a, b, T, bins=2000, device=True,
+            device_method="kernel"))
+        assert np.allclose(np.quantile(E_kern, q), np.quantile(E_poly, q),
+                           rtol=0.02)
