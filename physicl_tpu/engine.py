@@ -798,17 +798,8 @@ class Simulation(threading.Thread):
             self.exception = None
             raise exc
 
-    def _run_impl(self) -> None:
-        """Compile the step pipeline and drive chunked scans until the exit
-        predicate fires; then run every step's ``terminate``."""
-        self.start_time = time.time()
-        self.ts = []
-        self.running = True
-        self._objects_cache = None
-        # identity registry for mid-run remove_obj (objects map to the first
-        # slots in insertion order); built before any slow device work
-        self._slot_of = {id(o): i for i, o in enumerate(self._pending_objects)}
-
+    def _init_run_state(self) -> SimState:
+        """Build (or restore) the initial device state and host mirrors."""
         if self._restored is not None:
             state, meta = self._restored
             self._restored = None
@@ -840,7 +831,84 @@ class Simulation(threading.Thread):
         self._host_t = float(jax.device_get(state.t))
         self._host_dt = float(jax.device_get(state.dt))
         self.sim_state = state
+        return state
 
+    def _build_execution(self, steps: List[Step], state: SimState,
+                         allow_fuse: bool = True):
+        """Choose and compile the execution strategy: the fused Pallas
+        pipeline when provable, else the generic scan (chunked when the exit
+        predicate traces or behaves as extinction, chunk=1 host-exact
+        otherwise)."""
+        from physicl_tpu.population import ExecPlan
+
+        provider = None
+        if allow_fuse and self.fuse == "auto":
+            from physicl_tpu.ops.pipeline import try_build_fused
+
+            provider = try_build_fused(self, steps, state)
+        if provider is not None:
+            # the provider owns exit handling via its `done` output
+            return ExecPlan(provider=provider, chunk_fn=provider,
+                            exit_traced=True, exit_fn=None,
+                            chunk=provider.plan.chunk)
+
+        _, _, emit_per_iter = self._population_policies()
+        exit_fn = self._exit_traced_fn(state)
+        exit_traced = exit_fn is not None
+        if not exit_traced:
+            # host-exact mode: the predicate must be checked every iteration;
+            # a larger chunk_steps would overshoot the exit
+            chunk = 1
+        elif self.chunk_steps is not None:
+            chunk = int(self.chunk_steps)
+        else:
+            chunk = self._auto_chunk(steps, state)
+        if emit_per_iter:
+            # one chunk's emissions must fit in half the arena (slots
+            # recycle only at chunk boundaries)
+            chunk = max(1, min(chunk,
+                               (state.capacity // 2) // emit_per_iter))
+        self.chunk_used = chunk  # observability: 1 == host-exact mode
+        chunk_fn = self._build_chunk_fn(steps, exit_fn, chunk, state)
+        return ExecPlan(provider=None, chunk_fn=chunk_fn,
+                        exit_traced=exit_traced, exit_fn=exit_fn, chunk=chunk)
+
+    def _collect_records(self, steps, records, dev_keys, n_valid) -> None:
+        """Fetch host record channels (device channels pass through as jax
+        arrays), trim to the valid prefix, and hand each step its slice."""
+        if dev_keys:
+            records_np = jax.device_get(
+                {k: v for k, v in records.items() if k not in dev_keys})
+            records_np.update(
+                {k: v for k, v in records.items() if k in dev_keys})
+        else:
+            records_np = jax.device_get(records)
+        for s in steps:
+            prefix = f"{s._step_uid}/"
+            local = {
+                k[len(prefix):]: (v[:n_valid] if k in dev_keys
+                                  else np.asarray(v)[:n_valid])
+                for k, v in records_np.items()
+                if k.startswith(prefix)
+            }
+            if local:
+                s.collect(self, local)
+
+    def _run_impl(self) -> None:
+        """Drive chunked scans until the exit predicate fires, then run every
+        step's ``terminate``. Slot-moving policies (recycle/shrink/remove/
+        inject) live in :class:`physicl_tpu.population.PopulationManager`."""
+        from physicl_tpu.population import PopulationManager
+
+        self.start_time = time.time()
+        self.ts = []
+        self.running = True
+        self._objects_cache = None
+        # identity registry for mid-run remove_obj (objects map to the first
+        # slots in insertion order); built before any slow device work
+        self._slot_of = {id(o): i for i, o in enumerate(self._pending_objects)}
+
+        state = self._init_run_state()
         steps = self._ordered_steps()
         for s in steps:
             s.setup(self)
@@ -850,54 +918,19 @@ class Simulation(threading.Thread):
         dev_keys = {f"{s._step_uid}/{nm}" for s in steps
                     for nm in getattr(s, "device_records", ())}
 
-        provider = None
-        if self.fuse == "auto":
-            from physicl_tpu.ops.pipeline import try_build_fused
-
-            provider = try_build_fused(self, steps, state)
-        self.used_fused = provider is not None
-        shrink_ok, recycle_ok, emit_per_iter = self._population_policies()
-
-        if provider is not None:
-            exit_traced = True  # provider owns exit handling via `done`
-            exit_fn = None      # (re-derived if injection forces a fallback)
-            chunk_fn = provider
-        else:
-            exit_fn = self._exit_traced_fn(state)
-            exit_traced = exit_fn is not None
-            if not exit_traced:
-                # host-exact mode: the predicate must be checked every
-                # iteration; a larger chunk_steps would overshoot the exit
-                chunk = 1
-            elif self.chunk_steps is not None:
-                chunk = int(self.chunk_steps)
-            else:
-                chunk = self._auto_chunk(steps, state)
-            if emit_per_iter:
-                # one chunk's emissions must fit in half the arena (slots
-                # recycle only at chunk boundaries)
-                chunk = max(1, min(chunk,
-                                   (state.capacity // 2) // emit_per_iter))
-            self.chunk_used = chunk  # observability: 1 == host-exact mode
-            chunk_fn = self._build_chunk_fn(steps, exit_fn, chunk, state)
+        plan = self._build_execution(steps, state)
+        self.used_fused = plan.provider is not None
+        pop = PopulationManager(self, steps)
 
         while True:
-            if not exit_traced:
+            if not plan.exit_traced:
                 view = _HostView(self, self._host_t, self._host_dt,
                                  self._host_n_alive)
                 if bool(self.exit(view)):
                     break
-            state, done, records, valid = chunk_fn(state)
-            valid_np = np.asarray(jax.device_get(valid))
-            n_valid = int(valid_np.sum())
-            if dev_keys:
-                records_np = jax.device_get(
-                    {k: v for k, v in records.items() if k not in dev_keys})
-                records_np.update(
-                    {k: v for k, v in records.items() if k in dev_keys})
-            else:
-                records_np = jax.device_get(records)
-            stats = getattr(chunk_fn, "host_stats", None)
+            state, done, records, valid = plan.chunk_fn(state)
+            n_valid = int(np.asarray(jax.device_get(valid)).sum())
+            stats = getattr(plan.chunk_fn, "host_stats", None)
             with self._state_lock:
                 self.sim_state = state
                 if stats is not None:  # fused provider: no device round trips
@@ -910,116 +943,14 @@ class Simulation(threading.Thread):
                     self._host_n_alive = int(jax.device_get(state.n_alive))
                 self.t = Measurement.from_code(self._host_t, "s**1")
                 self.dt = Measurement.from_code(self._host_dt, "s**1")
-            for s in steps:
-                prefix = f"{s._step_uid}/"
-                local = {
-                    k[len(prefix):]: (v[:n_valid] if k in dev_keys
-                                      else np.asarray(v)[:n_valid])
-                    for k, v in records_np.items()
-                    if k.startswith(prefix)
-                }
-                if local:
-                    s.collect(self, local)
-            if exit_traced and bool(jax.device_get(done)):
+            self._collect_records(steps, records, dev_keys, n_valid)
+            if plan.exit_traced and bool(jax.device_get(done)):
                 break
-            if not exit_traced and n_valid == 0:
+            if not plan.exit_traced and n_valid == 0:
                 break
+            state = pop.maintain(state, plan)
 
-            if emit_per_iter and provider is None:
-                # keep the host spawn mark fresh (trace row counts, removal)
-                self._hwm = max(self._hwm,
-                                int(jax.device_get(state.n_spawned)))
-
-            if recycle_ok and not self._pending_inject:
-                if provider is not None:
-                    hwm = provider.hwm_h
-                else:
-                    hwm = self._hwm
-                # compact when the next chunk could exhaust the arena and at
-                # least half of the used slots are dead
-                need = emit_per_iter * (provider.plan.chunk if provider
-                                        else chunk)
-                if (hwm + need > state.capacity
-                        and self._host_n_alive < hwm // 2):
-                    from physicl_tpu.ops.compaction import compact
-
-                    state = compact(state)
-                    self._hwm = self._host_n_alive
-                    with self._state_lock:
-                        self.sim_state = state
-                    if provider is not None:
-                        provider.resync(state)
-
-            if (shrink_ok and self._host_n_alive > 0
-                    and not self._pending_inject
-                    and self._host_n_alive < state.capacity // 4):
-                from physicl_tpu.ops.compaction import compact_shrink
-
-                new_state = compact_shrink(state, self._host_n_alive)
-                if new_state.capacity != state.capacity:
-                    state = new_state
-                    self._hwm = self._host_n_alive  # survivors packed front
-                    with self._state_lock:
-                        self.sim_state = state
-                    if provider is not None:
-                        provider.invalidate()
-                    else:
-                        chunk_fn = self._build_chunk_fn(
-                            steps, exit_fn, chunk, state)
-
-            if self._pending_remove:
-                with self._inject_lock:
-                    slots, self._pending_remove = self._pending_remove, []
-                alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(
-                    False)
-                state = state.replace(alive=alive)
-                with self._state_lock:
-                    self.sim_state = state
-                    self._host_n_alive = int(jax.device_get(state.n_alive))
-                if provider is not None:
-                    provider.resync(state)
-
-            if self._pending_inject:
-                with self._inject_lock:
-                    items, self._pending_inject = self._pending_inject, []
-                old_cap = state.capacity
-                state, k_new = self._inject_into_state(state, items)
-                with self._state_lock:
-                    self.sim_state = state
-                    self._host_n_alive += k_new
-                if provider is not None:
-                    if self._injection_keeps_plan(provider, items):
-                        provider.invalidate()  # re-inits clocks from state
-                    else:
-                        # injected particles break the fused plan's proven
-                        # invariants (photon-only / uniform speed): fall back
-                        # to the generic scan path for the rest of the run
-                        provider = None
-                        self.used_fused = False
-                        exit_fn = self._exit_traced_fn(state)
-                        exit_traced = exit_fn is not None
-                        chunk = 1 if not exit_traced else (
-                            int(self.chunk_steps) if self.chunk_steps
-                            else self._auto_chunk(steps, state))
-                        if emit_per_iter:
-                            chunk = max(1, min(
-                                chunk,
-                                (state.capacity // 2) // emit_per_iter))
-                        chunk_fn = self._build_chunk_fn(
-                            steps, exit_fn, chunk, state)
-                elif state.capacity != old_cap:
-                    chunk_fn = self._build_chunk_fn(
-                        steps, exit_fn, chunk, state)
-
-        if self._pending_remove:  # removals queued during the final chunk
-            with self._inject_lock:
-                slots, self._pending_remove = self._pending_remove, []
-            alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(False)
-            state = state.replace(alive=alive)
-            with self._state_lock:
-                self.sim_state = state
-                self._host_n_alive = int(jax.device_get(state.n_alive))
-
+        state = pop.flush_removals(state)
         with self._state_lock:
             for s in steps:
                 s.terminate(self)

@@ -1,0 +1,166 @@
+"""Population lifecycle management for a running simulation.
+
+Everything that MOVES OR CREATES particle slots between chunk dispatches
+lives here, extracted from the engine's run loop so each policy is testable
+in isolation (the reference has no counterpart — its population is a Python
+list mutated in place, physicl/__init__.py:443-459):
+
+* **recycle** — continuous sources (``PhotonEmitterStep``) allocate slots
+  contiguously and never reuse them; when the arena nears exhaustion and at
+  least half the used slots are dead, compact survivors to the front;
+* **shrink** — when fewer than a quarter of the buffer is alive, compact and
+  shrink capacity (smaller kernels for the remaining run);
+* **remove** — mid-run ``remove_obj`` clears queued slots at the chunk
+  boundary;
+* **inject** — mid-run ``add_obj``/``add_photons`` write queued populations
+  into fresh slots (growing capacity if needed), falling back from the fused
+  plan when the injected particles break its proven invariants.
+
+Each policy applies only at chunk boundaries — inside a chunk the state is
+device-resident and immutable from the host's perspective (that is the whole
+performance model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicl_tpu.state import SimState
+
+__all__ = ["ExecPlan", "PopulationManager"]
+
+
+@dataclasses.dataclass
+class ExecPlan:
+    """The compiled execution strategy for a run (or a segment of one)."""
+
+    provider: Optional[object]   # FusedProvider, or None on the generic path
+    chunk_fn: Callable           # state -> (state, done, records, valid)
+    exit_traced: bool            # False => host-exact chunk=1 mode
+    exit_fn: Optional[Callable]  # device-traceable predicate (generic path)
+    chunk: int                   # iterations per dispatch
+
+
+class PopulationManager:
+    """Applies the slot-moving policies between chunks of a running sim."""
+
+    def __init__(self, sim, steps: List):
+        self.sim = sim
+        self.steps = steps
+        self.shrink_ok, self.recycle_ok, self.emit_per_iter = (
+            sim._population_policies())
+
+    # -- individual policies (each returns the possibly-updated state) ------
+
+    def _sync_spawn_mark(self, state: SimState, plan: ExecPlan) -> None:
+        if self.emit_per_iter and plan.provider is None:
+            # keep the host spawn mark fresh (trace row counts, removal)
+            self.sim._hwm = max(self.sim._hwm,
+                                int(jax.device_get(state.n_spawned)))
+
+    def _recycle(self, state: SimState, plan: ExecPlan) -> SimState:
+        sim = self.sim
+        if not self.recycle_ok or sim._pending_inject:
+            return state
+        provider = plan.provider
+        hwm = provider.hwm_h if provider is not None else sim._hwm
+        # compact when the next chunk could exhaust the arena and at least
+        # half of the used slots are dead
+        need = self.emit_per_iter * (provider.plan.chunk if provider
+                                     else plan.chunk)
+        if hwm + need > state.capacity and sim._host_n_alive < hwm // 2:
+            from physicl_tpu.ops.compaction import compact
+
+            state = compact(state)
+            sim._hwm = sim._host_n_alive
+            with sim._state_lock:
+                sim.sim_state = state
+            if provider is not None:
+                provider.resync(state)
+        return state
+
+    def _shrink(self, state: SimState, plan: ExecPlan) -> SimState:
+        sim = self.sim
+        if (not self.shrink_ok or sim._host_n_alive == 0
+                or sim._pending_inject
+                or sim._host_n_alive >= state.capacity // 4):
+            return state
+        from physicl_tpu.ops.compaction import compact_shrink
+
+        new_state = compact_shrink(state, sim._host_n_alive)
+        if new_state.capacity == state.capacity:
+            return state
+        state = new_state
+        sim._hwm = sim._host_n_alive  # survivors packed front
+        with sim._state_lock:
+            sim.sim_state = state
+        if plan.provider is not None:
+            plan.provider.invalidate()
+        else:
+            plan.chunk_fn = sim._build_chunk_fn(
+                self.steps, plan.exit_fn, plan.chunk, state)
+        return state
+
+    def _apply_removals(self, state: SimState,
+                        plan: Optional[ExecPlan] = None) -> SimState:
+        sim = self.sim
+        if not sim._pending_remove:
+            return state
+        with sim._inject_lock:
+            slots, sim._pending_remove = sim._pending_remove, []
+        alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(False)
+        state = state.replace(alive=alive)
+        with sim._state_lock:
+            sim.sim_state = state
+            sim._host_n_alive = int(jax.device_get(state.n_alive))
+        if plan is not None and plan.provider is not None:
+            plan.provider.resync(state)
+        return state
+
+    def _apply_injections(self, state: SimState, plan: ExecPlan) -> SimState:
+        sim = self.sim
+        if not sim._pending_inject:
+            return state
+        with sim._inject_lock:
+            items, sim._pending_inject = sim._pending_inject, []
+        old_cap = state.capacity
+        state, k_new = sim._inject_into_state(state, items)
+        with sim._state_lock:
+            sim.sim_state = state
+            sim._host_n_alive += k_new
+        if plan.provider is not None:
+            if sim._injection_keeps_plan(plan.provider, items):
+                plan.provider.invalidate()  # re-inits clocks from state
+            else:
+                # injected particles break the fused plan's proven invariants
+                # (photon-only / uniform speed): fall back to the generic
+                # scan path for the rest of the run
+                new_plan = sim._build_execution(self.steps, state,
+                                                allow_fuse=False)
+                plan.__dict__.update(new_plan.__dict__)
+                sim.used_fused = False
+        elif state.capacity != old_cap:
+            plan.chunk_fn = sim._build_chunk_fn(
+                self.steps, plan.exit_fn, plan.chunk, state)
+        return state
+
+    # -- chunk-boundary entry point ------------------------------------------
+
+    def maintain(self, state: SimState, plan: ExecPlan) -> SimState:
+        """Run every applicable policy at a chunk boundary. ``plan`` is
+        updated in place when a policy forces a rebuild."""
+        self._sync_spawn_mark(state, plan)
+        state = self._recycle(state, plan)
+        state = self._shrink(state, plan)
+        state = self._apply_removals(state, plan)
+        state = self._apply_injections(state, plan)
+        return state
+
+    def flush_removals(self, state: SimState) -> SimState:
+        """Removals queued during the final chunk (run after the loop)."""
+        return self._apply_removals(state)

@@ -69,3 +69,53 @@ def test_random_pipeline_fused_matches_generic(trial):
     if b["crossed"] > 200:
         assert (abs(a["crossed"] - b["crossed"])
                 <= 6 * np.sqrt(b["crossed"]) + 0.03 * b["crossed"])
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_midrun_injection_and_removal(trial):
+    """Random pipelines peppered with mid-run add_obj / add_photons /
+    remove_obj events at chunk boundaries: final populations must account
+    for every event exactly (no lost or duplicated slots)."""
+    import time as _time
+
+    rng = np.random.default_rng(7000 + trial)
+    n0 = int(rng.integers(500, 2000))
+    s = phys.Simulation(exit=lambda c: c.t >= 0.5, seed=trial,
+                        chunk_steps=4, auto_shrink=False)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    if rng.random() < 0.5:  # scatter keeps the fused plan alive
+        s.add_step(2, light.ScatterIsotropicStep(A=0.0005, n=0.001))
+    removable = []
+    for _ in range(int(rng.integers(2, 6))):
+        o = light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double))
+        s.add_obj(o)
+        removable.append(o)
+    s.add_photons(light.generate_photon_state(n0, E=1.0))
+
+    s.start()
+    _time.sleep(0.3)  # let compile finish
+    injected = 0
+    removed = 0
+    for _ in range(int(rng.integers(1, 4))):
+        kind = rng.random()
+        if kind < 0.45:
+            k = int(rng.integers(10, 200))
+            s.add_photons(light.generate_photon_state(k, E=2.0))
+            injected += k
+        elif kind < 0.9:
+            o = light.PhotonObject(
+                E=np.double(3.0),
+                v=np.array([float(light.c), 0, 0], dtype=np.double))
+            s.add_obj(o)
+            injected += 1
+        elif removable:
+            s.remove_obj(removable.pop())
+            removed += 1
+        _time.sleep(0.05)
+    s.join()  # natural exit at t=0.5
+    # removable now holds only the never-removed objects
+    expected = len(removable) + n0 + injected
+    assert len(s.objects) == expected
