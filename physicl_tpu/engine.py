@@ -397,10 +397,9 @@ class Simulation(threading.Thread):
     def add_obj(self, obj: Object) -> None:
         """Add an object. During a run (reference parity: the threaded loop
         allows it, physicl/__init__.py:443-447) the object is injected at the
-        next chunk boundary."""
+        next chunk boundary (with a mesh: written into the sharded state and
+        re-placed across the mesh — a host-side device_put per boundary)."""
         if self.running:
-            if self.mesh is not None:
-                raise RuntimeError("Mid-run injection is not supported with a mesh.")
             with self._inject_lock:
                 self._pending_inject.append(("obj", obj))
             return
@@ -415,10 +414,8 @@ class Simulation(threading.Thread):
         """Add a bulk photon population built by
         :func:`physicl_tpu.light.generate_photon_state` — the fast path for
         large N that never creates per-particle Python objects. Mid-run
-        additions inject at the next chunk boundary."""
+        additions inject at the next chunk boundary (mesh runs included)."""
         if self.running:
-            if self.mesh is not None:
-                raise RuntimeError("Mid-run injection is not supported with a mesh.")
             with self._inject_lock:
                 self._pending_inject.append(("bulk", bulk))
             return
@@ -569,6 +566,10 @@ class Simulation(threading.Thread):
 
         if hwm + k > cap:
             new_cap = pad_capacity(hwm + k)
+            if self.mesh is not None:
+                # capacity must stay divisible into tile-aligned shards
+                unit = pad_capacity(1) * int(self.mesh.devices.size)
+                new_cap = max(unit, ((new_cap + unit - 1) // unit) * unit)
 
             def grow(x):
                 if x.ndim == 0 or x.shape[-1] != cap:
@@ -610,6 +611,12 @@ class Simulation(threading.Thread):
             otype=put(state.otype, sub.otype), extras=extras,
             n_spawned=jnp.asarray(hwm + k, jnp.int32),
         )
+        if self.mesh is not None:
+            # restore particle-axis placement (the update ops above may have
+            # left the outputs replicated or gathered)
+            from physicl_tpu.parallel.sharding import shard_state
+
+            state = shard_state(state, self.mesh)
         self._pending_objects.extend(objs)  # id registry (trace, id_info_fn)
         self._hwm = hwm + k
         return state, k
@@ -626,14 +633,16 @@ class Simulation(threading.Thread):
             if getattr(s, "needs_capacity_headroom", False))
         shrink_ok = (
             self.auto_shrink
-            and self.mesh is None
+            and self.mesh is None  # shrink would break shard divisibility
             and self.capacity is None  # user-sized capacity is intentional
             and not stable_ids
             and emit_per_iter == 0
         )
         # Continuous sources allocate slots contiguously and never reuse
-        # them; recycle via compaction when the arena nears exhaustion.
-        recycle_ok = emit_per_iter > 0 and self.mesh is None and not stable_ids
+        # them; recycle via compaction when the arena nears exhaustion (on a
+        # mesh the compaction scatter crosses shards and the state is
+        # re-placed afterwards — a chunk-boundary cost only).
+        recycle_ok = emit_per_iter > 0 and not stable_ids
         return shrink_ok, recycle_ok, emit_per_iter
 
     @property

@@ -77,6 +77,10 @@ class PopulationManager:
             from physicl_tpu.ops.compaction import compact
 
             state = compact(state)
+            if sim.mesh is not None:  # restore particle-axis placement
+                from physicl_tpu.parallel.sharding import shard_state
+
+                state = shard_state(state, sim.mesh)
             sim._hwm = sim._host_n_alive
             with sim._state_lock:
                 sim.sim_state = state

@@ -118,10 +118,11 @@ def test_sharded_fused_emitter_windows_cross_shards():
     assert (E[alive] == 1.0).sum() == 10000
 
 
-def test_sharded_emitter_recycling_disabled_cleanly():
-    """Recycling compaction is mesh-incompatible (recycle_ok requires no
-    mesh); a source on a mesh runs until the arena fills, then stops
-    emitting — identical counts fused vs generic."""
+def test_sharded_emitter_full_arena_stops_cleanly():
+    """With nothing dying, recycle compaction has nothing to reclaim: a
+    source on a full arena stops emitting — identical counts fused vs
+    generic. (Sustained sources with absorption DO recycle on a mesh; see
+    test_sharded_emitter_recycles_with_absorption.)"""
     mesh = make_mesh()
     counts = {}
     for fuse in ("auto", "off"):
@@ -166,3 +167,64 @@ def test_sharded_fused_trace_stream():
     seg = np.diff(pos[:, :, :N], axis=0)
     d = np.linalg.norm(seg, axis=1)
     assert np.allclose(d, float(light.c) * 1e-3, rtol=2e-3)
+
+
+def test_sharded_emitter_recycles_with_absorption():
+    """A sustained source + absorption on a mesh must keep emitting past the
+    arena capacity (recycle compaction now runs on meshes), matching the
+    single-device population trajectory."""
+    def run(mesh):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.2, seed=0, mesh=mesh,
+                            capacity=16384 * (8 if mesh else 1),
+                            chunk_steps=8)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, light.PhotonEmitterStep(2000, E=2.0))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        # pcoll ~= 0.3/iter: steady pop ~= 2000*0.7/0.3 ~= 4700
+        s.add_step(3, light.ScatterDeleteStep(np.double(0.001),
+                                              np.double(0.001)))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(4, sign)
+        s.add_photons(light.generate_photon_state(1000, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused
+        return np.array([int(r[1]) for r in sign.data])
+
+    ns_mesh = run(make_mesh())
+    ns_single = run(None)
+    assert len(ns_mesh) == len(ns_single) == 200
+    # total emitted = 2000/iter x 200 iters = 400k >> capacity: the source
+    # can only have kept emitting if slots recycled
+    assert ns_mesh[-50:].min() > 3500, "mesh source starved"
+    # same steady-state within binomial noise of independent streams
+    tail_m, tail_s = ns_mesh[-50:].mean(), ns_single[-50:].mean()
+    assert abs(tail_m - tail_s) < 0.05 * max(tail_m, tail_s)
+
+
+def test_mesh_midrun_injection():
+    """Mid-run add_photons/add_obj now work on a mesh: injected at a chunk
+    boundary, re-sharded, and counted exactly."""
+    import time as _time
+
+    mesh = make_mesh()
+    s = phys.Simulation(exit=lambda c: c.t >= 0.5, seed=0, mesh=mesh,
+                        chunk_steps=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=0.0005, n=0.001))
+    sign = light.ScatterSignMeasureStep(None, True)
+    s.add_step(3, sign)
+    s.add_photons(light.generate_photon_state(8 * 16384, E=1.0))
+    s.start()
+    _time.sleep(1.0)  # let the sharded kernel compile and run some chunks
+    s.add_photons(light.generate_photon_state(500, E=2.0))
+    s.add_obj(light.PhotonObject(
+        E=np.double(3.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double)))
+    s.join()
+    assert len(s.objects) == 8 * 16384 + 501
+    ns = [int(r[1]) for r in sign.data]
+    assert ns[-1] == 8 * 16384 + 501
+    E = np.asarray(jax.device_get(s.sim_state.E))
+    alive = np.asarray(jax.device_get(s.sim_state.alive))
+    assert (E[alive] == 2.0).sum() == 500 and (E[alive] == 3.0).sum() == 1
