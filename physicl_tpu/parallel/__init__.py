@@ -13,5 +13,11 @@ from physicl_tpu.parallel.sharding import (
     shard_state,
     PHOTON_AXIS,
 )
+from physicl_tpu.parallel.distributed import (
+    init_distributed,
+    is_multiprocess,
+    make_pod_mesh,
+)
 
-__all__ = ["make_mesh", "particle_sharding", "shard_state", "PHOTON_AXIS"]
+__all__ = ["make_mesh", "particle_sharding", "shard_state", "PHOTON_AXIS",
+           "init_distributed", "is_multiprocess", "make_pod_mesh"]

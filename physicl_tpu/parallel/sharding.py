@@ -47,8 +47,15 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
     """Place SimState with the particle axis sharded across the mesh.
 
     Scalars (t, dt, key) are replicated. Capacity must divide the mesh size
-    (the engine pads for this).
+    (the engine pads for this). Meshes spanning multiple processes route
+    through the multi-host placement path (each process contributes its
+    local span — no cross-host transfer).
     """
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.reshape(-1)):
+        from physicl_tpu.parallel.distributed import shard_state_multiprocess
+
+        return shard_state_multiprocess(state, mesh)
     rep = NamedSharding(mesh, P())
 
     def place(x, ndim_particle):

@@ -1,0 +1,72 @@
+"""Multi-process worker: runs a full Simulation over a process-spanning mesh.
+
+Launched by tests/test_multiprocess.py (and by __graft_entry__.py's
+multi-process dryrun mode) as N identical processes, each owning 2 virtual
+CPU devices. Usage: python mp_worker.py <process_id> <num_processes> <port>.
+Prints one PASS line per check; any assertion kills the process (nonzero
+exit observed by the launcher).
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import physicl_tpu as phys  # noqa: E402
+import physicl_tpu.newton  # noqa: E402
+import physicl_tpu.light as light  # noqa: E402
+from physicl_tpu.parallel import init_distributed, make_pod_mesh  # noqa: E402
+
+init_distributed(coordinator_address=f"localhost:{port}",
+                 num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc and jax.device_count() == 2 * nproc
+mesh = make_pod_mesh()
+assert mesh.devices.size == 2 * nproc
+print(f"[{pid}] mesh over {mesh.devices.size} devices across "
+      f"{nproc} processes PASS", flush=True)
+
+N = 2 * nproc * 16384  # one tile-aligned shard per device
+
+# --- fused pipeline: kinematics + isotropic scatter + sign counts ---------
+s = phys.Simulation(exit=lambda c: c.t >= 0.008, seed=0, mesh=mesh)
+s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s.add_step(1, phys.newton.NewtonianKinematicsStep())
+s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                         n=np.double(0.001)))
+sign = light.ScatterSignMeasureStep(None, True)
+s.add_step(3, sign)
+s.add_photons(light.generate_photon_state(N, E=1.0))
+s.start(); s.join()
+assert s.used_fused, "pod-mesh run must stay fused"
+assert len(s.ts) == 8
+ns = [int(r[1]) for r in sign.data]
+assert ns == [N] * 8, ns  # psum across processes counts EVERY shard
+shares = np.array([r[2] / r[1] for r in sign.data])
+pcoll = 1e-6 * float(light.c) * 1e-3
+expect = 0.5 + 0.5 * (1 - pcoll) ** np.arange(1, 9)
+assert np.abs(shares - expect).max() < 0.02, shares
+print(f"[{pid}] fused cross-process transport + psum reductions PASS",
+      flush=True)
+
+# --- generic path: absorption to extinction over the pod mesh -------------
+s2 = phys.Simulation(seed=1, mesh=mesh, fuse="off")
+s2.exit = lambda x: len(x.objects) == 0  # extinction-probe path
+s2.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s2.add_step(1, phys.newton.NewtonianKinematicsStep())
+s2.add_step(2, light.ScatterDeleteStep(np.double(0.002), np.double(0.002)))
+s2.add_photons(light.generate_photon_state(N, E=1.0))
+s2.start(); s2.join()
+assert len(s2.objects) == 0
+print(f"[{pid}] generic sharded extinction run PASS", flush=True)
+
+print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)
