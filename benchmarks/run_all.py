@@ -25,7 +25,11 @@ import numpy as np
 
 
 def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
-    """Sustained photon-steps/s via the engine's own chunk provider."""
+    """Sustained photon-steps/s via the engine's own chunk provider.
+
+    ``chunk=None`` lets the provider size the chunk itself (stream-plane
+    workloads like tracing cap it by the record-buffer budget).
+    """
     import jax
     from physicl_tpu.ops.pipeline import try_build_fused
     from physicl_tpu.state import SimState
@@ -39,6 +43,7 @@ def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
     provider = try_build_fused(sim, steps, state)
     if provider is None:
         raise RuntimeError("workload did not fuse")
+    chunk = provider.plan.chunk  # provider may have re-sized it
     for _ in range(2):
         state, *_ = provider(state)
     _ = np.asarray(jax.device_get(state.r[0, :8]))
@@ -155,17 +160,37 @@ def main():
     rate, s = wall_rate(s, N)
     emit("full_pipeline_wall_1e7_incl_compile", rate, "photon-steps/s", 1.4e4)
 
-    # 5b. per-photon path trace (host-streaming by design), reduced N
+    # 5b. per-photon path trace — round 2: device-resident (the fused kernel
+    # DMAs positions to an HBM stream buffer; nothing crosses to the host
+    # during the run). Steady-state chunk rate, like the other workloads.
     Nt = 100_000
-    s = phys.Simulation(exit=lambda c: c.t >= 0.050, seed=0)
+
+    def trace():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                 n=np.double(0.001)))
+        s.add_step(3, light.TracePathMeasureStep(None))
+        s.add_photons(light.generate_photon_state(Nt, E=1.0))
+        return s
+
+    emit("path_trace_steady_1e5", steady_rate(trace, Nt, chunk=None),
+         "photon-steps/s", 1.4e4)
+
+    # ...and end-to-end wall clock including compile and final host assembly
+    # of the reference-format trace matrix arrays
+    t0 = time.perf_counter()
+    s = phys.Simulation(exit=lambda c: c.t >= 0.250, seed=0)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
     s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
     s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
                                              n=np.double(0.001)))
-    s.add_step(3, light.TracePathMeasureStep(None, trace_dv=True))
+    tr = light.TracePathMeasureStep(None, trace_dv=True)
+    s.add_step(3, tr)
     s.add_photons(light.generate_photon_state(Nt, E=1.0))
     rate, s = wall_rate(s, Nt)
-    emit("path_trace_wall_1e5", rate, "photon-steps/s", 1.4e4)
+    emit("path_trace_wall_1e5_incl_compile", rate, "photon-steps/s", 1.4e4)
 
 
 if __name__ == "__main__":
