@@ -92,13 +92,18 @@ def main():
     jax.block_until_ready(light.planck_sample_E(
         N, 0.1 * kT, 12 * kT, T, bins=2000, device=True))
 
-    reps = 4
-    t0 = time.perf_counter()
-    for r in range(reps):
-        E_dev = light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000,
-                                      seed=1 + r, device=True)
-    _ = np.asarray(jax.device_get(E_dev[:8]))  # D2H sync (relay-proof)
+    # chained dispatches, one D2H sync: measures sustained device throughput
+    # (a sync per rep would time the relay's ~30ms round trip instead; keys
+    # are premade so host-side key construction stays out of the window)
+    reps = 16
+    keys = [jax.random.PRNGKey(1 + r) for r in range(reps)]
+    for timed in (False, True):  # full warmup chain first (relay pipe fill)
+        t0 = time.perf_counter()
+        outs = [light.planck_sample_E(N, 0.1 * kT, 12 * kT, T, bins=2000,
+                                      key=k, device=True) for k in keys]
+        _ = np.asarray(jax.device_get(outs[-1][:8]))  # D2H sync
     gen_rate = N * reps / (time.perf_counter() - t0)
+    E_dev = outs[-1]
     E = np.asarray(jax.device_get(E_dev[:1_000_000]))  # parity sample
     hist, edges = np.histogram(E, bins=40, range=(0.1 * kT, 12 * kT),
                                density=True)

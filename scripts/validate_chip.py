@@ -101,6 +101,66 @@ def main():
     check("sign balance", max(abs(x - 0.5) for x in signs) < 0.01,
           f"shares {[round(x, 4) for x in signs]}")
 
+    # 5 (round 2): in-kernel Planck-sampled emitter spectrum
+    T = 5778.0
+    kT = float(light.kB.value()) * T
+    a, b = 0.1 * kT, 12 * kT
+    sampler = light.PlanckSampler(a, b, T, bins=2000)
+    s = phys.Simulation(exit=lambda c: c.t >= 0.064, seed=0, capacity=2 ** 20)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(10_000, E=sampler))
+    s.add_step(2, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(128, E=1.0))
+    s.start(); s.join()
+    check("sampled-E emitter stays fused", s.used_fused, f"{s.used_fused}")
+    E = np.asarray(s.sim_state.E)
+    alive = np.asarray(s.sim_state.alive)
+    sampled = E[alive][128:]
+    hist, edges = np.histogram(sampled, bins=40, range=(a, b), density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    analytic = np.array([float(light.planck_distribution(x, T).value())
+                         for x in centers])
+    analytic /= np.trapezoid(analytic, centers)
+    mask = analytic > 0.10 * analytic.max()
+    rel = np.abs(hist[mask] - analytic[mask]) / analytic[mask]
+    check("in-kernel Planck spectrum parity", rel.max() < 0.08,
+          f"{len(sampled)} photons, max rel dev {rel.max():.3%}")
+
+    # 6 (round 2): device-resident trace — per-step traveled distance
+    s = phys.Simulation(exit=lambda c: c.t >= 0.016, seed=11)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=np.double(A), n=np.double(n)))
+    tr = light.TracePathMeasureStep(None, trace_dv=True)
+    s.add_step(3, tr)
+    s.add_photons(light.generate_photon_state(100_000, E=1.0))
+    s.start(); s.join()
+    check("trace pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    ts, pos, al, freq = tr.as_arrays()
+    seg = np.linalg.norm(np.diff(pos[:, :, :100_000], axis=0), axis=1)
+    dev = np.abs(seg - float(light.c) * 1e-3).max() / (float(light.c) * 1e-3)
+    check("trace segment lengths = c*dt", dev < 5e-3,
+          f"max rel dev {dev:.2e} over {seg.size} segments")
+    rate = freq[:100_000].sum() / (100_000 * len(ts))
+    check("trace scatter frequency = pcoll", abs(rate - pcoll) / pcoll < 0.05,
+          f"{rate:.5f} vs {pcoll:.5f}")
+
+    # 7 (round 2): reflecting boundary keeps every photon inside the box
+    L = float(light.c) * 0.0023
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=2)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, physicl_tpu.newton.ReflectingBoundaryStep(
+        np.array([[-L, L], [-L, L], [-L, L]])))
+    s.add_step(3, light.ScatterIsotropicStep(A=np.double(A), n=np.double(n)))
+    s.add_photons(light.generate_photon_state(100_000, E=1.0))
+    s.start(); s.join()
+    check("boundary pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    r = np.asarray(s.sim_state.r)[:, :100_000]
+    out_frac = (np.abs(r) > L * (1 + 1e-5)).mean()
+    check("reflecting box containment", out_frac == 0.0,
+          f"fraction outside {out_frac:.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
