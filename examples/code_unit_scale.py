@@ -18,8 +18,12 @@ import physicl_tpu.light as light
 phys.set_code_scale("m", 0.001)
 light.refresh_constants()
 
-n = 2e25 * (1 / 0.001) ** -3   # [m^-3] expressed in code units (mm^-3)
-A = 5.1e-31 * 0.001 ** -2      # [m^2] in code units
+# Physical inputs as Measurements — the code scale applies automatically,
+# exactly like the reference workflow (examples/code_unit_scale_test.ipynb)
+n_m = phys.Measurement(2e25, "m**-3")
+A_m = phys.Measurement(5.1e-31, "m**2")
+n = float(n_m.view(np.ndarray))   # code-unit values for plane placement
+A = float(A_m.view(np.ndarray))
 mfp = 1 / (n * A)              # mean free path in code units
 c_code = float(light.c)        # speed of light in code units
 
@@ -32,7 +36,7 @@ sim = phys.Simulation(seed=0)
 sim.exit = lambda x: len(x.objects) == 0
 sim.add_step(0, phys.UpdateTimeStep(lambda s: np.double(dt)))
 sim.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
-sim.add_step(2, light.ScatterDeleteStep(np.double(n), np.double(A)))
+sim.add_step(2, light.ScatterDeleteStep(n_m, A_m))
 meas = light.ScatterMeasureStep(None, False, [[mfp, np.nan, np.nan]])
 sim.add_step(3, meas)
 sim.add_photons(light.generate_photon_state(N, E=1.0))

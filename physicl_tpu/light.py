@@ -107,7 +107,19 @@ def wavelength_from_E(E):
 
 
 def _as_float(x):
+    """SI (unscaled) float — the PLANCK-function convention: the reference's
+    planck_* family explicitly unscales its arguments
+    (physicl/light.py:78)."""
     return float(x.__unscaled__()) if isinstance(x, Measurement) else float(x)
+
+
+def _as_code(x):
+    """Code-unit float — the SCATTER-step convention: device state (|dr|,
+    E) is in code units, so step constants must be too. The reference passes
+    its Measurement attributes raw into kernel args (physicl/light.py:236),
+    which are likewise code-unit stored values."""
+    return (float(raw_code_value(x)) if isinstance(x, Measurement)
+            else float(x))
 
 
 def planck_distribution(E, T):
@@ -527,8 +539,8 @@ class ScatterDeleteStep(Step):
     clear; the exit predicate sees the updated count the same iteration."""
 
     def __init__(self, n, A):
-        self.n = _as_float(n)
-        self.A = _as_float(A)
+        self.n = _as_code(n)
+        self.A = _as_code(A)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         norm = _dr_norm(state)
@@ -586,8 +598,8 @@ class ScatterIsotropicStep(Step):
     """
 
     def __init__(self, **kwargs):
-        self.n = _as_float(kwargs.get("n", 1))
-        self.A = _as_float(kwargs.get("A", 1))
+        self.n = _as_code(kwargs.get("n", 1))
+        self.A = _as_code(kwargs.get("A", 1))
         self.wavelength_dep_scattering = kwargs.get("wavelength_dep_scattering", False)
         self.variable_n = kwargs.get("variable_n", False)
         self.variable_n_fn = kwargs.get("variable_n_fn", None)

@@ -7,7 +7,7 @@ import numpy as np
 
 import physicl_tpu as phys
 import physicl_tpu.newton
-import physicl_tpu.light
+import physicl_tpu.light as light
 
 
 def rand_ray():
@@ -153,3 +153,35 @@ def test_variable_n_string_and_callable():
 def test_scatter_spherical_step_alias():
     assert phys.light.ScatterSphericalStep is phys.light.ScatterIsotropicStep
     assert phys.light.ScatterDeleteStepReference is phys.light.ScatterDeleteStep
+
+
+def test_scatter_constants_use_code_units():
+    """Measurement n/A handed to scatter steps must be converted to CODE
+    units (the state's units), not SI: under set_code_scale('m', 0.001) the
+    e^-1-survival acceptance scenario must still hold (regression for the
+    _as_code fix; the SI-unscaled conversion made absorption ~vanish)."""
+    phys.set_code_scale("m", 0.001)
+    light.refresh_constants()
+    try:
+        n_m = phys.Measurement(2e25, "m**-3")
+        A_m = phys.Measurement(5.1e-31, "m**2")
+        n_c = float(n_m.view(np.ndarray))
+        A_c = float(A_m.view(np.ndarray))
+        mfp = 1 / (n_c * A_c)
+        c_code = float(light.c)
+        N = 100_000
+        dt = mfp / c_code / 50.5
+        s = phys.Simulation(seed=0, exit=lambda v: v.t >= dt * 220)
+        s.add_step(0, phys.UpdateTimeStep(lambda v: np.double(dt)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(n_m, A_m))
+        meas = light.ScatterMeasureStep(None, True, [[mfp, np.nan, np.nan]])
+        s.add_step(3, meas)
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        s.start(); s.join()
+        survived = sum(int(r[2]) for r in meas.data) / N
+        err = abs(np.e ** -1 - survived) / np.e ** -1
+        assert err < 0.10, (survived, np.e ** -1)
+    finally:
+        phys.reset_code_scale("m")
+        light.refresh_constants()
