@@ -19,6 +19,8 @@ from physicl_tpu.engine import (
     Step,
     UpdateTimeStep,
     MeasureStep,
+    ElementwiseStep,
+    ParticleView,
     Object,
     Simulation,
     IndexException,
@@ -59,6 +61,8 @@ __all__ = [
     "Step",
     "UpdateTimeStep",
     "MeasureStep",
+    "ElementwiseStep",
+    "ParticleView",
     "Object",
     "Simulation",
     "IndexException",

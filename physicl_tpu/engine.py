@@ -44,6 +44,8 @@ __all__ = [
     "Step",
     "UpdateTimeStep",
     "MeasureStep",
+    "ElementwiseStep",
+    "ParticleView",
     "Object",
     "Simulation",
     "IndexException",
@@ -130,6 +132,100 @@ class UpdateTimeStep(Step):
 
     def collect(self, sim: "Simulation", records: Dict[str, np.ndarray]) -> None:
         sim.ts.extend(float(x) for x in records["ts"])
+
+
+class ParticleView:
+    """Per-particle elementwise view handed to :class:`ElementwiseStep`
+    functions: component arrays ``rx..rz, drx..drz, vx..vz, dvx..dvz, E``,
+    the boolean ``alive`` mask, scalars ``t``/``dt``, and ``uniform()`` for
+    per-particle U[0,1) draws. Shapes are opaque (the generic path passes
+    ``(C,)`` vectors, the fused kernel ``(rows, 128)`` tiles) — write
+    elementwise jnp code and it runs identically on both."""
+
+    _FIELDS = ("rx", "ry", "rz", "drx", "dry", "drz",
+               "vx", "vy", "vz", "dvx", "dvy", "dvz", "E", "alive")
+
+    def __init__(self, fields: Dict[str, Any], t, dt, uniform):
+        for k, v in fields.items():
+            setattr(self, k, v)
+        self.t = t
+        self.dt = dt
+        self.uniform = uniform
+
+
+class ElementwiseStep(Step):
+    """User-defined per-particle physics that KEEPS the fused fast path.
+
+    ``fn(p: ParticleView) -> dict`` returns updated fields by name (any
+    subset of ``ParticleView._FIELDS``). The explicit contract that makes
+    this fusable — unlike :class:`physicl_tpu.kernels.KernelStep`, which has
+    full SimState access and always takes the generic path:
+
+    * strictly elementwise over the particle axis (no reductions, no
+      gathers, no cross-particle communication — inside the fused kernel the
+      function sees one VMEM tile, so a reduction would silently be
+      tile-local);
+    * only the transport fields above (no ``a``, ``extras``, ``otype``);
+    * randomness only via ``p.uniform()`` (reproducible counter streams on
+      the generic path, hardware PRNG in-kernel — statistically identical);
+    * a returned ``alive`` can only clear (it is AND-ed with the current
+      mask); spawning needs :class:`physicl_tpu.light.PhotonEmitterStep`.
+
+    Example — a time-dependent absorber::
+
+        def decay(p):
+            u = p.uniform()
+            rate = 0.1 * jnp.exp(-p.t)
+            return {"alive": u >= rate * p.dt}
+
+        sim.add_step(3, ElementwiseStep(decay))
+    """
+
+    def __init__(self, fn: Callable[[ParticleView], Dict[str, Any]]):
+        self.fn = fn
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        comp = {"rx": 0, "ry": 1, "rz": 2}
+        fields = {}
+        for name in ParticleView._FIELDS:
+            if name == "E":
+                fields[name] = state.E
+            elif name == "alive":
+                fields[name] = state.alive
+            else:
+                base = {"r": "r", "dr": "dr", "v": "v", "dv": "dv"}[name[:-1]]
+                fields[name] = getattr(state, base)[comp["r" + name[-1]]]
+        key = ctx.next_key()
+        fold = [0]
+
+        def uniform():
+            fold[0] += 1
+            return jax.random.uniform(
+                jax.random.fold_in(key, fold[0]),
+                state.E.shape, state.E.dtype)
+
+        upd = self.fn(ParticleView(fields, state.t, state.dt, uniform))
+        bad = set(upd) - set(ParticleView._FIELDS)
+        if bad:
+            raise ValueError(f"ElementwiseStep returned unknown fields {bad}")
+
+        def vec(base):
+            names = [base + ax for ax in "xyz"]
+            if not any(n in upd for n in names):
+                return getattr(state, base)
+            cur = getattr(state, base)
+            return jnp.stack([
+                jnp.asarray(upd.get(n, cur[i]), cur.dtype)
+                for i, n in enumerate(names)])
+
+        out = state.replace(r=vec("r"), dr=vec("dr"), v=vec("v"),
+                            dv=vec("dv"))
+        if "E" in upd:
+            out = out.replace(E=jnp.asarray(upd["E"], state.E.dtype))
+        if "alive" in upd:
+            out = out.replace(alive=state.alive & jnp.asarray(upd["alive"],
+                                                              jnp.bool_))
+        return out
 
 
 class MeasureStep(Step):

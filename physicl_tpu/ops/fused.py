@@ -125,6 +125,10 @@ class _Op:
     # flags; cross uses one plane per measured plane for E capture
     stream0: int = -1               # first stream plane this op writes
     stream_scat: bool = False       # trace: also write dv!=0 flags
+    # user elementwise physics (engine.ElementwiseStep): traced straight
+    # into the kernel over the tile's field planes
+    custom_fn: Optional[Callable] = None
+    after_update: bool = True  # custom op sees t after/before UpdateTimeStep
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
     n_fn: Optional[Callable] = None  # variable n(r) (iso)
     c_val: float = 0.0              # |v| for resampled photons (iso)
@@ -196,7 +200,7 @@ def _fast_angles(tu, pu):
 
 
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
-                    emit_starts_ref=None, gidx=None):
+                    emit_starts_ref=None, gidx=None, t=None):
     """Run one simulation iteration on VMEM-resident field values.
 
     ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns
@@ -331,6 +335,26 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                        f[_VX + d])
                 f[_DRX + d] = r1 - (r0 - f[_DRX + d])
                 f[_RX + d] = r1
+        elif op.kind == "custom":
+            # user elementwise physics (ElementwiseStep contract): the fn
+            # sees this tile's planes; updates write back in place
+            from physicl_tpu.engine import ParticleView
+
+            names = ParticleView._FIELDS
+            plane_of = {n: i for i, n in enumerate(names)}
+            view_fields = {n: (alive_b if n == "alive" else f[plane_of[n]])
+                           for n in names}
+            t_op = jnp.float32(0.0) if t is None else (
+                t[0] if op.after_update else t[1])
+            view = ParticleView(view_fields, t_op, dt,
+                                lambda: rng.uniform(shape))
+            upd = op.custom_fn(view)
+            for name, val in upd.items():
+                if name == "alive":
+                    alive_b = alive_b & val
+                    f[_ALIVE] = alive_b.astype(jnp.float32)
+                else:
+                    f[plane_of[name]] = val.astype(jnp.float32)
         elif op.kind == "trace":
             # per-photon positions at this step's position in the pipeline;
             # dead/padding slots encode as NaN (the reference row format's
@@ -402,10 +426,13 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
         )
 
     def body(k, fields):
-        dt = dts_ref[k]
+        # sched rows: [dt at kinematics, t after update, t before update]
+        dt = dts_ref[0, k]
+        t_pair = (dts_ref[1, k], dts_ref[2, k])
         rng = _Rng(False, tile_seed, k)
         fields, row, row_f, stream = _emit_iteration(plan, k, dt, fields,
-                                                     rng, emit_ref, gidx)
+                                                     rng, emit_ref, gidx,
+                                                     t=t_pair)
         rec_ref[pl.ds(k, 1), :] = rec_ref[pl.ds(k, 1), :] + row
         recf_ref[pl.ds(k, 1), :] = recf_ref[pl.ds(k, 1), :] + row_f
         if plan.n_stream:
@@ -469,7 +496,8 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
             fields, rec, rec_f, stream_buf = carry
             rng = _Rng(True, seed, k)
             fields, row, row_f, stream = _emit_iteration(
-                plan, k, dts[k], fields, rng, emit_starts, gidx)
+                plan, k, dts[0, k], fields, rng, emit_starts, gidx,
+                t=(dts[1, k], dts[2, k]))
             if plan.n_stream:
                 stream_buf = stream_buf.at[k].set(jnp.stack(stream))
             return (fields, rec.at[k].add(row[0]),
@@ -530,7 +558,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ctl [seed, k_act]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dts (chunk,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sched (3, chunk)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # emit starts (E, chunk)
             pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),

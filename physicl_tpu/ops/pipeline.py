@@ -206,11 +206,14 @@ class FusedProvider:
             packed = self._last_packed
         else:
             packed = F.pack_state(state)
-        res = self.kernel(packed, dts_kin, emit_starts, seed, k_act)
+        # sched rows: [dt at kinematics, t after update, t before update]
+        sched = np.stack([dts_kin, ts, ts_before]).astype(np.float32)
+        res = self.kernel(packed, sched, emit_starts, seed, k_act)
         if self.plan.n_stream:
             packed, rec, rec_f, stream = res
         else:
             (packed, rec, rec_f), stream = res, None
+
         rec_np = np.asarray(jax.device_get(rec))
         recf_np = np.asarray(jax.device_get(rec_f)) if self.has_f_cols else None
 
@@ -292,7 +295,7 @@ class FusedProvider:
 
 def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     """Return a FusedProvider if the sim is provably fusable, else None."""
-    from physicl_tpu.engine import UpdateTimeStep
+    from physicl_tpu.engine import ElementwiseStep, UpdateTimeStep
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
         NewtonianKinematicsStep,
@@ -418,6 +421,11 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                             "cnt_cols": cnt_cols, "e_cols": e_cols,
                             "ecap_planes": ecap_planes})
             measure_after_update[uid] = update_seen
+        elif type(s) is ElementwiseStep:
+            # user physics under the elementwise contract traces straight
+            # into the kernel; t row chosen by position vs UpdateTimeStep
+            ops.append(F._Op("custom", custom_fn=s.fn,
+                             after_update=update_seen))
         elif type(s) is TracePathMeasureStep:
             p0 = next_plane
             next_plane += 3 + (1 if s.trace_dv else 0)
@@ -452,7 +460,9 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
             # use the computed |dr|, not c*dt
             and not any(kin_positions[0] < q < p
                         for q in reflect_positions
-                        for p in scatter_positions)):
+                        for p in scatter_positions)
+            # custom physics may change velocities or dr arbitrarily
+            and not any(op.kind == "custom" for op in ops)):
         speeds = []
         for o in sim._pending_objects:
             speeds.append(float(np.linalg.norm(
@@ -491,7 +501,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         exit_mode = "t"
     elif _probe_extinction(sim.exit):
         exit_mode = "n0"
-        if not any(op.kind in ("del", "absorb") for op in ops):
+        if not any(op.kind in ("del", "absorb", "custom") for op in ops):
             return None  # nothing can ever die: predicate never fires
         if any(op.kind == "emit" for op in ops):
             # post-extinction device emissions could not be rolled back by

@@ -138,3 +138,75 @@ def test_fused_variable_dt_schedule():
         s.start(); s.join()
         out[fuse] = list(s.ts)
     assert out["auto"] == out["off"]
+
+
+def test_elementwise_step_fuses_and_matches_generic():
+    """User physics under the ElementwiseStep contract must trace into the
+    fused kernel (used_fused=True) and agree with the generic path exactly
+    where deterministic, statistically where random."""
+    import jax.numpy as jnp
+
+    def physics(p):
+        # deterministic: exponential energy decay with time-dependent rate;
+        # stochastic: absorption once energy drops below a threshold
+        decay = jnp.exp(-0.5 * p.dt * (1.0 + p.t))
+        E = p.E * decay
+        u = p.uniform()
+        survive = jnp.logical_or(E > 0.6, u >= 0.25)
+        return {"E": E, "alive": survive}
+
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=3, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, phys.ElementwiseStep(physics))
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(3, sign)
+        s.add_photons(light.generate_photon_state(20000, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        E = np.asarray(s.sim_state.E)[:20000]
+        alive = np.asarray(s.sim_state.alive)[:20000]
+        out[fuse] = {"E": E, "alive": alive,
+                     "n": np.array([r[1] for r in sign.data], float)}
+    # deterministic decay: surviving photons' E identical across paths
+    Ef = out["auto"]["E"][out["auto"]["alive"]]
+    Eg = out["off"]["E"][out["off"]["alive"]]
+    assert np.allclose(Ef[0], Eg[0], rtol=1e-5)
+    assert np.allclose(np.unique(np.round(Ef, 5)),
+                       np.unique(np.round(Eg, 5)))
+    # stochastic deaths: counts agree within binomial noise
+    n_f, n_g = out["auto"]["n"], out["off"]["n"]
+    assert n_f.shape == n_g.shape
+    assert np.all(np.abs(n_f - n_g) <= 6 * np.sqrt(np.maximum(n_f, 1)) + 10)
+
+
+def test_elementwise_step_with_extinction_exit():
+    """A custom step that kills everything must satisfy host extinction
+    predicates on the fused path."""
+    import jax.numpy as jnp
+
+    def harvest(p):
+        return {"alive": p.uniform() >= 0.5}
+
+    s = phys.Simulation(seed=0)
+    s.exit = lambda x: len(x.objects) == 0
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.ElementwiseStep(harvest))
+    s.add_photons(light.generate_photon_state(5000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    assert len(s.objects) == 0
+
+
+def test_elementwise_step_rejects_unknown_fields():
+    import pytest
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0, fuse="off")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.ElementwiseStep(lambda p: {"momentum": p.E}))
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start()
+    with pytest.raises(ValueError):
+        s.join()
