@@ -655,6 +655,14 @@ class Simulation(threading.Thread):
         k = len(objs) + sum(int(b["n"]) for b in bulks)
         if k == 0:
             return state, 0
+        if self.mesh is not None and any(
+                d.process_index != jax.process_index()
+                for d in self.mesh.devices.reshape(-1)):
+            raise NotImplementedError(
+                "Mid-run injection on a multi-process mesh is not supported "
+                "(re-placement would need a cross-host gather, and SPMD "
+                "processes cannot be guaranteed to inject identically). "
+                "Populate before start() or use a single-process mesh.")
         sub = SimState.from_population(objs, bulks, dtype=self.dtype)
         # device emitters may have advanced the spawn mark past the host view
         hwm = max(self._hwm, int(jax.device_get(state.n_spawned)))

@@ -532,6 +532,22 @@ def _dr_norm(state: SimState) -> jax.Array:
     return jnp.sqrt(jnp.sum(state.dr * state.dr, axis=0))
 
 
+def _require_single_process_mesh(sim, what: str) -> None:
+    """Per-photon record channels (path tracing, E-list capture) hold
+    particle-axis-sharded arrays that must eventually gather to THIS host;
+    on a multi-process mesh that gather is impossible (non-addressable
+    shards), so fail loudly at setup instead of mid-run."""
+    mesh = getattr(sim, "mesh", None) if sim is not None else None
+    if mesh is None:
+        return
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.reshape(-1)):
+        raise NotImplementedError(
+            f"{what} records per-photon data, which cannot be gathered "
+            "across processes; use a single-process mesh, or aggregate "
+            "measurements (counts, Esum mode) on multi-host runs.")
+
+
 class ScatterDeleteStep(Step):
     """Absorption: photon deleted with probability ``pcoll = A*n*|dr|``
     (reference kernel ``light_scatter_step_del``, physicl/light.py:146-158 and
@@ -771,6 +787,11 @@ class ScatterMeasureStep(MeasureStep):
             axis = 0 if not np.isnan(loc[0]) else (1 if not np.isnan(loc[1]) else 2)
             self._axes.append((axis, float(loc[axis])))
 
+    def setup(self, sim) -> None:
+        if self.measure_E and self.measure_E_mode == "list":
+            _require_single_process_mesh(sim,
+                                         "ScatterMeasureStep(measure_E)")
+
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         ctx.record(self, "t", state.t)
         if self.measure_n:
@@ -864,6 +885,9 @@ class TracePathMeasureStep(MeasureStep):
         self._pos: List = []    # (k, 3, C) per chunk — jax or (spilled) np
         self._alive: List = []  # (k, C) per chunk
         self._freq = None       # (C,) scatter-event counts (device)
+
+    def setup(self, sim) -> None:
+        _require_single_process_mesh(sim, "TracePathMeasureStep")
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         ctx.record(self, "pos", state.r)
