@@ -655,9 +655,9 @@ class Simulation(threading.Thread):
         k = len(objs) + sum(int(b["n"]) for b in bulks)
         if k == 0:
             return state, 0
-        if self.mesh is not None and any(
-                d.process_index != jax.process_index()
-                for d in self.mesh.devices.reshape(-1)):
+        from physicl_tpu.parallel.distributed import mesh_spans_processes
+
+        if mesh_spans_processes(self.mesh):
             raise NotImplementedError(
                 "Mid-run injection on a multi-process mesh is not supported "
                 "(re-placement would need a cross-host gather, and SPMD "
@@ -744,9 +744,14 @@ class Simulation(threading.Thread):
         )
         # Continuous sources allocate slots contiguously and never reuse
         # them; recycle via compaction when the arena nears exhaustion (on a
-        # mesh the compaction scatter crosses shards and the state is
-        # re-placed afterwards — a chunk-boundary cost only).
-        recycle_ok = emit_per_iter > 0 and not stable_ids
+        # single-process mesh the compaction scatter crosses shards and the
+        # state is re-placed afterwards — a chunk-boundary cost only; a
+        # multi-process mesh cannot re-place from one host, so sources there
+        # stop at capacity).
+        from physicl_tpu.parallel.distributed import mesh_spans_processes
+
+        recycle_ok = (emit_per_iter > 0 and not stable_ids
+                      and not mesh_spans_processes(self.mesh))
         return shrink_ok, recycle_ok, emit_per_iter
 
     @property

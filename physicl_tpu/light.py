@@ -371,18 +371,26 @@ class PlanckSampler:
         self.E_max = _as_float(E_max)
         self.T = _as_float(T)
         self.bins = int(bins)
+        # emitted energies land in the CODE-UNIT E plane of the state; the
+        # spectrum is defined in SI joules, so fold the J code factor into
+        # every output (captured now — code scale is set at the beginning,
+        # physicl/__init__.py:124)
+        self._code = float(raw_code_value(Measurement(1.0, "J**1")))
 
     def __call__(self, key, k):
-        return _planck_poly(self.E_min, self.E_max, self.T, self.bins)(
+        E = _planck_poly(self.E_min, self.E_max, self.T, self.bins)(
             key, int(k))
+        return E * jnp.float32(self._code) if self._code != 1.0 else E
 
     def icdf(self, u):
-        return _poly_icdf_eval(
+        E = _poly_icdf_eval(
             u, _planck_poly_data(self.E_min, self.E_max, self.T, self.bins))
+        return E * jnp.float32(self._code) if self._code != 1.0 else E
 
     def sample_device(self, seed: int, n: int):
-        return _planck_kernel_sampler(
+        E = _planck_kernel_sampler(
             self.E_min, self.E_max, self.T, self.bins)(int(seed), int(n))
+        return E * jnp.float32(self._code) if self._code != 1.0 else E
 
 
 def _planck_inverse_table(E_min, E_max, T, bins):
@@ -537,11 +545,10 @@ def _require_single_process_mesh(sim, what: str) -> None:
     particle-axis-sharded arrays that must eventually gather to THIS host;
     on a multi-process mesh that gather is impossible (non-addressable
     shards), so fail loudly at setup instead of mid-run."""
+    from physicl_tpu.parallel.distributed import mesh_spans_processes
+
     mesh = getattr(sim, "mesh", None) if sim is not None else None
-    if mesh is None:
-        return
-    if any(d.process_index != jax.process_index()
-           for d in mesh.devices.reshape(-1)):
+    if mesh_spans_processes(mesh):
         raise NotImplementedError(
             f"{what} records per-photon data, which cannot be gathered "
             "across processes; use a single-process mesh, or aggregate "
@@ -915,15 +922,19 @@ class TracePathMeasureStep(MeasureStep):
     def _maybe_spill(self) -> None:
         """Move the oldest device-held chunks to host RAM once the total
         device footprint exceeds ``device_hold_bytes``."""
-        total = sum(int(p.nbytes) for p in self._pos
-                    if isinstance(p, jax.Array))
+        def held(i):
+            return sum(int(x.nbytes)
+                       for x in (self._pos[i], self._alive[i])
+                       if isinstance(x, jax.Array))
+
+        total = sum(held(i) for i in range(len(self._pos)))
         if total <= self.device_hold_bytes:
             return
         for i in range(len(self._pos)):
             if total <= self.device_hold_bytes:
                 break
             if isinstance(self._pos[i], jax.Array):
-                total -= int(self._pos[i].nbytes)
+                total -= held(i)
                 self._pos[i] = np.asarray(jax.device_get(self._pos[i]))
                 self._alive[i] = np.asarray(jax.device_get(self._alive[i]))
 

@@ -337,24 +337,33 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_RX + d] = r1
         elif op.kind == "custom":
             # user elementwise physics (ElementwiseStep contract): the fn
-            # sees this tile's planes; updates write back in place
+            # sees this tile's planes; updates write back in place. t/dt are
+            # the values the GENERIC path would expose at this step's
+            # position relative to UpdateTimeStep (sched rows 1-4).
             from physicl_tpu.engine import ParticleView
 
             names = ParticleView._FIELDS
             plane_of = {n: i for i, n in enumerate(names)}
             view_fields = {n: (alive_b if n == "alive" else f[plane_of[n]])
                            for n in names}
-            t_op = jnp.float32(0.0) if t is None else (
-                t[0] if op.after_update else t[1])
-            view = ParticleView(view_fields, t_op, dt,
+            if t is None:
+                t_op, dt_op = jnp.float32(0.0), dt
+            else:
+                t_op = t[0] if op.after_update else t[1]
+                dt_op = t[2] if op.after_update else t[3]
+            view = ParticleView(view_fields, t_op, dt_op,
                                 lambda: rng.uniform(shape))
             upd = op.custom_fn(view)
+            bad = set(upd) - set(names)
+            if bad:  # same validation the generic path gives (trace time)
+                raise ValueError(
+                    f"ElementwiseStep returned unknown fields {bad}")
             for name, val in upd.items():
                 if name == "alive":
-                    alive_b = alive_b & val
+                    alive_b = alive_b & jnp.asarray(val).astype(jnp.bool_)
                     f[_ALIVE] = alive_b.astype(jnp.float32)
                 else:
-                    f[plane_of[name]] = val.astype(jnp.float32)
+                    f[plane_of[name]] = jnp.asarray(val).astype(jnp.float32)
         elif op.kind == "trace":
             # per-photon positions at this step's position in the pipeline;
             # dead/padding slots encode as NaN (the reference row format's
@@ -426,9 +435,11 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
         )
 
     def body(k, fields):
-        # sched rows: [dt at kinematics, t after update, t before update]
+        # sched rows: [dt at kinematics, t after update, t before update,
+        #              dt after update, dt before update]
         dt = dts_ref[0, k]
-        t_pair = (dts_ref[1, k], dts_ref[2, k])
+        t_pair = (dts_ref[1, k], dts_ref[2, k], dts_ref[3, k],
+                  dts_ref[4, k])
         rng = _Rng(False, tile_seed, k)
         fields, row, row_f, stream = _emit_iteration(plan, k, dt, fields,
                                                      rng, emit_ref, gidx,
@@ -497,7 +508,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
             rng = _Rng(True, seed, k)
             fields, row, row_f, stream = _emit_iteration(
                 plan, k, dts[0, k], fields, rng, emit_starts, gidx,
-                t=(dts[1, k], dts[2, k]))
+                t=(dts[1, k], dts[2, k], dts[3, k], dts[4, k]))
             if plan.n_stream:
                 stream_buf = stream_buf.at[k].set(jnp.stack(stream))
             return (fields, rec.at[k].add(row[0]),

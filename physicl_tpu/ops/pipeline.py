@@ -150,6 +150,7 @@ class FusedProvider:
         ts_before = np.zeros(K, np.float32)
         dts_kin = np.zeros(K, np.float32)
         dts_after = np.zeros(K, np.float32)
+        dts_before = np.zeros(K, np.float32)
         n_emit = max(1, len(self.emit_ops))
         emit_starts = np.full((n_emit, K), _EMIT_INACTIVE, np.int32)
         hwm_after = np.full(K, self.hwm_h, np.int64)
@@ -161,6 +162,7 @@ class FusedProvider:
                 k_act, done_t = i, True
                 break
             ts_before[i] = t
+            dts_before[i] = dt  # dt visible before this iteration's update
             if self.update_first:
                 dt = np.float32(_as_f(self.dt_fn(_TOnly(t, dt))))
                 t = np.float32(t + dt)
@@ -176,8 +178,8 @@ class FusedProvider:
                     emit_starts[j, i] = hwm
                     hwm += op.emit_n
             hwm_after[i] = hwm
-        return (ts, ts_before, dts_kin, dts_after, k_act, done_t,
-                emit_starts, hwm_after)
+        return (ts, ts_before, dts_kin, dts_after, dts_before, k_act,
+                done_t, emit_starts, hwm_after)
 
     def __call__(self, state: SimState):
         if self.kernel is None:
@@ -195,7 +197,7 @@ class FusedProvider:
             self.capacity = state.capacity
 
         K = self.plan.chunk
-        (ts, ts_before, dts_kin, dts_after, k_act, done_t,
+        (ts, ts_before, dts_kin, dts_after, dts_before, k_act, done_t,
          emit_starts, hwm_after) = self._host_schedule()
 
         seed = int(((int(self.sim.seed) * 2_654_435_761
@@ -206,8 +208,10 @@ class FusedProvider:
             packed = self._last_packed
         else:
             packed = F.pack_state(state)
-        # sched rows: [dt at kinematics, t after update, t before update]
-        sched = np.stack([dts_kin, ts, ts_before]).astype(np.float32)
+        # sched rows: [dt at kinematics, t after update, t before update,
+        #              dt after update, dt before update]
+        sched = np.stack([dts_kin, ts, ts_before,
+                          dts_after, dts_before]).astype(np.float32)
         res = self.kernel(packed, sched, emit_starts, seed, k_act)
         if self.plan.n_stream:
             packed, rec, rec_f, stream = res

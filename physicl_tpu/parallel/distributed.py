@@ -32,7 +32,7 @@ import jax
 import numpy as np
 
 __all__ = ["init_distributed", "make_pod_mesh", "is_multiprocess",
-           "process_local_slice"]
+           "mesh_spans_processes", "process_local_slice"]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -56,6 +56,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 def is_multiprocess() -> bool:
     return jax.process_count() > 1
+
+
+def mesh_spans_processes(mesh) -> bool:
+    """True iff the mesh includes devices owned by other processes (such
+    arrays are not addressable from this host — no device_get, no host-side
+    re-placement)."""
+    if mesh is None:
+        return False
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.reshape(-1))
 
 
 def make_pod_mesh(devices=None):

@@ -51,10 +51,12 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
     through the multi-host placement path (each process contributes its
     local span — no cross-host transfer).
     """
-    if any(d.process_index != jax.process_index()
-           for d in mesh.devices.reshape(-1)):
-        from physicl_tpu.parallel.distributed import shard_state_multiprocess
+    from physicl_tpu.parallel.distributed import (
+        mesh_spans_processes,
+        shard_state_multiprocess,
+    )
 
+    if mesh_spans_processes(mesh):
         return shard_state_multiprocess(state, mesh)
     rep = NamedSharding(mesh, P())
 

@@ -210,3 +210,64 @@ def test_elementwise_step_rejects_unknown_fields():
     s.start()
     with pytest.raises(ValueError):
         s.join()
+
+
+def test_elementwise_step_dt_position_semantics():
+    """p.dt must match the generic path's state.dt at the step's position —
+    including when the ElementwiseStep precedes a time-varying
+    UpdateTimeStep (it must then see LAST iteration's dt)."""
+    def deterministic(p):
+        return {"E": p.E * (1.0 - p.dt) + 1e-6 * p.t}
+
+    for order in ("custom_first", "update_first"):
+        out = {}
+        for fuse in ("auto", "off"):
+            s = phys.Simulation(exit=lambda c: c.t >= 0.02, seed=0,
+                                fuse=fuse)
+            steps = [phys.UpdateTimeStep(lambda x: 0.001 + 0.2 * x.t),
+                     phys.ElementwiseStep(deterministic)]
+            if order == "custom_first":
+                steps.reverse()
+            for i, st in enumerate(steps):
+                s.add_step(i, st)
+            s.add_step(5, phys.newton.NewtonianKinematicsStep())
+            s.add_photons(light.generate_photon_state(256, E=1.0))
+            s.start(); s.join()
+            assert s.used_fused == (fuse == "auto")
+            out[fuse] = np.asarray(s.sim_state.E)[:256]
+        assert np.allclose(out["auto"], out["off"], rtol=1e-6), order
+
+
+def test_elementwise_step_unknown_field_raises_on_fused_path():
+    import pytest
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0, fuse="auto")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.ElementwiseStep(lambda p: {"momentum": p.E}))
+    s.add_photons(light.generate_photon_state(100, E=1.0))
+    s.start()
+    with pytest.raises(ValueError, match="unknown fields"):
+        s.join()
+
+
+def test_planck_sampler_emits_code_unit_energies():
+    """Under a non-unit code scale, sampled-E emitters must write CODE-unit
+    energies (consistent with constant-E emitters and E-plane consumers)."""
+    T = 5778.0
+    kT = float(9.6e-24) * T  # ~kB in SI (constants themselves are scaled)
+    phys.set_code_scale("m", 10.0)  # J scales by 10^2 = 100
+    light.refresh_constants()
+    try:
+        sampler = light.PlanckSampler(1e-20, 5e-19, T)
+        import jax
+        E = np.asarray(sampler(jax.random.PRNGKey(0), 50_000))
+        # SI window [1e-20, 5e-19] -> code window x100
+        assert np.all((E >= 1e-18 * 0.999) & (E <= 5e-17 * 1.001)), (
+            E.min(), E.max())
+        u = np.linspace(0.01, 0.99, 64, dtype=np.float32)
+        import jax.numpy as jnp
+        Ei = np.asarray(sampler.icdf(jnp.asarray(u)))
+        assert np.all((Ei >= 1e-18 * 0.999) & (Ei <= 5e-17 * 1.001))
+    finally:
+        phys.reset_code_scale("m")
+        light.refresh_constants()
