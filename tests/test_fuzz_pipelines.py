@@ -26,6 +26,22 @@ def _random_pipeline(rng, fuse, seed):
     if rng.random() < 0.6:
         s.add_step(idx, light.ScatterDeleteStep(
             np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001))); idx += 1
+    if rng.random() < 0.4:  # round 2: fused box boundaries
+        L = float(light.c) * 0.001 * rng.uniform(2.0, 25.0)
+        box = np.array([[-L, L], [-L, L], [-L, L]])
+        s.add_step(idx, physicl_tpu.newton.ReflectingBoundaryStep(box)
+                   if rng.random() < 0.5
+                   else physicl_tpu.newton.AbsorbingBoundaryStep(box))
+        idx += 1
+    if rng.random() < 0.35:  # round 2: fused user physics
+        import jax.numpy as jnp
+        rate = float(rng.uniform(0.002, 0.02))
+
+        def fn(p, rate=rate):
+            return {"E": p.E * jnp.float32(1.0 - 0.001),
+                    "alive": p.uniform() >= rate}
+
+        s.add_step(idx, phys.ElementwiseStep(fn)); idx += 1
     sign = light.ScatterSignMeasureStep(None, True)
     s.add_step(idx, sign); idx += 1
     loc = float(rng.uniform(0.5, 3.5)) * float(light.c) * 0.001
