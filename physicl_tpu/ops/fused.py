@@ -175,9 +175,10 @@ class FusedPlan:
     # inner unroll factor: U iterations per loop body lets Mosaic software-
     # pipeline across iterations and batches the record-row read-modify-write
     # into one aligned (U, 128) access — measured +75% kernel throughput at
-    # U=8 on v5e. The RNG draw order is unchanged, so results are bitwise
-    # identical to U=1. Remainder iterations (k_act % U) run un-unrolled.
-    unroll: int = 8
+    # U=8 and +85% at U=32 on v5e (plateau beyond). The RNG draw order is
+    # unchanged, so results are bitwise identical to U=1. Remainder
+    # iterations (k_act % U) run un-unrolled.
+    unroll: int = 32
 
 
 def _fast_sinpi(y):
