@@ -444,7 +444,12 @@ class Simulation(threading.Thread):
         self.seed = 0
         self.dtype = jnp.float32
         self.capacity: Optional[int] = None
-        self.max_record_bytes = 256 * 1024 * 1024
+        # per-dispatch record/stream buffer budget: larger => more iterations
+        # per chunk on stream-plane workloads (path tracing), amortizing the
+        # fixed per-dispatch cost; the pipelined fused loop holds at most two
+        # of these in HBM at once (plus up to device_hold_bytes retained by
+        # the trace step before spilling to host RAM)
+        self.max_record_bytes = 1024 * 1024 * 1024
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
         # generic-path PRNG: None = threefry (default, cross-backend
         # reproducible); "rbg" = TPU hardware generator (faster fallback path)
@@ -1001,16 +1006,88 @@ class Simulation(threading.Thread):
                 {k: v for k, v in records.items() if k in dev_keys})
         else:
             records_np = jax.device_get(records)
+
+        def trim(v, is_dev):
+            if not is_dev:
+                return np.asarray(v)[:n_valid]
+            # device channel: a full-length slice would dispatch a device
+            # copy for nothing — only trim when the chunk actually ended early
+            if getattr(v, "shape", (None,))[0] == n_valid:
+                return v
+            return v[:n_valid]
+
         for s in steps:
             prefix = f"{s._step_uid}/"
             local = {
-                k[len(prefix):]: (v[:n_valid] if k in dev_keys
-                                  else np.asarray(v)[:n_valid])
+                k[len(prefix):]: trim(v, k in dev_keys)
                 for k, v in records_np.items()
                 if k.startswith(prefix)
             }
             if local:
                 s.collect(self, local)
+
+    def _harvest_fused(self, provider, inflight, steps, dev_keys):
+        """Fetch one dispatched chunk's records, publish host stats, and hand
+        each step its slice. Returns ``(done, final_state)``."""
+        done, final_state, records, n_valid, stats = provider.harvest(inflight)
+        with self._state_lock:
+            if done:
+                # the definitive end state (an extinction trim may have
+                # repaired t/dt; a speculative later chunk may have been
+                # dispatched — its state is garbage and is discarded here)
+                self.sim_state = final_state
+            self._host_t = stats["t"]
+            self._host_dt = stats["dt"]
+            self._host_n_alive = stats["n_alive"]
+            self.t = Measurement.from_code(self._host_t, "s**1")
+            self.dt = Measurement.from_code(self._host_dt, "s**1")
+        self._collect_records(steps, records, dev_keys, n_valid)
+        return done, final_state
+
+    def _drive_fused(self, plan, pop, steps, state: SimState, dev_keys):
+        """Pipelined fused dispatch loop: enqueue chunk k+1 before fetching
+        chunk k's records, so the device relay's per-sync dead time (~40-80 ms
+        per round trip) overlaps kernel execution instead of serializing with
+        it. Population maintenance (inject/remove/recycle/shrink) needs a
+        definitive host view, so the pipeline drains before it runs.
+
+        Returns ``(state, finished)``; ``finished=False`` means a mid-run
+        injection broke the fused plan and the caller should continue on the
+        (rebuilt, generic) plan.
+        """
+        provider = plan.provider
+        prev = None
+        while True:
+            if pop.needs_attention(state, plan):
+                if prev is not None:  # drain the pipeline first
+                    done, final_state = self._harvest_fused(
+                        provider, prev, steps, dev_keys)
+                    prev = None
+                    if done:
+                        return final_state, True
+                state = pop.maintain(state, plan)
+                if plan.provider is not provider:
+                    return state, False  # fused plan broken: go generic
+                # fall through to dispatch: maintenance may be a no-op (e.g.
+                # shrink already at minimum capacity), so progress must not
+                # depend on needs_attention() turning false
+            inflight = provider.dispatch(state)
+            state = inflight.state
+            with self._state_lock:
+                self.sim_state = state
+            if prev is not None:
+                done, final_state = self._harvest_fused(
+                    provider, prev, steps, dev_keys)
+                if done:
+                    # the chunk just dispatched was speculative overshoot;
+                    # every op masks by alive and extinction excludes
+                    # emitters, so it could not change any live slot
+                    return final_state, True
+            if inflight.done_t:  # t-mode exit inside this chunk: no more work
+                done, final_state = self._harvest_fused(
+                    provider, inflight, steps, dev_keys)
+                return final_state, True
+            prev = inflight
 
     def _run_impl(self) -> None:
         """Drive chunked scans until the exit predicate fires, then run every
@@ -1041,6 +1118,12 @@ class Simulation(threading.Thread):
         pop = PopulationManager(self, steps)
 
         while True:
+            if plan.provider is not None:
+                state, finished = self._drive_fused(plan, pop, steps, state,
+                                                    dev_keys)
+                if finished:
+                    break
+                continue  # plan fell back to the generic scan mid-run
             if not plan.exit_traced:
                 view = _HostView(self, self._host_t, self._host_dt,
                                  self._host_n_alive)
@@ -1048,17 +1131,11 @@ class Simulation(threading.Thread):
                     break
             state, done, records, valid = plan.chunk_fn(state)
             n_valid = int(np.asarray(jax.device_get(valid)).sum())
-            stats = getattr(plan.chunk_fn, "host_stats", None)
             with self._state_lock:
                 self.sim_state = state
-                if stats is not None:  # fused provider: no device round trips
-                    self._host_t = stats["t"]
-                    self._host_dt = stats["dt"]
-                    self._host_n_alive = stats["n_alive"]
-                else:
-                    self._host_t = float(jax.device_get(state.t))
-                    self._host_dt = float(jax.device_get(state.dt))
-                    self._host_n_alive = int(jax.device_get(state.n_alive))
+                self._host_t = float(jax.device_get(state.t))
+                self._host_dt = float(jax.device_get(state.dt))
+                self._host_n_alive = int(jax.device_get(state.n_alive))
                 self.t = Measurement.from_code(self._host_t, "s**1")
                 self.dt = Measurement.from_code(self._host_dt, "s**1")
             self._collect_records(steps, records, dev_keys, n_valid)

@@ -877,7 +877,7 @@ class TracePathMeasureStep(MeasureStep):
     bounded on long runs."""
 
     needs_stable_ids = True  # disables engine auto-shrink compaction
-    device_records = ("pos", "alive", "scat")
+    device_records = ("pos", "alive", "scat", "traceraw")
     device_hold_bytes = 4 << 30
     _data_override = None
     _cached_rows = None
@@ -905,27 +905,37 @@ class TracePathMeasureStep(MeasureStep):
         return state
 
     def collect(self, sim: Simulation, records) -> None:
-        self._pos.append(records["pos"])      # (k, 3, C)
-        self._alive.append(records["alive"])  # (k, C)
-        if self.trace_dv and "scat" in records:
-            s = jnp.sum(jnp.asarray(records["scat"]).astype(jnp.int32),
-                        axis=0)
-            if self._freq is None:
-                self._freq = s
-            else:  # capacity can grow between chunks (mid-run injection)
-                m = max(s.shape[0], self._freq.shape[0])
-                self._freq = (
-                    jnp.pad(self._freq, (0, m - self._freq.shape[0]))
-                    + jnp.pad(s, (0, m - s.shape[0])))
+        if "traceraw" in records:
+            # fused path: the raw (k, planes, C) stream buffer, unsliced —
+            # positions/alive/scat are extracted on the host at assembly
+            # time, so the run itself does zero per-chunk device work here
+            self._pos.append(records["traceraw"])
+            self._alive.append(None)
+        else:
+            self._pos.append(records["pos"])      # (k, 3, C)
+            self._alive.append(records["alive"])  # (k, C)
+            if self.trace_dv and "scat" in records:
+                s = jnp.sum(jnp.asarray(records["scat"]).astype(jnp.int32),
+                            axis=0)
+                if self._freq is None:
+                    self._freq = s
+                else:  # capacity can grow between chunks (mid-run injection)
+                    m = max(s.shape[0], self._freq.shape[0])
+                    self._freq = (
+                        jnp.pad(self._freq, (0, m - self._freq.shape[0]))
+                        + jnp.pad(s, (0, m - s.shape[0])))
         self._maybe_spill()
 
     def _maybe_spill(self) -> None:
         """Move the oldest device-held chunks to host RAM once the total
         device footprint exceeds ``device_hold_bytes``."""
         def held(i):
-            return sum(int(x.nbytes)
-                       for x in (self._pos[i], self._alive[i])
-                       if isinstance(x, jax.Array))
+            x = self._pos[i]
+            if hasattr(x, "buf"):  # raw stream record (fused path)
+                return int(x.buf.nbytes) if isinstance(x.buf, jax.Array) else 0
+            return sum(int(y.nbytes)
+                       for y in (x, self._alive[i])
+                       if isinstance(y, jax.Array))
 
         total = sum(held(i) for i in range(len(self._pos)))
         if total <= self.device_hold_bytes:
@@ -933,10 +943,29 @@ class TracePathMeasureStep(MeasureStep):
         for i in range(len(self._pos)):
             if total <= self.device_hold_bytes:
                 break
-            if isinstance(self._pos[i], jax.Array):
+            x = self._pos[i]
+            if hasattr(x, "buf"):
+                if isinstance(x.buf, jax.Array):
+                    total -= held(i)
+                    x.buf = np.asarray(jax.device_get(x.buf))
+            elif isinstance(x, jax.Array):
                 total -= held(i)
-                self._pos[i] = np.asarray(jax.device_get(self._pos[i]))
+                self._pos[i] = np.asarray(jax.device_get(x))
                 self._alive[i] = np.asarray(jax.device_get(self._alive[i]))
+
+    def _chunk_np(self, i):
+        """Normalize chunk i to host arrays: (pos (k,3,C), alive (k,C),
+        scat (k,C) or None)."""
+        x = self._pos[i]
+        if hasattr(x, "buf"):  # raw stream record
+            buf = np.asarray(jax.device_get(x.buf))
+            n = x.n_valid if x.n_valid >= 0 else buf.shape[0]
+            pos = buf[:n, x.p0:x.p0 + 3, :]
+            alive = ~np.isnan(buf[:n, x.p0, :])
+            scat = buf[:n, x.p0 + 3, :] if x.scat else None
+            return pos, alive, scat
+        return (np.asarray(jax.device_get(x)),
+                np.asarray(jax.device_get(self._alive[i])), None)
 
     @property
     def data(self):
@@ -961,17 +990,32 @@ class TracePathMeasureStep(MeasureStep):
         """
         if not self._pos:
             return [], np.zeros((0, 3, 0)), np.zeros((0, 0), bool), None
-        pos_l = [np.asarray(jax.device_get(p)) for p in self._pos]
-        alive_l = [np.asarray(jax.device_get(a)) for a in self._alive]
-        cmax = max(p.shape[-1] for p in pos_l)
+        chunks = [self._chunk_np(i) for i in range(len(self._pos))]
+        cmax = max(p.shape[-1] for p, _, _ in chunks)
         pos = np.concatenate(
             [np.pad(p, ((0, 0), (0, 0), (0, cmax - p.shape[-1])))
-             for p in pos_l], axis=0)            # (T, 3, C)
+             for p, _, _ in chunks], axis=0)     # (T, 3, C)
         alive = np.concatenate(
             [np.pad(a, ((0, 0), (0, cmax - a.shape[-1])))
-             for a in alive_l], axis=0)          # (T, C)
+             for _, a, _ in chunks], axis=0)     # (T, C)
+        # scatter-event counts: generic-path chunks accumulated on device in
+        # self._freq; fused raw chunks carry a scat plane summed here
         freq = (None if self._freq is None
-                else np.asarray(jax.device_get(self._freq)))
+                else np.asarray(jax.device_get(self._freq)).astype(np.int64))
+        raw_freq = None
+        for _, _, scat in chunks:
+            if scat is None:
+                continue
+            s = np.nan_to_num(scat).sum(axis=0).astype(np.int64)
+            s = np.pad(s, (0, cmax - s.shape[0]))
+            raw_freq = s if raw_freq is None else raw_freq + s
+        if raw_freq is not None:
+            if freq is None:
+                freq = raw_freq
+            else:
+                m = max(freq.shape[0], raw_freq.shape[0])
+                freq = (np.pad(freq, (0, m - freq.shape[0]))
+                        + np.pad(raw_freq, (0, m - raw_freq.shape[0])))
         return self._ts, pos, alive, freq
 
     def _build_rows(self):

@@ -24,6 +24,7 @@ The provider implements the engine's chunk contract
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional
 
 import jax
@@ -91,6 +92,49 @@ def _probe_extinction(fn) -> bool:
 
 def _as_f(x):
     return float(raw_code_value(x)) if isinstance(x, Measurement) else float(x)
+
+
+@dataclasses.dataclass
+class _Inflight:
+    """A dispatched-but-unharvested chunk: device futures + host schedule."""
+
+    state: object            # optimistic post-chunk SimState (device futures)
+    rec: object              # (K, 128) int32 device array
+    rec_f: object            # (K, 128) f32 device array
+    stream: object           # (K, n_stream, C) device array or None
+    k_act: int               # live iterations this chunk (host-scheduled)
+    done_t: bool             # t-mode exit fires inside this chunk
+    ts: np.ndarray           # t after update, per iteration
+    ts_before: np.ndarray    # t before update, per iteration
+    dts_after: np.ndarray    # dt after update, per iteration
+    t_opt: np.float32        # optimistic end-of-chunk clock
+    dt_opt: np.float32
+    dts_before: np.ndarray = None  # dt before update, per iteration
+
+
+@dataclasses.dataclass
+class _TraceRaw:
+    """Lazy trace record: the whole stream buffer + this step's plane offset.
+
+    Handing the raw buffer to :class:`TracePathMeasureStep` avoids a per-chunk
+    device slice copy (the buffer can be GBs per chunk); the step slices on
+    the host at assembly time.
+    """
+
+    buf: object   # (K, n_stream, C) device array
+    p0: int       # first plane: positions are planes [p0, p0+3)
+    scat: bool    # plane p0+3 carries scatter-event flags
+    n_valid: int = -1  # trimmed by _collect_records (-1 == untrimmed)
+
+    def __getitem__(self, sl):
+        """Valid-prefix trimming contract used by Simulation._collect_records
+        (``v[:n_valid]``): record the bound instead of slicing the buffer."""
+        if not (isinstance(sl, slice) and sl.start is None
+                and sl.step is None):
+            raise TypeError("_TraceRaw supports prefix slicing only")
+        stop = sl.stop
+        n = self.buf.shape[0] if stop is None else min(stop, self.buf.shape[0])
+        return dataclasses.replace(self, n_valid=int(n))
 
 
 class FusedProvider:
@@ -181,7 +225,18 @@ class FusedProvider:
         return (ts, ts_before, dts_kin, dts_after, dts_before, k_act,
                 done_t, emit_starts, hwm_after)
 
-    def __call__(self, state: SimState):
+    def dispatch(self, state: SimState) -> "_Inflight":
+        """Enqueue one chunk on the device and return a handle WITHOUT any
+        host<->device synchronization.
+
+        The host clock mirrors (t/dt/hwm) advance optimistically from the
+        host-replayed schedule — exact for every chunk except the final one
+        of an extinction run, where :meth:`harvest` trims them back. The
+        device-visible cost of a dispatch is just the kernel enqueue, so the
+        engine can pipeline: dispatch chunk k+1, then fetch chunk k's records
+        while k+1 executes (the relay's per-sync dead time, ~40-80 ms,
+        otherwise dominates small-population workloads).
+        """
         if self.kernel is None:
             if self.sim.mesh is not None:
                 from physicl_tpu.parallel.sharding import build_sharded_fused
@@ -196,7 +251,6 @@ class FusedProvider:
             self.hwm_h = int(jax.device_get(state.n_spawned))
             self.capacity = state.capacity
 
-        K = self.plan.chunk
         (ts, ts_before, dts_kin, dts_after, dts_before, k_act, done_t,
          emit_starts, hwm_after) = self._host_schedule()
 
@@ -218,27 +272,14 @@ class FusedProvider:
         else:
             (packed, rec, rec_f), stream = res, None
 
-        rec_np = np.asarray(jax.device_get(rec))
-        recf_np = np.asarray(jax.device_get(rec_f)) if self.has_f_cols else None
-
-        n_end = rec_np[:, 0]
-        n_before = np.concatenate([[self.n_h], n_end[:-1]])
-
-        if self.exit_mode == "n0":
-            alive_iters = n_before > 0
-            valid = alive_iters & (np.arange(K) < k_act)
-            done = bool((~alive_iters[:k_act]).any())
-        else:
-            valid = np.arange(K) < k_act
-            done = done_t
-
-        n_valid = int(valid.sum())
+        # Optimistic clock advance: schedule-exact in t-mode; in n0-mode also
+        # exact for every chunk except the one where extinction fires — and
+        # that one ends the run, so harvest() repairs the mirrors then.
         hwm_before = self.hwm_h
-        if n_valid:
-            self.t_h = np.float32(ts[n_valid - 1])
-            self.dt_h = np.float32(dts_after[n_valid - 1])
-            self.n_h = int(n_end[n_valid - 1])
-            self.hwm_h = int(hwm_after[n_valid - 1])
+        if k_act:
+            self.t_h = np.float32(ts[k_act - 1])
+            self.dt_h = np.float32(dts_after[k_act - 1])
+            self.hwm_h = int(hwm_after[k_act - 1])
             self.sim._hwm = self.hwm_h
 
         import jax.numpy as jnp
@@ -256,10 +297,76 @@ class FusedProvider:
                 emitted, jnp.int32(OBJ_PHOTON), new_state.otype))
         self._last_state = new_state
         self._last_packed = packed
-        # host stats for the engine (saves per-chunk device_get round trips)
-        self.host_stats = {"t": float(self.t_h), "dt": float(self.dt_h),
-                           "n_alive": int(self.n_h)}
+        # start the record transfer now: it begins the moment the kernel
+        # retires, so by harvest time the host copy is (usually) already
+        # resident and the fetch costs no extra relay round trip
+        for arr in ((rec, rec_f) if self.has_f_cols else (rec,)):
+            copy_async = getattr(arr, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        return _Inflight(
+            state=new_state, rec=rec, rec_f=rec_f, stream=stream,
+            k_act=k_act, done_t=done_t, ts=ts, ts_before=ts_before,
+            dts_after=dts_after, dts_before=dts_before,
+            t_opt=np.float32(self.t_h), dt_opt=np.float32(self.dt_h),
+        )
 
+    def harvest(self, inflight: "_Inflight"):
+        """Fetch a dispatched chunk's records (the one blocking round trip)
+        and classify its exit. Returns ``(done, final_state, records,
+        n_valid, stats)`` — ``final_state`` is the definitive post-chunk state
+        (== the dispatched one except when an extinction trim repaired t/dt).
+        Chunks MUST be harvested in dispatch order: the alive-count chain
+        ``n_before`` threads through consecutive harvests.
+        """
+        K = self.plan.chunk
+        k_act = inflight.k_act
+        rec_np = np.asarray(jax.device_get(inflight.rec))
+        recf_np = (np.asarray(jax.device_get(inflight.rec_f))
+                   if self.has_f_cols else None)
+
+        n_end = rec_np[:, 0]
+        n_before = np.concatenate([[self.n_h], n_end[:-1]])
+
+        if self.exit_mode == "n0":
+            alive_iters = n_before > 0
+            n_valid = int((alive_iters & (np.arange(K) < k_act)).sum())
+            done = bool((~alive_iters[:k_act]).any())
+        else:
+            n_valid = k_act
+            done = inflight.done_t
+
+        if n_valid:
+            self.n_h = int(n_end[n_valid - 1])
+
+        final_state = inflight.state
+        if done and self.exit_mode == "n0" and n_valid < k_act:
+            # extinction fired mid-chunk: the optimistic clocks overshot by
+            # (k_act - n_valid) iterations; trim them and repair the state
+            import jax.numpy as jnp
+
+            if n_valid:
+                t_fix = np.float32(inflight.ts[n_valid - 1])
+                dt_fix = np.float32(inflight.dts_after[n_valid - 1])
+            else:
+                # extinction was already visible at the chunk's first
+                # iteration: the clocks stay at the previous chunk's end,
+                # which the schedule recorded as this chunk's starting point
+                t_fix = np.float32(inflight.ts_before[0])
+                dt_fix = np.float32(inflight.dts_before[0])
+            self.t_h, self.dt_h = t_fix, dt_fix
+            final_state = inflight.state.replace(
+                t=jnp.asarray(float(t_fix), inflight.state.t.dtype),
+                dt=jnp.asarray(float(dt_fix), inflight.state.dt.dtype),
+            )
+            self._last_state = final_state
+        stats = {"t": float(self.t_h if done else inflight.t_opt),
+                 "dt": float(self.dt_h if done else inflight.dt_opt),
+                 "n_alive": int(self.n_h)}
+        # host stats for the engine (saves per-chunk device_get round trips)
+        self.host_stats = stats
+
+        ts, ts_before, stream = inflight.ts, inflight.ts_before, inflight.stream
         records = {}
         for m in self.rec_map:
             uid = m["uid"]
@@ -285,16 +392,23 @@ class FusedProvider:
                     if p >= 0:  # per-photon E capture, NaN-coded (K, C)
                         records[f"{uid}/E{j}"] = stream[:, p, :]
             elif kind == "trace":
-                # device-resident: the engine's device-records channel keeps
-                # these on the accelerator; the host sees them only when the
-                # user assembles the trace matrix
-                pos = stream[:, m["p0"]:m["p0"] + 3, :]
-                records[f"{uid}/pos"] = pos
-                records[f"{uid}/alive"] = ~jnp.isnan(pos[:, 0, :])
-                if m["scat"]:
-                    records[f"{uid}/scat"] = stream[:, m["p0"] + 3, :]
+                # device-resident: the step receives the RAW stream buffer
+                # plus plane offsets and slices lazily at assembly time —
+                # per-chunk device slicing would copy the (K, planes, C)
+                # buffer every chunk for nothing
+                records[f"{uid}/traceraw"] = _TraceRaw(
+                    buf=stream, p0=m["p0"], scat=m["scat"])
 
-        return new_state, done, records, valid
+        return done, final_state, records, n_valid, stats
+
+    def __call__(self, state: SimState):
+        """Engine chunk contract (dispatch + immediate harvest): kept for
+        direct callers (benchmarks, notebooks); the engine itself uses the
+        pipelined dispatch/harvest pair."""
+        inflight = self.dispatch(state)
+        done, final_state, records, n_valid, _stats = self.harvest(inflight)
+        valid = np.arange(self.plan.chunk) < n_valid
+        return final_state, done, records, valid
 
 
 def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:

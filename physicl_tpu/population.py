@@ -153,6 +153,26 @@ class PopulationManager:
                 self.steps, plan.exit_fn, plan.chunk, state)
         return state
 
+    def needs_attention(self, state: SimState, plan: ExecPlan) -> bool:
+        """True when a slot-moving policy may need to run at this chunk
+        boundary — the fused pipeline drains before calling :meth:`maintain`.
+
+        Host-queued work (inject/remove) is exact; the recycle/shrink
+        triggers are evaluated conservatively (recycle one chunk early, since
+        the spawn mark is dispatch-fresh but the alive count lags the
+        pipeline by one chunk)."""
+        sim = self.sim
+        if sim._pending_inject or sim._pending_remove:
+            return True
+        provider = plan.provider
+        if self.recycle_ok and provider is not None and self.emit_per_iter:
+            need = self.emit_per_iter * provider.plan.chunk
+            if provider.hwm_h + 2 * need > state.capacity:
+                return True
+        if (self.shrink_ok and 0 < sim._host_n_alive < state.capacity // 4):
+            return True
+        return False
+
     # -- chunk-boundary entry point ------------------------------------------
 
     def maintain(self, state: SimState, plan: ExecPlan) -> SimState:

@@ -193,7 +193,8 @@ def test_trace_fuses_and_stays_device_resident():
 
     s, trace = _trace_sim("auto")
     assert s.used_fused, "trace pipeline must fuse"
-    assert all(isinstance(p, jax.Array) for p in trace._pos), \
+    assert all(isinstance(getattr(p, "buf", p), jax.Array)
+               for p in trace._pos), \
         "positions must stay on device until as_arrays()"
     ts, pos, alive, freq = trace.as_arrays()
     assert pos.shape[0] == 6 and alive.shape[0] == 6
