@@ -67,16 +67,19 @@ def main():
 
     t0 = time.perf_counter()
     if pipelined:
-        # exactly the engine's dispatch loop: enqueue chunk k+1, then fetch
-        # chunk k's records while k+1 executes (engine._drive_fused)
-        prev = None
+        # exactly the engine's dispatch loop: keep two chunks in flight,
+        # fetch the oldest's records while the others execute
+        # (engine._drive_fused, fused_pipeline_depth=2)
+        from collections import deque
+        pending = deque()
         for _ in range(REPS):
             h = provider.dispatch(state)
             state = h.state
-            if prev is not None:
-                _, _, records, n_valid, _ = provider.harvest(prev)
-            prev = h
-        _, _, records, n_valid, _ = provider.harvest(prev)
+            pending.append(h)
+            while len(pending) > 2:
+                _, _, records, n_valid, _ = provider.harvest(pending.popleft())
+        while pending:
+            _, _, records, n_valid, _ = provider.harvest(pending.popleft())
     else:
         for _ in range(REPS):
             state, done, records, valid = provider(state)

@@ -48,16 +48,18 @@ def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
         state, *_ = provider(state)
     _ = np.asarray(jax.device_get(state.r[0, :8]))
     t0 = time.perf_counter()
-    # the engine's pipelined dispatch loop: enqueue chunk k+1 before
-    # fetching chunk k's records (engine._drive_fused)
-    prev = None
+    # the engine's pipelined dispatch loop: two chunks in flight, harvest
+    # the oldest (engine._drive_fused, fused_pipeline_depth=2)
+    from collections import deque
+    pending = deque()
     for _ in range(reps):
         h = provider.dispatch(state)
         state = h.state
-        if prev is not None:
-            provider.harvest(prev)
-        prev = h
-    provider.harvest(prev)
+        pending.append(h)
+        while len(pending) > 2:
+            provider.harvest(pending.popleft())
+    while pending:
+        provider.harvest(pending.popleft())
     _ = np.asarray(jax.device_get(state.r[0, :8]))
     return n_photons * chunk * reps / (time.perf_counter() - t0)
 

@@ -454,7 +454,15 @@ class Simulation(threading.Thread):
         # generic-path PRNG: None = threefry (default, cross-backend
         # reproducible); "rbg" = TPU hardware generator (faster fallback path)
         self.prng_impl = None
-        self.fused_tile_rows = 128
+        # rows per kernel tile (x128 lanes): 512 measured ~40% faster than
+        # 128 at 1e7 photons on v5e (fewer grid steps; bigger contiguous
+        # vector work); build_fused_chunk halves it until it divides the
+        # buffer, so small populations degrade gracefully
+        self.fused_tile_rows = 512
+        # outstanding fused chunks the dispatch loop keeps in flight beyond
+        # the one being harvested (see _drive_fused); 1 disables the deeper
+        # overlap, larger trades HBM (stream buffers) for dead-time hiding
+        self.fused_pipeline_depth = 2
         self.mesh = None  # jax.sharding.Mesh: shard the particle axis
         # compact + shrink capacity when <1/4 of the buffer is alive
         # (disabled automatically when a step needs stable particle slots)
@@ -1055,14 +1063,26 @@ class Simulation(threading.Thread):
         injection broke the fused plan and the caller should continue on the
         (rebuilt, generic) plan.
         """
+        from collections import deque
+
         provider = plan.provider
-        prev = None
+        # outstanding chunks beyond the one being harvested: at depth >= 2
+        # the harvested chunk has usually already retired, so the fetch costs
+        # only the transfer and the loop sustains back-to-back kernels.
+        # Extinction runs may speculatively execute up to `depth` chunks past
+        # the exit — harmless (ops mask by alive; n0-mode excludes emitters)
+        # — and get_state() host stats lag by the same amount.
+        depth = max(1, int(getattr(self, "fused_pipeline_depth", 2)))
+        pending: deque = deque()
+
+        def drain_one():
+            return self._harvest_fused(provider, pending.popleft(), steps,
+                                       dev_keys)
+
         while True:
             if pop.needs_attention(state, plan):
-                if prev is not None:  # drain the pipeline first
-                    done, final_state = self._harvest_fused(
-                        provider, prev, steps, dev_keys)
-                    prev = None
+                while pending:  # maintenance needs a definitive host view
+                    done, final_state = drain_one()
                     if done:
                         return final_state, True
                 state = pop.maintain(state, plan)
@@ -1075,19 +1095,19 @@ class Simulation(threading.Thread):
             state = inflight.state
             with self._state_lock:
                 self.sim_state = state
-            if prev is not None:
-                done, final_state = self._harvest_fused(
-                    provider, prev, steps, dev_keys)
-                if done:
-                    # the chunk just dispatched was speculative overshoot;
-                    # every op masks by alive and extinction excludes
-                    # emitters, so it could not change any live slot
-                    return final_state, True
+            pending.append(inflight)
             if inflight.done_t:  # t-mode exit inside this chunk: no more work
-                done, final_state = self._harvest_fused(
-                    provider, inflight, steps, dev_keys)
-                return final_state, True
-            prev = inflight
+                while pending:
+                    done, final_state = drain_one()
+                    if done:
+                        return final_state, True
+            while len(pending) > depth:
+                done, final_state = drain_one()
+                if done:
+                    # the chunks still pending were speculative overshoot;
+                    # their records are never collected and the definitive
+                    # state replaces theirs
+                    return final_state, True
 
     def _run_impl(self) -> None:
         """Drive chunked scans until the exit predicate fires, then run every
@@ -1130,16 +1150,20 @@ class Simulation(threading.Thread):
                 if bool(self.exit(view)):
                     break
             state, done, records, valid = plan.chunk_fn(state)
-            n_valid = int(np.asarray(jax.device_get(valid)).sum())
+            # one batched transfer: each separate device_get is a full relay
+            # round trip (~tens of ms of dead time on tunneled devices)
+            valid_np, done_np, t_np, dt_np, n_np = jax.device_get(
+                (valid, done, state.t, state.dt, state.n_alive))
+            n_valid = int(np.asarray(valid_np).sum())
             with self._state_lock:
                 self.sim_state = state
-                self._host_t = float(jax.device_get(state.t))
-                self._host_dt = float(jax.device_get(state.dt))
-                self._host_n_alive = int(jax.device_get(state.n_alive))
+                self._host_t = float(t_np)
+                self._host_dt = float(dt_np)
+                self._host_n_alive = int(n_np)
                 self.t = Measurement.from_code(self._host_t, "s**1")
                 self.dt = Measurement.from_code(self._host_dt, "s**1")
             self._collect_records(steps, records, dev_keys, n_valid)
-            if plan.exit_traced and bool(jax.device_get(done)):
+            if plan.exit_traced and bool(done_np):
                 break
             if not plan.exit_traced and n_valid == 0:
                 break
