@@ -454,11 +454,14 @@ class Simulation(threading.Thread):
         # generic-path PRNG: None = threefry (default, cross-backend
         # reproducible); "rbg" = TPU hardware generator (faster fallback path)
         self.prng_impl = None
-        # rows per kernel tile (x128 lanes): 512 measured ~40% faster than
-        # 128 at 1e7 photons on v5e (fewer grid steps; bigger contiguous
-        # vector work); build_fused_chunk halves it until it divides the
+        # rows per kernel tile (x128 lanes): 256 measured fastest of
+        # {128, 256, 512} at 1e7 photons on v5e through the engine dispatch
+        # path (4.6e10 photon-steps/s); 512 additionally CANNOT fresh-compile
+        # — its 14-plane in+out VMEM windows put the kernel's scoped-vmem
+        # stack at ~19.8M against the 16M limit, so only relay-cache-hit HLOs
+        # ever ran at 512. build_fused_chunk halves this until it divides the
         # buffer, so small populations degrade gracefully
-        self.fused_tile_rows = 512
+        self.fused_tile_rows = 256
         # outstanding fused chunks the dispatch loop keeps in flight beyond
         # the one being harvested (see _drive_fused); 1 disables the deeper
         # overlap, larger trades HBM (stream buffers) for dead-time hiding

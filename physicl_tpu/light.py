@@ -884,14 +884,29 @@ class TracePathMeasureStep(MeasureStep):
 
     def __init__(self, out_fn=None, trace_type=Object,
                  id_info_fn: Callable = lambda x: str(type(x)),
-                 trace_dv: bool = False):
+                 trace_dv: bool = False, trace_every: int = 1):
         super().__init__(out_fn)
         self.trace_type = trace_type
         self.id_info_fn = id_info_fn
         self.trace_dv = trace_dv
+        # strided tracing (TPU extension; the reference records every
+        # iteration): sample positions on iterations that are global
+        # multiples of trace_every. On the fused path the kernel skips the
+        # stream DMA on unsampled iterations, so the per-dispatch stream
+        # buffer holds trace_every-fold more iterations — large-N traced
+        # runs stop being dispatch-bound.
+        self.trace_every = int(trace_every)
+        if self.trace_every < 1:
+            raise ValueError("trace_every must be >= 1")
+        if self.trace_dv and self.trace_every > 1:
+            raise ValueError(
+                "trace_dv counts scatter events at every iteration and is "
+                "incompatible with strided tracing (trace_every > 1)")
         self._pos: List = []    # (k, 3, C) per chunk — jax or (spilled) np
         self._alive: List = []  # (k, C) per chunk
         self._freq = None       # (C,) scatter-event counts (device)
+        self._seen = 0          # global iterations consumed (stride phase)
+        self._gidx: List = []   # per chunk: sampled global iteration indices
 
     def setup(self, sim) -> None:
         _require_single_process_mesh(sim, "TracePathMeasureStep")
@@ -905,15 +920,37 @@ class TracePathMeasureStep(MeasureStep):
         return state
 
     def collect(self, sim: Simulation, records) -> None:
+        S = self.trace_every
         if "traceraw" in records:
-            # fused path: the raw (k, planes, C) stream buffer, unsliced —
+            # fused path: the raw (rows, planes, C) stream buffer, unsliced —
             # positions/alive/scat are extracted on the host at assembly
             # time, so the run itself does zero per-chunk device work here
-            self._pos.append(records["traceraw"])
+            x = records["traceraw"]
+            n_it = x.n_valid if x.n_valid >= 0 else x.buf.shape[0] * x.every
+            if S > 1:
+                # buffer rows hold iterations seen + m*every; keep rows on
+                # global multiples of trace_every (exact phase across chunks
+                # and across fused/generic switches)
+                m = np.arange(-(-n_it // x.every))
+                g = self._seen + m * x.every
+                keep = (g % S) == 0
+                x.rows = m[keep]
+                self._gidx.append(g[keep])
+            self._seen += n_it
+            self._pos.append(x)
             self._alive.append(None)
         else:
-            self._pos.append(records["pos"])      # (k, 3, C)
-            self._alive.append(records["alive"])  # (k, C)
+            pos, alive = records["pos"], records["alive"]
+            k = int(pos.shape[0])
+            if S > 1:
+                g = self._seen + np.arange(k)
+                keep = np.flatnonzero((g % S) == 0)
+                self._gidx.append(g[keep])
+                pos = pos[keep]      # (len(keep), 3, C)
+                alive = alive[keep]  # device gather before retention
+            self._seen += k
+            self._pos.append(pos)
+            self._alive.append(alive)
             if self.trace_dv and "scat" in records:
                 s = jnp.sum(jnp.asarray(records["scat"]).astype(jnp.int32),
                             axis=0)
@@ -959,10 +996,12 @@ class TracePathMeasureStep(MeasureStep):
         x = self._pos[i]
         if hasattr(x, "buf"):  # raw stream record
             buf = np.asarray(jax.device_get(x.buf))
-            n = x.n_valid if x.n_valid >= 0 else buf.shape[0]
-            pos = buf[:n, x.p0:x.p0 + 3, :]
-            alive = ~np.isnan(buf[:n, x.p0, :])
-            scat = buf[:n, x.p0 + 3, :] if x.scat else None
+            n_it = x.n_valid if x.n_valid >= 0 else buf.shape[0] * x.every
+            sel = x.rows if x.rows is not None else slice(
+                0, -(-n_it // x.every))  # valid-prefix rows (ceil)
+            pos = buf[sel, x.p0:x.p0 + 3, :]
+            alive = ~np.isnan(buf[sel, x.p0, :])
+            scat = buf[sel, x.p0 + 3, :] if x.scat else None
             return pos, alive, scat
         return (np.asarray(jax.device_get(x)),
                 np.asarray(jax.device_get(self._alive[i])), None)
@@ -1016,7 +1055,14 @@ class TracePathMeasureStep(MeasureStep):
                 m = max(freq.shape[0], raw_freq.shape[0])
                 freq = (np.pad(freq, (0, m - freq.shape[0]))
                         + np.pad(raw_freq, (0, m - raw_freq.shape[0])))
-        return self._ts, pos, alive, freq
+        if self.trace_every > 1:
+            # strided: the t row carries only the sampled iterations' times
+            g = (np.concatenate(self._gidx)
+                 if self._gidx else np.zeros(0, np.int64))
+            ts = [self._ts[int(i)] for i in g if i < len(self._ts)]
+        else:
+            ts = self._ts
+        return ts, pos, alive, freq
 
     def _build_rows(self):
         ts, pos, alive, freq = self.as_arrays()

@@ -125,6 +125,7 @@ class _Op:
     # flags; cross uses one plane per measured plane for E capture
     stream0: int = -1               # first stream plane this op writes
     stream_scat: bool = False       # trace: also write dv!=0 flags
+    stream_every: int = 1           # trace stride: sample every k-th iteration
     # user elementwise physics (engine.ElementwiseStep): traced straight
     # into the kernel over the tile's field planes
     custom_fn: Optional[Callable] = None
@@ -172,6 +173,12 @@ class FusedPlan:
     # VMEM scratch to an HBM (chunk, n, rows, 128) buffer each iteration —
     # device-resident: nothing streams to the host until the user asks.
     n_stream: int = 0
+    # kernel stream stride: planes are offloaded only on iterations where
+    # k % stream_every == 0, into row k // stream_every — the buffer's first
+    # dim shrinks to ceil(chunk/stream_every). Set by the fusability prover
+    # to the gcd of every stream op's stride (strided path tracing: k-fold
+    # fewer stream bytes, so k-fold more iterations fit one dispatch).
+    stream_every: int = 1
     # inner unroll factor: U iterations per loop body lets Mosaic software-
     # pipeline across iterations and batches the record-row read-modify-write
     # into one aligned (U, 128) access — measured +75% kernel throughput at
@@ -432,14 +439,16 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
             * jnp.int32(_LANE)
             + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANE), 1))
 
-    def _stream_dma(k, slot):
-        """DMA descriptor: VMEM scratch slot -> HBM stream row k, this tile's
+    def _stream_dma(m, slot):
+        """DMA descriptor: VMEM scratch slot -> HBM stream row m, this tile's
         rows. Rebuilt identically for start() and the later wait()."""
         return pltpu.make_async_copy(
             stream_scratch.at[slot],
-            stream_ref.at[k, :, pl.ds(pid * tile_rows, tile_rows), :],
+            stream_ref.at[m, :, pl.ds(pid * tile_rows, tile_rows), :],
             stream_sem.at[slot],
         )
+
+    S_stream = max(1, int(plan.stream_every))
 
     def one_iter(k, fields):
         """One simulation iteration; returns (fields, int row, float row)."""
@@ -453,17 +462,26 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
                                                      rng, emit_ref, gidx,
                                                      t=t_pair)
         if plan.n_stream:
-            # double-buffered offload: reuse a scratch slot only after its
-            # previous DMA (iteration k-2) completed
-            slot = jax.lax.rem(k, 2)
+            # double-buffered offload of stream row m = k // S (every
+            # iteration when S == 1): reuse a scratch slot only after its
+            # previous DMA (row m-2) completed
+            def offload(m):
+                slot = jax.lax.rem(m, 2)
 
-            @pl.when(k >= 2)
-            def _():
-                _stream_dma(k - 2, slot).wait()
+                @pl.when(m >= 2)
+                def _():
+                    _stream_dma(m - 2, slot).wait()
 
-            for p in range(plan.n_stream):
-                stream_scratch[slot, p] = stream[p]
-            _stream_dma(k, slot).start()
+                for p in range(plan.n_stream):
+                    stream_scratch[slot, p] = stream[p]
+                _stream_dma(m, slot).start()
+
+            if S_stream == 1:
+                offload(k)
+            else:
+                @pl.when(jax.lax.rem(k, jnp.int32(S_stream)) == 0)
+                def _():
+                    offload(k // jnp.int32(S_stream))
         return fields, row, row_f
 
     def body(k, fields):
@@ -496,13 +514,17 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
         fields = jax.lax.fori_loop(0, k_act, body, fields)
 
     if plan.n_stream:  # drain in-flight stream DMAs before the kernel exits
-        @pl.when(k_act >= 2)
+        # last issued row: m_last = (k_act-1) // S; rows 0..m_last-2 were
+        # waited in-loop when their slots were reused
+        m_last = (k_act - 1) // jnp.int32(S_stream)
+
+        @pl.when(k_act >= 1 + S_stream)  # m_last >= 1
         def _():
-            _stream_dma(k_act - 2, jax.lax.rem(k_act - 2, 2)).wait()
+            _stream_dma(m_last - 1, jax.lax.rem(m_last - 1, 2)).wait()
 
         @pl.when(k_act >= 1)
         def _():
-            _stream_dma(k_act - 1, jax.lax.rem(k_act - 1, 2)).wait()
+            _stream_dma(m_last, jax.lax.rem(m_last, 2)).wait()
 
     # Write EVERY plane, including untouched ones like E: Pallas TPU output
     # windows are copied back wholesale and are NOT guaranteed to be
@@ -521,6 +543,8 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     io_callbacks, which deadlock against device_get from the driver thread).
     """
     rows = capacity // _LANE
+    s_every = max(1, int(plan.stream_every))
+    n_srows = -(-plan.chunk // s_every)  # ceil: strided stream rows
 
     @jax.jit
     def run(packed, dts, emit_starts, seed, k_act):
@@ -530,7 +554,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
         recf0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.float32)
-        stream0 = jnp.full((plan.chunk, plan.n_stream, rows, _LANE), jnp.nan,
+        stream0 = jnp.full((n_srows, plan.n_stream, rows, _LANE), jnp.nan,
                            jnp.float32)
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0)
                 * jnp.int32(_LANE)
@@ -543,7 +567,12 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
                 plan, k, dts[0, k], fields, rng, emit_starts, gidx,
                 t=(dts[1, k], dts[2, k], dts[3, k], dts[4, k]))
             if plan.n_stream:
-                stream_buf = stream_buf.at[k].set(jnp.stack(stream))
+                m = k // s_every
+                val = jnp.stack(stream)
+                if s_every > 1:  # keep row m untouched off sample iterations
+                    val = jnp.where(jax.lax.rem(k, s_every) == 0, val,
+                                    stream_buf[m])
+                stream_buf = stream_buf.at[m].set(val)
             return (fields, rec.at[k].add(row[0]),
                     rec_f.at[k].add(row_f[0]), stream_buf)
 
@@ -553,7 +582,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         out = jnp.stack([f.reshape(capacity) for f in fields])
         if plan.n_stream:
             return (out, rec, rec_f,
-                    stream_buf.reshape(plan.chunk, plan.n_stream, capacity))
+                    stream_buf.reshape(n_srows, plan.n_stream, capacity))
         return out, rec, rec_f
 
     return run
@@ -573,6 +602,18 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         tile_rows //= 2
     n_tiles = rows // tile_rows
 
+    # Scoped-vmem fit (v5e AOT limit: 16MB kernel stack). Mosaic's
+    # per-unrolled-iteration temporaries dominate the stack at U=32
+    # (~12MB measured); that only fits alongside the VMEM field windows
+    # when tiles are <=256 rows AND the result tuple is certainly
+    # HBM-resident — XLA stack-promotes small pallas results (S(1) in the
+    # failing allocations), and a state output under the 16MB limit can be
+    # promoted. Everything else runs at U<=8, which fits every measured
+    # configuration (tile 512 included) and costs ~7% at the 1e7 headline.
+    state_out_bytes = _NF * rows * _LANE * 4
+    if tile_rows > 256 or state_out_bytes < (16 << 20):
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+
     out_specs = [
         pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -587,12 +628,14 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.float32),
     ]
     scratch_shapes = []
+    s_every = max(1, int(plan.stream_every))
+    n_srows = -(-plan.chunk // s_every)  # ceil: strided stream rows
     if plan.n_stream:
         # stream buffer stays whole in HBM; tiles DMA their row stripe per
-        # iteration from a double-buffered VMEM scratch
+        # sampled iteration from a double-buffered VMEM scratch
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         out_shape.append(jax.ShapeDtypeStruct(
-            (plan.chunk, plan.n_stream, rows, _LANE), jnp.float32))
+            (n_srows, plan.n_stream, rows, _LANE), jnp.float32))
         scratch_shapes = [
             pltpu.VMEM((2, plan.n_stream, tile_rows, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -630,7 +673,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
           jnp.asarray(emit_starts, jnp.int32), packed3)
         out, rec, rec_f = res[0], res[1], res[2]
         if plan.n_stream:
-            stream = res[3].reshape(plan.chunk, plan.n_stream, capacity)
+            stream = res[3].reshape(n_srows, plan.n_stream, capacity)
             return out.reshape(_NF, capacity), rec, rec_f, stream
         return out.reshape(_NF, capacity), rec, rec_f
 

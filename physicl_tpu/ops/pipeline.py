@@ -121,10 +121,15 @@ class _TraceRaw:
     the host at assembly time.
     """
 
-    buf: object   # (K, n_stream, C) device array
+    buf: object   # (ceil(K/every), n_stream, C) device array
     p0: int       # first plane: positions are planes [p0, p0+3)
     scat: bool    # plane p0+3 carries scatter-event flags
-    n_valid: int = -1  # trimmed by _collect_records (-1 == untrimmed)
+    every: int = 1     # kernel stream stride: row m holds iteration m*every
+    op_every: int = 1  # this step's trace_every (a multiple of `every`)
+    n_valid: int = -1  # trimmed by _collect_records (-1 == untrimmed);
+    #                    counted in ITERATIONS, not buffer rows
+    rows: object = None  # optional np row-index selection (set by the trace
+    #                      step when its trace_every exceeds the kernel stride)
 
     def __getitem__(self, sl):
         """Valid-prefix trimming contract used by Simulation._collect_records
@@ -133,7 +138,8 @@ class _TraceRaw:
                 and sl.step is None):
             raise TypeError("_TraceRaw supports prefix slicing only")
         stop = sl.stop
-        n = self.buf.shape[0] if stop is None else min(stop, self.buf.shape[0])
+        n_iters = self.buf.shape[0] * self.every
+        n = n_iters if stop is None else min(stop, n_iters)
         return dataclasses.replace(self, n_valid=int(n))
 
 
@@ -397,7 +403,8 @@ class FusedProvider:
                 # per-chunk device slicing would copy the (K, planes, C)
                 # buffer every chunk for nothing
                 records[f"{uid}/traceraw"] = _TraceRaw(
-                    buf=stream, p0=m["p0"], scat=m["scat"])
+                    buf=stream, p0=m["p0"], scat=m["scat"],
+                    every=self.plan.stream_every, op_every=m["every"])
 
         return done, final_state, records, n_valid, stats
 
@@ -547,9 +554,11 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         elif type(s) is TracePathMeasureStep:
             p0 = next_plane
             next_plane += 3 + (1 if s.trace_dv else 0)
-            ops.append(F._Op("trace", stream0=p0, stream_scat=s.trace_dv))
+            every = int(getattr(s, "trace_every", 1))
+            ops.append(F._Op("trace", stream0=p0, stream_scat=s.trace_dv,
+                             stream_every=every))
             rec_map.append({"uid": uid, "kind": "trace", "p0": p0,
-                            "scat": s.trace_dv})
+                            "scat": s.trace_dv, "every": every})
         else:
             return None
 
@@ -637,12 +646,34 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         # one chunk's emissions must fit in half the arena, or emission
         # starves mid-chunk before the engine can recycle slots
         chunk = max(1, min(chunk, (state.capacity // 2) // emit_total))
+    stream_every = 1
     if next_plane:
-        # stream planes allocate (chunk, n_planes, C) f32 per dispatch; cap
-        # the chunk so one dispatch stays within the record-buffer budget
-        bytes_per_iter = next_plane * state.capacity * 4
+        import math
+
+        # kernel stream stride: the gcd of every stream source's sampling
+        # period (per-photon E capture is per-iteration => 1). Ops whose
+        # trace_every exceeds the kernel stride subsample rows on the host.
+        periods = [m["every"] for m in rec_map if m["kind"] == "trace"]
+        if any(m["kind"] == "cross" and any(p >= 0 for p in m["ecap_planes"])
+               for m in rec_map):
+            periods.append(1)
+        stream_every = math.gcd(*periods) if periods else 1
+        # stream planes allocate (ceil(chunk/stride), n_planes, C) f32 per
+        # dispatch; cap the chunk so one dispatch stays within the
+        # record-buffer budget
+        row_bytes = next_plane * state.capacity * 4
         budget = int(getattr(sim, "max_record_bytes", 256 << 20))
-        chunk = max(1, min(chunk, budget // max(bytes_per_iter, 1)))
+        chunk = max(1, min(chunk,
+                           (budget // max(row_bytes, 1)) * stream_every))
+        if stream_every > 1:
+            # full chunks must be a multiple of every sampling period so the
+            # sampled iterations stay global multiples of trace_every across
+            # chunk boundaries (k restarts at 0 each chunk)
+            period_lcm = math.lcm(*periods)
+            if chunk >= period_lcm:
+                chunk = (chunk // period_lcm) * period_lcm
+            else:  # chunk pinned below one period (emitter cap / user chunk):
+                stream_every = 1  # sample every iteration, subsample on host
     plan = F.FusedPlan(
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),
@@ -651,6 +682,7 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
         packed_angles=True,
         fast_trig=True,
         n_stream=next_plane,
+        stream_every=stream_every,
     )
     return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
                          measure_after_update, sim.exit, exit_mode)

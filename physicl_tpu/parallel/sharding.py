@@ -85,10 +85,18 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
     from jax import shard_map
     from physicl_tpu.ops import fused as F
 
+    import dataclasses
+
     n_shards = mesh.devices.size
     if capacity % n_shards:
         raise ValueError(f"capacity {capacity} not divisible by mesh size {n_shards}")
     local_cap = capacity // n_shards
+    # Under shard_map the kernel's operand/result buffers count against the
+    # ~16MB scoped-VMEM budget (unlike plain jit, where they live in HBM):
+    # 512-row tiles overflow it (14-plane in+out windows alone are 14.7MB),
+    # so cap sharded kernels at 256 rows.
+    if plan.tile_rows > 256:
+        plan = dataclasses.replace(plan, tile_rows=256)
     kern = F.build_fused_chunk(plan, local_cap)
 
     def per_shard(packed_l, dts, emit_starts, seed, k_act):

@@ -4,6 +4,7 @@ counts, path tracing matrix format, CSV output."""
 import os
 
 import numpy as np
+import pytest
 
 import physicl_tpu as phys
 import physicl_tpu.newton
@@ -281,3 +282,76 @@ def test_measure_E_list_capture_fused_vs_generic():
     assert np.allclose(sorted(out["auto"][1][3]), np.linspace(1.0, 2.0, 32),
                        rtol=1e-6)
     assert out["auto"][0][3] == [] and out["auto"][2][3] == []
+
+def _strided_trace_sim(fuse, trace_every, t_end=0.012, n=256, seed=11):
+    s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(A=0.001, n=0.001))
+    trace = light.TracePathMeasureStep(None, trace_every=trace_every)
+    s.add_step(3, trace)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    return s, trace
+
+
+def test_trace_every_fused_is_exact_subsample():
+    """Strided tracing (trace_every=k) must reproduce exactly every k-th row
+    of the unstrided trace: same seed + same chunk schedule means identical
+    RNG draws, so positions are bitwise equal at the sampled iterations."""
+    s1, tr1 = _strided_trace_sim("auto", 1)
+    s4, tr4 = _strided_trace_sim("auto", 4)
+    assert s1.used_fused and s4.used_fused
+    ts1, pos1, alive1, _ = tr1.as_arrays()
+    ts4, pos4, alive4, _ = tr4.as_arrays()
+    assert pos1.shape[0] == 12
+    assert list(ts4) == list(ts1[::4])
+    np.testing.assert_array_equal(pos4, pos1[::4])
+    np.testing.assert_array_equal(alive4, alive1[::4])
+    # matrix format: t row subsampled, one position per sampled iteration
+    rows = tr4.data
+    assert rows[0] == ["t"] + list(ts1[::4])
+    assert len(rows) == 257 and len(rows[1]) == 1 + 3
+
+
+def test_trace_every_generic_is_exact_subsample():
+    """The generic scan honors trace_every by subsampling collected rows
+    with a global phase counter (exact across chunk boundaries)."""
+    s1, tr1 = _strided_trace_sim("off", 1)
+    s3, tr3 = _strided_trace_sim("off", 3)
+    assert not s1.used_fused and not s3.used_fused
+    ts1, pos1, alive1, _ = tr1.as_arrays()
+    ts3, pos3, alive3, _ = tr3.as_arrays()
+    assert list(ts3) == list(ts1[::3])
+    np.testing.assert_array_equal(pos3, pos1[::3])
+    np.testing.assert_array_equal(alive3, alive1[::3])
+
+
+def test_trace_every_ragged_tail_and_chunk_boundaries():
+    """Stride that does not divide the iteration count, across multiple
+    chunks: sampled iterations are exactly the global multiples of k."""
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=3, fuse=fuse,
+                            chunk_steps=4)  # 10 iterations over 3 chunks
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        trace = light.TracePathMeasureStep(None, trace_every=4)
+        s.add_step(2, trace)
+        s.add_photons(light.generate_photon_state(128, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        ts, pos, alive, _ = trace.as_arrays()
+        # iterations 0..9 sampled at 0, 4, 8; straight-line +x beam
+        assert pos.shape[0] == 3
+        assert list(ts) == [s.ts[0], s.ts[4], s.ts[8]]
+        c_dt = float(light.c) * 0.001
+        np.testing.assert_allclose(
+            pos[:, 0, :128],
+            np.outer([1, 5, 9], np.full(128, c_dt)), rtol=1e-5)
+
+
+def test_trace_every_validation():
+    with pytest.raises(ValueError):
+        light.TracePathMeasureStep(None, trace_every=0)
+    with pytest.raises(ValueError):
+        light.TracePathMeasureStep(None, trace_dv=True, trace_every=2)
