@@ -984,7 +984,9 @@ class TracePathMeasureStep(MeasureStep):
             if hasattr(x, "buf"):
                 if isinstance(x.buf, jax.Array):
                     total -= held(i)
-                    x.buf = np.asarray(jax.device_get(x.buf))
+                    # reassign through the shared holder: every trace step's
+                    # record for this chunk references the same device buffer
+                    x.hold.arr = np.asarray(jax.device_get(x.buf))
             elif isinstance(x, jax.Array):
                 total -= held(i)
                 self._pos[i] = np.asarray(jax.device_get(x))

@@ -43,29 +43,27 @@ class NewtonianKinematicsStep(Step):
         return state.replace(dr=dr, r=state.r + dr)
 
 
+def _parse_bounds(bounds):
+    """Accept the reference's ``sim.bounds`` 3-vector (box [0, b] per axis,
+    physicl/__init__.py:412) or an explicit ((lo0,hi0),(lo1,hi1),(lo2,hi2));
+    returns host (lo, hi) float64 3-vectors."""
+    b = np.asarray(raw_code_value(bounds), np.float64)
+    if b.shape == (3,):
+        return np.zeros(3), b
+    if b.shape == (3, 2):
+        return b[:, 0], b[:, 1]
+    raise ValueError("bounds must be (3,) or (3, 2)")
+
+
 def _static_bounds(step, sim):
     """Host-side ((lo, hi) per axis) floats for the fused-plan prover."""
-    b = step.bounds if step.bounds is not None else sim.bounds
-    b = np.asarray(raw_code_value(b), np.float64)
-    if b.shape == (3,):
-        lo, hi = np.zeros(3), b
-    elif b.shape == (3, 2):
-        lo, hi = b[:, 0], b[:, 1]
-    else:
-        raise ValueError("bounds must be (3,) or (3, 2)")
+    lo, hi = _parse_bounds(step.bounds if step.bounds is not None
+                           else sim.bounds)
     return tuple((float(lo[d]), float(hi[d])) for d in range(3))
 
 
 def _bounds_arrays(bounds, dtype):
-    """Accept the reference's ``sim.bounds`` 3-vector (box [0, b] per axis,
-    physicl/__init__.py:412) or an explicit ((lo0,hi0),(lo1,hi1),(lo2,hi2))."""
-    b = np.asarray(raw_code_value(bounds), np.float64)
-    if b.shape == (3,):
-        lo, hi = np.zeros(3), b
-    elif b.shape == (3, 2):
-        lo, hi = b[:, 0], b[:, 1]
-    else:
-        raise ValueError("bounds must be (3,) or (3, 2)")
+    lo, hi = _parse_bounds(bounds)
     return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
 
 

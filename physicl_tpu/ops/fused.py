@@ -645,7 +645,8 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ctl [seed, k_act]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sched (3, chunk)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sched (5, chunk): rows
+            # [dt at kin, t after upd, t before upd, dt after, dt before]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # emit starts (E, chunk)
             pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),

@@ -112,6 +112,17 @@ class _Inflight:
     dts_before: np.ndarray = None  # dt before update, per iteration
 
 
+class _StreamHold:
+    """One chunk's stream buffer, shared by every trace step's record for
+    that chunk — spilling it to host RAM (``arr`` reassignment) frees the
+    device copy for ALL referencing steps at once."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
 @dataclasses.dataclass
 class _TraceRaw:
     """Lazy trace record: the whole stream buffer + this step's plane offset.
@@ -121,7 +132,7 @@ class _TraceRaw:
     the host at assembly time.
     """
 
-    buf: object   # (ceil(K/every), n_stream, C) device array
+    hold: _StreamHold  # shared (ceil(K/every), n_stream, C) buffer holder
     p0: int       # first plane: positions are planes [p0, p0+3)
     scat: bool    # plane p0+3 carries scatter-event flags
     every: int = 1     # kernel stream stride: row m holds iteration m*every
@@ -130,6 +141,10 @@ class _TraceRaw:
     #                    counted in ITERATIONS, not buffer rows
     rows: object = None  # optional np row-index selection (set by the trace
     #                      step when its trace_every exceeds the kernel stride)
+
+    @property
+    def buf(self):
+        return self.hold.arr
 
     def __getitem__(self, sl):
         """Valid-prefix trimming contract used by Simulation._collect_records
@@ -374,6 +389,11 @@ class FusedProvider:
 
         ts, ts_before, stream = inflight.ts, inflight.ts_before, inflight.stream
         records = {}
+        # one shared holder per chunk: all trace steps reference the SAME
+        # device buffer, so spill accounting / release must be collective
+        stream_hold = (_StreamHold(stream)
+                       if any(m["kind"] == "trace" for m in self.rec_map)
+                       else None)
         for m in self.rec_map:
             uid = m["uid"]
             kind = m["kind"]
@@ -403,7 +423,7 @@ class FusedProvider:
                 # per-chunk device slicing would copy the (K, planes, C)
                 # buffer every chunk for nothing
                 records[f"{uid}/traceraw"] = _TraceRaw(
-                    buf=stream, p0=m["p0"], scat=m["scat"],
+                    hold=stream_hold, p0=m["p0"], scat=m["scat"],
                     every=self.plan.stream_every, op_every=m["every"])
 
         return done, final_state, records, n_valid, stats
@@ -674,6 +694,9 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
                 chunk = (chunk // period_lcm) * period_lcm
             else:  # chunk pinned below one period (emitter cap / user chunk):
                 stream_every = 1  # sample every iteration, subsample on host
+                # ...which voids the stride-scaled cap above: re-apply the
+                # budget at one stream row per iteration
+                chunk = max(1, min(chunk, budget // max(row_bytes, 1)))
     plan = F.FusedPlan(
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),

@@ -139,7 +139,21 @@ class PopulationManager:
             sim._host_n_alive += k_new
         if plan.provider is not None:
             if sim._injection_keeps_plan(plan.provider, items):
-                plan.provider.invalidate()  # re-inits clocks from state
+                if state.capacity != old_cap and (
+                        plan.provider.plan.n_stream
+                        or plan.provider.emit_ops):
+                    # chunk caps derived from capacity (stream-buffer budget,
+                    # emitter half-arena bound) are baked into the plan:
+                    # growth must re-prove it or one dispatch can allocate a
+                    # stream buffer far beyond max_record_bytes
+                    chunk_idx = plan.provider.chunk_idx
+                    new_plan = sim._build_execution(self.steps, state)
+                    if new_plan.provider is not None:  # continue seed stream
+                        new_plan.provider.chunk_idx = chunk_idx
+                    plan.__dict__.update(new_plan.__dict__)
+                    sim.used_fused = new_plan.provider is not None
+                else:
+                    plan.provider.invalidate()  # re-inits clocks from state
             else:
                 # injected particles break the fused plan's proven invariants
                 # (photon-only / uniform speed): fall back to the generic
@@ -167,7 +181,15 @@ class PopulationManager:
         provider = plan.provider
         if self.recycle_ok and provider is not None and self.emit_per_iter:
             need = self.emit_per_iter * provider.plan.chunk
-            if provider.hwm_h + 2 * need > state.capacity:
+            # mirror _recycle's full condition (arena pressure AND enough
+            # dead slots to compact) — triggering on pressure alone would
+            # drain the pipeline before every chunk forever in the steady
+            # state where the arena is full but most slots are still alive
+            # (a source that outlives its absorption). Pressure is checked
+            # one chunk early (2x need) since hwm_h is dispatch-fresh while
+            # the alive count lags the pipeline by one harvested chunk.
+            if (provider.hwm_h + 2 * need > state.capacity
+                    and sim._host_n_alive < provider.hwm_h // 2):
                 return True
         if (self.shrink_ok and 0 < sim._host_n_alive < state.capacity // 4):
             return True

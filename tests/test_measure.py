@@ -355,3 +355,56 @@ def test_trace_every_validation():
         light.TracePathMeasureStep(None, trace_every=0)
     with pytest.raises(ValueError):
         light.TracePathMeasureStep(None, trace_dv=True, trace_every=2)
+
+def test_trace_every_larger_than_chunk_respects_stream_budget():
+    """trace_every beyond the chunk size falls back to per-iteration stream
+    rows — and must re-apply the record-buffer budget at that rate (a fixed
+    code-review finding: the fallback previously kept the stride-scaled
+    chunk, overshooting max_record_bytes by up to trace_every x)."""
+    from physicl_tpu.ops.pipeline import try_build_fused
+    from physicl_tpu.state import SimState
+
+    s = phys.Simulation(exit=lambda c: c.t >= 1.0, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    tr = light.TracePathMeasureStep(None, trace_every=5000)
+    s.add_step(2, tr)
+    s.add_photons(light.generate_photon_state(2048, E=1.0))
+    state = SimState.from_population(s._pending_objects, s._pending_bulk)
+    row_bytes = 3 * state.capacity * 4
+    s.max_record_bytes = 2 * row_bytes  # at most 2 per-iteration stream rows
+    for st in s._ordered_steps():
+        st.setup(s)
+    p = try_build_fused(s, s._ordered_steps(), state)
+    assert p is not None
+    assert p.plan.stream_every == 1  # fallback: stride exceeds the chunk
+    assert p.plan.chunk <= 2, p.plan.chunk  # budget re-applied per iteration
+
+
+def test_trace_survives_midrun_injection_capacity_growth():
+    """Mid-run injection that grows capacity on a traced fused run must
+    re-derive the plan's capacity-coupled chunk caps (code-review finding)
+    and keep the trace exact."""
+    import time as _time
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.030, seed=5, chunk_steps=8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    tr = light.TracePathMeasureStep(None, trace_every=2)
+    s.add_step(2, tr)
+    s.add_photons(light.generate_photon_state(1000, E=1.0))
+    s.start()
+    while len(s.ts) < 8 and s.running:
+        _time.sleep(0.01)
+    s.add_photons(light.generate_photon_state(40000, E=1.0))  # grows capacity
+    s.join()
+    assert s.used_fused
+    ts, pos, alive, _ = tr.as_arrays()
+    assert len(s.ts) == 30
+    # sampled iterations stay exact global multiples of 2 across the rebuild
+    assert list(ts) == list(np.asarray(s.ts)[::2])
+    assert pos.shape[0] == 15
+    # original photons' x positions: straight +x beam, c*t at sampled times
+    c = float(light.c)
+    for row, t in zip(pos[:, 0, :1000], ts):
+        np.testing.assert_allclose(row, c * float(t), rtol=1e-4)
