@@ -216,10 +216,13 @@ _POLY_DEG = 7
 def _planck_poly_data(E_min, E_max, T, bins):
     """Memoized piecewise-polynomial inverse-CDF fit (host-side constants).
 
-    Segments are uniform in ENERGY (p-breakpoints at F(E_s)), which bounds the
-    inverse CDF's slope per segment; each segment carries a degree-7 monomial
-    fit. Max error ~3 CDF-table bins (0.15% of the energy window) — below the
-    reference's own bin-edge quantization. Returns
+    Segments are warped-uniform in ENERGY — breakpoints at
+    ``E_lo + (E_hi-E_lo) * t**1.5`` — which bounds the inverse CDF's slope
+    per segment while concentrating resolution where the inverse is steepest
+    (u -> 0: the density vanishes as x^3 toward E_lo, so the CDF is flat and
+    its inverse steep there). Each segment carries a degree-7 monomial fit.
+    Max error ~0.01 CDF-table bins (uniform breakpoints measured ~3 bins;
+    the warp is where the round-2 accuracy gain came from). Returns
     ``(pb, mids, halves, coeffs, (E_lo, E_hi))`` as float32 Python constants
     that fold into any trace (jit, Pallas kernel) as immediates.
     """
@@ -230,21 +233,22 @@ def _planck_poly_data(E_min, E_max, T, bins):
 
     E, cdf = planck_cdf(E_min, E_max, T, bins)
     probs = np.concatenate([[0.0], cdf])
-    dense_p = np.linspace(0.0, 1.0, 1 << 16)
-    dense_inv = np.interp(dense_p, probs, E)
-    Eb = np.linspace(E[0], E[-1], _POLY_SEGS + 1)
+    Eb = E[0] + (E[-1] - E[0]) * np.linspace(0.0, 1.0, _POLY_SEGS + 1) ** 1.5
     pb = np.interp(Eb, E, probs)
     pb[0], pb[-1] = 0.0, 1.0 + 1e-7
 
     mids = 0.5 * (pb[1:] + pb[:-1])
     halves = np.maximum(0.5 * (pb[1:] - pb[:-1]), 1e-12)
     coeffs = np.zeros((_POLY_SEGS, _POLY_DEG + 1))
+    nodes = np.cos(np.pi * (np.arange(128) + 0.5) / 128)  # Chebyshev nodes
     for s in range(_POLY_SEGS):
-        m = (dense_p >= pb[s]) & (dense_p <= pb[s + 1])
-        if m.sum() < _POLY_DEG + 2:
-            m = slice(max(0, m.argmax() - 8), m.argmax() + 8)
+        # fit on nodes sampled WITHIN the segment (always well-conditioned —
+        # a shared dense grid leaves near-zero-mass tail segments with too
+        # few points and garbage rank-deficient fits)
+        ps = mids[s] + halves[s] * nodes
         ch = np.polynomial.chebyshev.Chebyshev.fit(
-            dense_p[m], dense_inv[m], _POLY_DEG, domain=[pb[s], pb[s + 1]])
+            ps, np.interp(ps, probs, E), _POLY_DEG,
+            domain=[pb[s], pb[s + 1]])
         coeffs[s] = np.polynomial.chebyshev.cheb2poly(ch.coef)
 
     data = (
@@ -252,6 +256,9 @@ def _planck_poly_data(E_min, E_max, T, bins):
         [np.float32(x) for x in mids],
         [np.float32(x) for x in halves],
         [[np.float32(c) for c in row] for row in coeffs],
+        # per-segment energy breakpoints (diagnostic metadata; the traced
+        # eval clips globally — node-based fits keep segments accurate)
+        [np.float32(x) for x in Eb],
         (np.float32(E[0]), np.float32(E[-1])),
     )
     _planck_poly_cache[cache_key] = data
@@ -265,7 +272,7 @@ def _poly_icdf_eval(u, data):
     gathers, so it runs identically under jit, inside lax.scan bodies, and
     inside Pallas TPU kernels (~400 VPU ops per sample).
     """
-    pb_f, mid_f, half_f, coef_f, (e_lo, e_hi) = data
+    pb_f, mid_f, half_f, coef_f, _eb_f, (e_lo, e_hi) = data
     mid = jnp.zeros_like(u)
     half = jnp.ones_like(u)
     cs = [jnp.zeros_like(u) for _ in range(_POLY_DEG + 1)]

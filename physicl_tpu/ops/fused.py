@@ -611,7 +611,13 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
     # promoted. Everything else runs at U<=8, which fits every measured
     # configuration (tile 512 included) and costs ~7% at the 1e7 headline.
     state_out_bytes = _NF * rows * _LANE * 4
-    if tile_rows > 256 or state_out_bytes < (16 << 20):
+    # ops that trace arbitrary-size user code per iteration (in-kernel
+    # sampled-E emitters, ElementwiseStep physics) multiply the per-
+    # iteration temporaries: a 32-segment Planck icdf emitter at U=32
+    # measured 19.6M scoped even with HBM-resident outputs
+    heavy_ops = any(op.emit_E_fn is not None or op.custom_fn is not None
+                    for op in plan.ops)
+    if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
 
     out_specs = [

@@ -119,3 +119,27 @@ def test_planck_kernel_and_poly_samplers_agree():
             device_method="kernel"))
         assert np.allclose(np.quantile(E_kern, q), np.quantile(E_poly, q),
                            rtol=0.02)
+
+
+def test_poly_icdf_accuracy_vs_exact_inverse():
+    """The warped-breakpoint, node-fitted piecewise-poly inverse CDF must
+    stay within a fraction of one CDF-table bin of the exact (piecewise-
+    linear) inverse on standard windows, and within 2 bins even on
+    pathological near-zero-density windows (round-2 accuracy fix: uniform
+    breakpoints + dense-grid fits measured ~3 bins / ~180 bins here)."""
+    import jax.numpy as jnp
+
+    kT = float(light.kB.value()) * 5778.0
+    for (a_f, b_f, tol_bins) in [(0.1, 12.0, 0.1), (2.0, 10.0, 0.1),
+                                 (0.01, 20.0, 2.0), (0.1, 30.0, 2.0)]:
+        E_min, E_max, bins = a_f * kT, b_f * kT, 2000
+        E, cdf = light.planck_cdf(E_min, E_max, 5778.0, bins)
+        probs = np.concatenate([[0.0], cdf])
+        dense_p = np.linspace(0.0, 1.0, 1 << 17)
+        exact = np.interp(dense_p, probs, E)
+        data = light._planck_poly_data(E_min, E_max, 5778.0, bins)
+        approx = np.asarray(light._poly_icdf_eval(
+            jnp.asarray(dense_p, jnp.float32), data))
+        binw = (E_max - E_min) / bins
+        max_bins = np.abs(approx - exact).max() / binw
+        assert max_bins < tol_bins, (a_f, b_f, max_bins)
