@@ -46,10 +46,15 @@ def _random_pipeline(rng, fuse, seed):
     s.add_step(idx, sign); idx += 1
     loc = float(rng.uniform(0.5, 3.5)) * float(light.c) * 0.001
     cross = light.ScatterMeasureStep(None, True, [[loc, np.nan, np.nan]])
-    s.add_step(idx, cross)
+    s.add_step(idx, cross); idx += 1
+    trace = None
+    if rng.random() < 0.35:  # round 2 late: (strided) device tracing
+        trace = light.TracePathMeasureStep(
+            None, trace_every=int(rng.choice([1, 2, 4, 5])))
+        s.add_step(idx, trace)
     s.add_photons(light.generate_photon_state(
         int(rng.integers(3000, 8000)), E=1.0))
-    return s, sign, cross
+    return s, sign, cross, trace
 
 
 @pytest.mark.parametrize("trial", range(12))
@@ -57,7 +62,7 @@ def test_random_pipeline_fused_matches_generic(trial):
     out = {}
     for fuse in ("auto", "off"):
         rng = np.random.default_rng(1000 + trial)  # same pipeline both ways
-        s, sign, cross = _random_pipeline(rng, fuse, seed=trial)
+        s, sign, cross, trace = _random_pipeline(rng, fuse, seed=trial)
         s.start(); s.join()
         out[fuse] = {
             "fused": s.used_fused,
@@ -66,8 +71,17 @@ def test_random_pipeline_fused_matches_generic(trial):
             "crossed": float(sum(r[2] for r in cross.data)),
             "iters": len(s.ts),
         }
+        if trace is not None:
+            ts, pos, alive, _ = trace.as_arrays()
+            # sampled times are exactly the global multiples of trace_every,
+            # and both paths produce the identical t-row / row count
+            S = trace.trace_every
+            assert list(ts) == list(np.asarray(s.ts)[::S])
+            assert pos.shape[0] == len(ts) and alive.shape[0] == len(ts)
+            out[fuse]["trace_rows"] = pos.shape
     a, b = out["auto"], out["off"]
     assert a["iters"] == b["iters"]
+    assert a.get("trace_rows") == b.get("trace_rows")
     assert not b["fused"]
     # Population trajectories: independent RNG streams compound binomial
     # noise, so the bound scales like sqrt(n) (plus a drift term), not a
