@@ -1,0 +1,115 @@
+"""Fresh-compile smoke matrix for the fused kernel (real TPU only).
+
+The AOT compile helper enforces a 16MB scoped-vmem stack; Mosaic's unrolled
+per-iteration temporaries, the VMEM field windows, and (for small outputs)
+stack-promoted result tuples all count against it. build_fused_chunk sizes
+tiles/unroll to fit (ops/fused.py) — this matrix drives every op family
+through a REAL compile at small and large capacities to catch regressions.
+
+Cache-busting: the axon relay caches compiles server-side keyed on the HLO,
+so a constant plan that "passes" may be a cache hit hiding a fresh-compile
+OOM (exactly how the tile-512 regression stayed invisible). Each run folds a
+process-unique epsilon into one physics constant: the physics is unchanged
+(relative size ~1e-7) but the HLO is new, so every run really compiles.
+"""
+
+import os
+import time
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs real TPU hardware")
+
+_EPS = 1.0 + (int(time.time() * 1000) % 100_000) * 1e-12
+
+
+def _ops(kind):
+    from physicl_tpu.ops import fused as F
+    import physicl_tpu.light as light
+
+    c = float(light.c) * _EPS
+    kin = F._Op("kin")
+    iso = F._Op("iso", coef=1e-6 * _EPS, c_val=c)
+    if kind == "iso":
+        return [kin, iso, F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "varn":
+        import jax.numpy as jnp
+
+        iso_v = F._Op("iso", coef=1e-6 * _EPS, c_val=c,
+                      wl_base=1.0e-3 * _EPS,
+                      n_fn=lambda x, y, z: jnp.exp(-x * jnp.float32(1e-9)))
+        return [kin, iso_v, F._Op("del", coef=1e-7 * _EPS),
+                F._Op("cross", cols=(1,), axes=((0, 0.5 * _EPS, 2, 0, -1),))
+                ], 5, 0
+    if kind == "emit":
+        return [F._Op("emit", emit_n=64, emit_E=2.0 * _EPS,
+                      emit_r=(0.0, 0.0, 0.0), emit_v=None, c_val=c,
+                      emit_sched_idx=0),
+                kin,
+                F._Op("absorb", bounds=((-1.0 * _EPS, 1.0), (-1e9, 1e9),
+                                        (-1e9, 1e9))),
+                F._Op("cross", cols=(1,), axes=((0, 0.5, 2, 0, -1),))], 5, 0
+    if kind == "emit_icdf":
+        import physicl_tpu.light as L
+
+        kT = float(L.kB.value()) * 5778.0
+        sampler = L.PlanckSampler(0.1 * kT * _EPS, 12 * kT, 5778.0,
+                                  bins=2000)
+        return [F._Op("emit", emit_n=64, emit_E=0.0, emit_E_fn=sampler.icdf,
+                      emit_r=(0.0, 0.0, 0.0), emit_v=(c, 0.0, 0.0),
+                      c_val=c, emit_sched_idx=0),
+                kin, F._Op("del", coef=1e-5 * _EPS)], 3, 0
+    if kind == "trace":
+        return [kin, iso, F._Op("trace", stream0=0, stream_scat=True)], 5, 4
+    if kind == "trace_strided":
+        return [kin, iso, F._Op("trace", stream0=0, stream_every=4)], 5, 3
+    if kind == "ecap":
+        return [kin,
+                F._Op("cross", cols=(1,), axes=((0, 0.5 * _EPS, 2, -1, 0),))
+                ], 5, 1
+    if kind == "custom":
+        import jax.numpy as jnp
+
+        def fn(p):
+            return {"E": p.E * jnp.float32(0.999 * _EPS),
+                    "alive": p.uniform() >= jnp.float32(0.001)}
+
+        return [kin, F._Op("custom", custom_fn=fn), iso,
+                F._Op("sign", cols=(1, 2))], 5, 0
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf",
+                                  "trace", "trace_strided", "ecap", "custom"])
+@pytest.mark.parametrize("rows", [128, 1024, 8192])
+def test_fused_kernel_fresh_compiles(kind, rows):
+    """Every op family x capacity must COMPILE fresh and execute 5 real
+    iterations within the scoped-vmem budget."""
+    import jax.numpy as jnp
+    from physicl_tpu.ops import fused as F
+
+    ops, n_rec, n_stream = _ops(kind)
+    chunk = 32  # small: compile dominates; the matrix probes fit, not perf
+    stream_every = max([getattr(o, "stream_every", 1) for o in ops])
+    plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
+                       const_norm_speed=None, packed_angles=True,
+                       fast_trig=True, n_stream=n_stream,
+                       stream_every=stream_every if n_stream else 1)
+    cap = rows * 128
+    k = F.build_fused_chunk(plan, cap)
+    packed = jnp.concatenate([
+        jnp.zeros((6, cap), jnp.float32),                      # r, dr
+        jnp.ones((1, cap), jnp.float32) * jnp.float32(3e8),    # vx
+        jnp.zeros((5, cap), jnp.float32),                      # vy..dvz
+        jnp.ones((2, cap), jnp.float32),                       # E, alive
+    ])
+    sched = np.tile(np.float32(1e-3), (5, chunk))
+    sched[1] = np.cumsum(sched[0])                             # t after
+    sched[2] = sched[1] - sched[0]                             # t before
+    emit = np.zeros((1, chunk), np.int32)
+    res = k(packed, sched, emit, 12345, 5)
+    out = np.asarray(jax.device_get(res[0][:, :8]))
+    assert np.isfinite(out).all()
