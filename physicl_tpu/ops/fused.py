@@ -588,12 +588,52 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     return run
 
 
+def _plan_cache_key(plan: FusedPlan, capacity: int):
+    """Structural identity of a compiled chunk. Callables key by id() — the
+    cache holds the plan (strong ref) so ids cannot be recycled while the
+    entry lives."""
+    ops = tuple(
+        (op.kind, op.coef, op.bounds, op.stream0, op.stream_scat,
+         op.stream_every,
+         id(op.custom_fn) if op.custom_fn is not None else None,
+         op.after_update, op.wl_base,
+         id(op.n_fn) if op.n_fn is not None else None,
+         op.c_val, op.cols, op.axes, op.emit_n, op.emit_E,
+         id(op.emit_E_fn) if op.emit_E_fn is not None else None,
+         op.emit_r, op.emit_v, op.emit_sched_idx)
+        for op in plan.ops)
+    return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,
+            plan.interpret, plan.const_norm_speed, plan.packed_angles,
+            plan.fast_trig, plan.n_stream, plan.stream_every, plan.unroll)
+
+
+_chunk_cache: dict = {}  # key -> (plan, compiled runner); FIFO-bounded
+_CHUNK_CACHE_MAX = 64
+
+
 def build_fused_chunk(plan: FusedPlan, capacity: int):
     """Compile the fused chunk: (packed_state, dts, seed, k_act) -> (state, rec).
 
     ``packed_state`` is (14, C) f32; rec is (chunk, 128) int32 with col 0 the
     global alive count per iteration and measure channels per the plan.
+
+    Structurally identical (plan, capacity) pairs return the SAME jitted
+    runner: repeated sims (sweeps, notebooks, tests) and same-capacity
+    provider invalidations (slot recycling, mid-run edits) skip the
+    re-trace + compile round trip entirely.
     """
+    key = _plan_cache_key(plan, capacity)
+    hit = _chunk_cache.get(key)
+    if hit is not None:
+        return hit[1]
+    run = _build_fused_chunk_uncached(plan, capacity)
+    if len(_chunk_cache) >= _CHUNK_CACHE_MAX:  # FIFO: drop the oldest
+        _chunk_cache.pop(next(iter(_chunk_cache)))
+    _chunk_cache[key] = (plan, run)
+    return run
+
+
+def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     if plan.interpret:
         return _build_emulated_chunk(plan, capacity)
     rows = capacity // _LANE

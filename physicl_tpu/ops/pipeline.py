@@ -200,8 +200,9 @@ class FusedProvider:
         the capacity (e.g. slot-recycling compaction); kernel stays compiled."""
         self._last_state = None
         self._last_packed = None
-        self.n_h = int(jax.device_get(state.n_alive))
-        self.hwm_h = int(jax.device_get(state.n_spawned))
+        n_h, hwm_h = jax.device_get((state.n_alive, state.n_spawned))
+        self.n_h = int(n_h)
+        self.hwm_h = int(hwm_h)
 
     def _host_schedule(self):
         """Replay K iterations of the time stepping in f32 on the host.
@@ -266,10 +267,12 @@ class FusedProvider:
                     self.plan, state.capacity, self.sim.mesh)
             else:
                 self.kernel = F.build_fused_chunk(self.plan, state.capacity)
-            self.n_h = int(jax.device_get(state.n_alive))
-            self.t_h = np.float32(jax.device_get(state.t))
-            self.dt_h = np.float32(jax.device_get(state.dt))
-            self.hwm_h = int(jax.device_get(state.n_spawned))
+            n_h, t_h, dt_h, hwm_h = jax.device_get(  # one relay round trip
+                (state.n_alive, state.t, state.dt, state.n_spawned))
+            self.n_h = int(n_h)
+            self.t_h = np.float32(t_h)
+            self.dt_h = np.float32(dt_h)
+            self.hwm_h = int(hwm_h)
             self.capacity = state.capacity
 
         (ts, ts_before, dts_kin, dts_after, dts_before, k_act, done_t,

@@ -185,18 +185,29 @@ def test_kinematics_with_acceleration():
                       rtol=1e-4)
 
 
-def test_midrun_injection():
-    import threading
+def _wait_chunks(s, min_iters=8, timeout=60.0):
+    """Gate mid-run mutations on actual progress instead of sleeping:
+    kernel caching makes repeat runs fast enough that a fixed sleep can
+    race the END of the run."""
     import time as _time
+
+    t0 = _time.time()
+    while (len(s.ts) < min_iters and s.running
+           and _time.time() - t0 < timeout):
+        _time.sleep(0.002)
+    assert s.running, "run finished before the mid-run event was queued"
+
+
+def test_midrun_injection():
     import physicl_tpu.light as light
 
-    # slow sim (big chunk count) so we can inject while it runs
+    # long run (many chunks) so we can inject while it runs
     s = phys.Simulation(exit=lambda v: v.t >= 0.2, seed=0, chunk_steps=8)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
     s.add_step(1, phys.newton.NewtonianKinematicsStep())
     s.add_photons(light.generate_photon_state(100, E=1.0))
     s.start()
-    _time.sleep(0.3)  # let it compile/start
+    _wait_chunks(s)
     s.add_photons(light.generate_photon_state(50, E=2.0))
     s.add_obj(light.PhotonObject(
         E=np.double(3.0),
@@ -222,7 +233,7 @@ def test_midrun_injection_grows_capacity():
     s.add_step(1, phys.newton.NewtonianKinematicsStep())
     s.add_photons(light.generate_photon_state(16000, E=1.0))
     s.start()
-    _time.sleep(0.3)
+    _wait_chunks(s)
     s.add_photons(light.generate_photon_state(16384, E=2.0))  # overflow pad
     s.join()
     assert len(s.objects) == 16000 + 16384
@@ -239,7 +250,7 @@ def test_midrun_injection_nonphoton_falls_back_from_fused():
     s.add_step(2, phys.light.ScatterDeleteStep(np.double(1e-9), np.double(1e-9)))
     s.add_photons(light.generate_photon_state(100, E=1.0))
     s.start()
-    _time.sleep(0.3)
+    _wait_chunks(s)
     assert s.used_fused
     # a generic (non-photon) object breaks the fused plan's invariants
     s.add_obj(phys.Object(v=phys.Measurement([5.0, 0, 0], "m**1 s**-1")))
@@ -311,7 +322,7 @@ def test_midrun_remove_obj():
             E=np.double(1.0),
             v=np.array([float(light.c), 0, 0], dtype=np.double)))
     s.start()
-    _time.sleep(0.3)
+    _wait_chunks(s)
     s.remove_obj(tagged)
     s.join()
     objs = list(s.objects)
@@ -331,7 +342,7 @@ def test_midrun_remove_requires_stable_slots():
         v=np.array([float(light.c), 0, 0], dtype=np.double))
     s.add_obj(o)
     s.start()
-    _time.sleep(0.2)
+    _wait_chunks(s)
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         s.remove_obj(o)

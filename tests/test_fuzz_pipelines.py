@@ -126,7 +126,12 @@ def test_fuzz_midrun_injection_and_removal(trial):
     s.add_photons(light.generate_photon_state(n0, E=1.0))
 
     s.start()
-    _time.sleep(0.3)  # let compile finish
+    # gate on real progress (kernel caching makes fixed sleeps race the end
+    # of the run); the run is 500 iterations of 4-iter chunks, so events
+    # issued in the first chunks land well before exit
+    while len(s.ts) < 4 and s.running:
+        _time.sleep(0.002)
+    assert s.running
     injected = 0
     removed = 0
     for _ in range(int(rng.integers(1, 4))):
@@ -144,7 +149,7 @@ def test_fuzz_midrun_injection_and_removal(trial):
         elif removable:
             s.remove_obj(removable.pop())
             removed += 1
-        _time.sleep(0.05)
+        _time.sleep(0.01)
     s.join()  # natural exit at t=0.5
     # removable now holds only the never-removed objects
     expected = len(removable) + n0 + injected
