@@ -429,6 +429,11 @@ class Simulation(threading.Thread):
 
     def __init__(self, **kwargs):
         threading.Thread.__init__(self)
+        from physicl_tpu.utils.cache import enable_persistent_compilation_cache
+
+        # fresh-process cold starts reuse on-disk compiled kernels
+        # (~10-40s -> <1s; opt out with PHYSICL_NO_COMPILE_CACHE=1)
+        enable_persistent_compilation_cache()
         self.bounds = np.zeros(3)
         self.cl_on = True          # compat alias, unused (no OpenCL here)
         self.jit_on = True
