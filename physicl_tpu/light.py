@@ -256,9 +256,6 @@ def _planck_poly_data(E_min, E_max, T, bins):
         [np.float32(x) for x in mids],
         [np.float32(x) for x in halves],
         [[np.float32(c) for c in row] for row in coeffs],
-        # per-segment energy breakpoints (diagnostic metadata; the traced
-        # eval clips globally — node-based fits keep segments accurate)
-        [np.float32(x) for x in Eb],
         (np.float32(E[0]), np.float32(E[-1])),
     )
     _planck_poly_cache[cache_key] = data
@@ -272,7 +269,7 @@ def _poly_icdf_eval(u, data):
     gathers, so it runs identically under jit, inside lax.scan bodies, and
     inside Pallas TPU kernels (~400 VPU ops per sample).
     """
-    pb_f, mid_f, half_f, coef_f, _eb_f, (e_lo, e_hi) = data
+    pb_f, mid_f, half_f, coef_f, (e_lo, e_hi) = data
     mid = jnp.zeros_like(u)
     half = jnp.ones_like(u)
     cs = [jnp.zeros_like(u) for _ in range(_POLY_DEG + 1)]

@@ -588,18 +588,28 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     return run
 
 
+def _fn_key(fn):
+    """Identity key for a plan callable. Bound methods are fresh objects on
+    every attribute access (``sampler.icdf`` twice gives two ids), so key
+    them by (receiver id, function) — repeated sims over the same sampler
+    or step instance then share one compiled kernel. The cache holds the
+    plan (strong ref), so no id can be recycled while its entry lives."""
+    if fn is None:
+        return None
+    recv = getattr(fn, "__self__", None)
+    if recv is not None:
+        return (id(recv), getattr(fn, "__func__", fn).__qualname__)
+    return id(fn)
+
+
 def _plan_cache_key(plan: FusedPlan, capacity: int):
-    """Structural identity of a compiled chunk. Callables key by id() — the
-    cache holds the plan (strong ref) so ids cannot be recycled while the
-    entry lives."""
+    """Structural identity of a compiled chunk."""
     ops = tuple(
         (op.kind, op.coef, op.bounds, op.stream0, op.stream_scat,
-         op.stream_every,
-         id(op.custom_fn) if op.custom_fn is not None else None,
-         op.after_update, op.wl_base,
-         id(op.n_fn) if op.n_fn is not None else None,
+         op.stream_every, _fn_key(op.custom_fn),
+         op.after_update, op.wl_base, _fn_key(op.n_fn),
          op.c_val, op.cols, op.axes, op.emit_n, op.emit_E,
-         id(op.emit_E_fn) if op.emit_E_fn is not None else None,
+         _fn_key(op.emit_E_fn),
          op.emit_r, op.emit_v, op.emit_sched_idx)
         for op in plan.ops)
     return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,

@@ -54,6 +54,10 @@ class PopulationManager:
         self.steps = steps
         self.shrink_ok, self.recycle_ok, self.emit_per_iter = (
             sim._population_policies())
+        # spawn mark at the last arena-pressure boundary where a fresh
+        # (post-drain) alive count showed recycling impossible: suppresses
+        # repeat drains until the mark moves or the alive mirror drops
+        self._recycle_blocked_hwm = None
 
     # -- individual policies (each returns the possibly-updated state) ------
 
@@ -73,9 +77,15 @@ class PopulationManager:
         # half of the used slots are dead
         need = self.emit_per_iter * (provider.plan.chunk if provider
                                      else plan.chunk)
+        if hwm + need > state.capacity and sim._host_n_alive >= hwm // 2:
+            # under pressure but too few dead slots (FRESH count: the
+            # pipeline drained before maintain): remember this state so
+            # needs_attention stops draining every chunk for it
+            self._recycle_blocked_hwm = hwm
         if hwm + need > state.capacity and sim._host_n_alive < hwm // 2:
             from physicl_tpu.ops.compaction import compact
 
+            self._recycle_blocked_hwm = None
             state = compact(state)
             if sim.mesh is not None:  # restore particle-axis placement
                 from physicl_tpu.parallel.sharding import shard_state
@@ -181,16 +191,21 @@ class PopulationManager:
         provider = plan.provider
         if self.recycle_ok and provider is not None and self.emit_per_iter:
             need = self.emit_per_iter * provider.plan.chunk
-            # mirror _recycle's full condition (arena pressure AND enough
-            # dead slots to compact) — triggering on pressure alone would
-            # drain the pipeline before every chunk forever in the steady
-            # state where the arena is full but most slots are still alive
-            # (a source that outlives its absorption). Pressure is checked
-            # one chunk early (2x need) since hwm_h is dispatch-fresh while
-            # the alive count lags the pipeline by one harvested chunk.
-            if (provider.hwm_h + 2 * need > state.capacity
-                    and sim._host_n_alive < provider.hwm_h // 2):
-                return True
+            # Arena pressure (checked one chunk early — 2x need — since
+            # hwm_h is dispatch-fresh while the alive mirror lags the
+            # pipeline by a harvested chunk). The lagged mirror cannot be
+            # trusted to decide recyclability here, so the first boundary
+            # under a given pressure state ALWAYS drains and lets _recycle
+            # judge on fresh counts; if that judgement was "too few dead
+            # slots" (_recycle_blocked_hwm), repeat drains are suppressed
+            # until the spawn mark moves or the mirror drops below half —
+            # otherwise a full-but-alive arena would drain the pipeline
+            # before every chunk forever.
+            if provider.hwm_h + 2 * need > state.capacity:
+                if sim._host_n_alive < provider.hwm_h // 2:
+                    return True
+                if self._recycle_blocked_hwm != provider.hwm_h:
+                    return True
         if (self.shrink_ok and 0 < sim._host_n_alive < state.capacity // 4):
             return True
         return False

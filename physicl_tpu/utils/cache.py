@@ -19,7 +19,6 @@ import os
 
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
                             "physicl_tpu", "xla")
-_enabled = False
 
 
 def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
@@ -30,14 +29,12 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
     ``jax_compilation_cache_dir``; returns the directory in effect, or None
     when disabled via ``PHYSICL_NO_COMPILE_CACHE=1``.
     """
-    global _enabled
     import jax
 
     if os.environ.get("PHYSICL_NO_COMPILE_CACHE") == "1":
         return None
     current = jax.config.jax_compilation_cache_dir
     if current:  # user (or a previous call) already configured one
-        _enabled = True
         return current
     path = path or os.environ.get("PHYSICL_CACHE_DIR", _DEFAULT_DIR)
     try:
@@ -45,5 +42,4 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", path)
     except OSError:  # read-only home etc.: run without a persistent cache
         return None
-    _enabled = True
     return path

@@ -188,14 +188,17 @@ def test_kinematics_with_acceleration():
 def _wait_chunks(s, min_iters=8, timeout=60.0):
     """Gate mid-run mutations on actual progress instead of sleeping:
     kernel caching makes repeat runs fast enough that a fixed sleep can
-    race the END of the run."""
+    race the END of the run. Polls thread liveness, not ``s.running`` —
+    the flag only flips True once the run loop starts, so a
+    ``running``-based loop exits instantly in the start window."""
     import time as _time
 
     t0 = _time.time()
-    while (len(s.ts) < min_iters and s.running
+    while (len(s.ts) < min_iters and s.is_alive()
            and _time.time() - t0 < timeout):
         _time.sleep(0.002)
-    assert s.running, "run finished before the mid-run event was queued"
+    assert len(s.ts) >= min_iters and s.running, \
+        "run finished before the mid-run event was queued"
 
 
 def test_midrun_injection():

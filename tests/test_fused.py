@@ -271,3 +271,32 @@ def test_planck_sampler_emits_code_unit_energies():
     finally:
         phys.reset_code_scale("m")
         light.refresh_constants()
+
+
+def test_kernel_cache_key_stable_for_bound_methods():
+    """sampler.icdf creates a fresh bound-method object per access; the
+    kernel cache must key it by (receiver, function) so repeated sims over
+    one sampler share a compiled kernel (code-review finding)."""
+    from physicl_tpu.ops import fused as F
+    import physicl_tpu.light as light
+
+    kT = float(light.kB.value()) * 5778.0
+    s1 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
+    s2 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
+    assert s1.icdf is not s1.icdf          # fresh object per access...
+    assert F._fn_key(s1.icdf) == F._fn_key(s1.icdf)  # ...same cache key
+    assert F._fn_key(s1.icdf) != F._fn_key(s2.icdf)  # distinct receivers
+    assert F._fn_key(None) is None
+
+    def plan(fn):
+        return F.FusedPlan(ops=[F._Op("kin"),
+                                F._Op("emit", emit_n=8, emit_E_fn=fn,
+                                      emit_r=(0., 0., 0.),
+                                      emit_v=(1., 0., 0.), c_val=1.0,
+                                      emit_sched_idx=0)],
+                           n_rec_cols=2, chunk=4, tile_rows=128,
+                           interpret=True)
+
+    k1 = F.build_fused_chunk(plan(s1.icdf), 16384)
+    k2 = F.build_fused_chunk(plan(s1.icdf), 16384)
+    assert k1 is k2  # cache hit across separate plan constructions

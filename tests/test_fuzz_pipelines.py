@@ -127,11 +127,12 @@ def test_fuzz_midrun_injection_and_removal(trial):
 
     s.start()
     # gate on real progress (kernel caching makes fixed sleeps race the end
-    # of the run); the run is 500 iterations of 4-iter chunks, so events
-    # issued in the first chunks land well before exit
-    while len(s.ts) < 4 and s.running:
+    # of the run); poll thread liveness — `running` is False in the start
+    # window. The run is 500 iterations of 4-iter chunks, so events issued
+    # in the first chunks land well before exit.
+    while len(s.ts) < 4 and s.is_alive():
         _time.sleep(0.002)
-    assert s.running
+    assert len(s.ts) >= 4 and s.running
     injected = 0
     removed = 0
     for _ in range(int(rng.integers(1, 4))):

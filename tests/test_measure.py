@@ -394,8 +394,10 @@ def test_trace_survives_midrun_injection_capacity_growth():
     s.add_step(2, tr)
     s.add_photons(light.generate_photon_state(1000, E=1.0))
     s.start()
-    while len(s.ts) < 8 and s.running:
-        _time.sleep(0.01)
+    while len(s.ts) < 8 and s.is_alive():  # `running` is False at startup
+        _time.sleep(0.002)
+    assert len(s.ts) >= 8 and s.running, \
+        "run finished before the mid-run injection was queued"
     s.add_photons(light.generate_photon_state(40000, E=1.0))  # grows capacity
     s.join()
     assert s.used_fused
