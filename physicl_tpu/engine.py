@@ -469,8 +469,11 @@ class Simulation(threading.Thread):
         self.fused_tile_rows = 256
         # outstanding fused chunks the dispatch loop keeps in flight beyond
         # the one being harvested (see _drive_fused); 1 disables the deeper
-        # overlap, larger trades HBM (stream buffers) for dead-time hiding
-        self.fused_pipeline_depth = 2
+        # overlap, larger hides more relay dead time (small populations
+        # measured +22% at depth 8 vs 2 at 1e5 photons). Stream-plane
+        # (trace) plans are capped at 2 in-flight regardless — each chunk
+        # holds up to max_record_bytes of HBM
+        self.fused_pipeline_depth = 4
         self.mesh = None  # jax.sharding.Mesh: shard the particle axis
         # compact + shrink capacity when <1/4 of the buffer is alive
         # (disabled automatically when a step needs stable particle slots)
@@ -1080,7 +1083,12 @@ class Simulation(threading.Thread):
         # Extinction runs may speculatively execute up to `depth` chunks past
         # the exit — harmless (ops mask by alive; n0-mode excludes emitters)
         # — and get_state() host stats lag by the same amount.
-        depth = max(1, int(getattr(self, "fused_pipeline_depth", 2)))
+        depth = max(1, int(getattr(self, "fused_pipeline_depth", 4)))
+        if provider.plan.n_stream:
+            # each in-flight stream-plane chunk holds up to max_record_bytes
+            # of HBM (trace buffers): cap the pipeline so worst-case
+            # held-buffer footprint stays at ~2 budgets
+            depth = min(depth, 2)
         pending: deque = deque()
 
         def drain_one():
