@@ -20,6 +20,7 @@ from physicl_tpu.engine import (
     UpdateTimeStep,
     MeasureStep,
     ElementwiseStep,
+    ReduceMeasureStep,
     ParticleView,
     Object,
     Simulation,
@@ -62,6 +63,7 @@ __all__ = [
     "UpdateTimeStep",
     "MeasureStep",
     "ElementwiseStep",
+    "ReduceMeasureStep",
     "ParticleView",
     "Object",
     "Simulation",

@@ -45,6 +45,7 @@ __all__ = [
     "UpdateTimeStep",
     "MeasureStep",
     "ElementwiseStep",
+    "ReduceMeasureStep",
     "ParticleView",
     "Object",
     "Simulation",
@@ -153,6 +154,31 @@ class ParticleView:
         self.uniform = uniform
 
 
+def _state_particle_view(state: "SimState", ctx: "StepContext") -> ParticleView:
+    """Generic-path ParticleView over the full SoA state (the fused kernel
+    builds the same view over one VMEM tile in ops/fused.py)."""
+    comp = {"rx": 0, "ry": 1, "rz": 2}
+    fields = {}
+    for name in ParticleView._FIELDS:
+        if name == "E":
+            fields[name] = state.E
+        elif name == "alive":
+            fields[name] = state.alive
+        else:
+            base = {"r": "r", "dr": "dr", "v": "v", "dv": "dv"}[name[:-1]]
+            fields[name] = getattr(state, base)[comp["r" + name[-1]]]
+    key = ctx.next_key()
+    fold = [0]
+
+    def uniform():
+        fold[0] += 1
+        return jax.random.uniform(
+            jax.random.fold_in(key, fold[0]),
+            state.E.shape, state.E.dtype)
+
+    return ParticleView(fields, state.t, state.dt, uniform)
+
+
 class ElementwiseStep(Step):
     """User-defined per-particle physics that KEEPS the fused fast path.
 
@@ -185,26 +211,7 @@ class ElementwiseStep(Step):
         self.fn = fn
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
-        comp = {"rx": 0, "ry": 1, "rz": 2}
-        fields = {}
-        for name in ParticleView._FIELDS:
-            if name == "E":
-                fields[name] = state.E
-            elif name == "alive":
-                fields[name] = state.alive
-            else:
-                base = {"r": "r", "dr": "dr", "v": "v", "dv": "dv"}[name[:-1]]
-                fields[name] = getattr(state, base)[comp["r" + name[-1]]]
-        key = ctx.next_key()
-        fold = [0]
-
-        def uniform():
-            fold[0] += 1
-            return jax.random.uniform(
-                jax.random.fold_in(key, fold[0]),
-                state.E.shape, state.E.dtype)
-
-        upd = self.fn(ParticleView(fields, state.t, state.dt, uniform))
+        upd = self.fn(_state_particle_view(state, ctx))
         bad = set(upd) - set(ParticleView._FIELDS)
         if bad:
             raise ValueError(f"ElementwiseStep returned unknown fields {bad}")
@@ -245,6 +252,72 @@ class MeasureStep(Step):
 
         rows = self.data.values() if isinstance(self.data, dict) else self.data
         write_rows(self.out_fn, rows)
+
+
+class ReduceMeasureStep(MeasureStep):
+    """User-defined per-particle measurement that KEEPS the fused fast path —
+    the measurement counterpart of :class:`ElementwiseStep`.
+
+    ``fn(p: ParticleView) -> dict`` returns named per-particle contribution
+    arrays; each iteration records their sums over ALIVE particles. ``data``
+    rows are ``[t(, n), sum_0, sum_1, ...]`` in ``outputs`` order, with CSV
+    via ``out_fn`` like every MeasureStep. Output names are declared up
+    front so the fused prover can allocate record channels without probing
+    user code.
+
+    Same elementwise contract as ElementwiseStep (read-only: the returned
+    arrays are contributions, not field updates); reductions cross shards as
+    one psum on mesh runs. Example — radial energy flux and second moment::
+
+        def moments(p):
+            r2 = p.rx**2 + p.ry**2 + p.rz**2
+            return {"E_total": p.E, "r2": r2}
+
+        sim.add_step(4, ReduceMeasureStep(None, moments,
+                                          outputs=("E_total", "r2")))
+    """
+
+    def __init__(self, out_fn=None, fn: Callable[[ParticleView],
+                                                 Dict[str, Any]] = None,
+                 outputs=(), measure_n: bool = False):
+        super().__init__(out_fn)
+        if fn is None or not outputs:
+            raise ValueError(
+                "ReduceMeasureStep needs fn and a non-empty outputs tuple")
+        self.fn = fn
+        self.outputs = tuple(outputs)
+        if {"t", "n"} & set(self.outputs):
+            raise ValueError(
+                "'t' and 'n' are reserved record names; rename the output")
+        self.measure_n = measure_n
+
+    def _contributions(self, view: ParticleView) -> Dict[str, Any]:
+        contrib = self.fn(view)
+        missing = set(self.outputs) - set(contrib)
+        if missing:
+            raise ValueError(
+                f"ReduceMeasureStep fn did not return declared outputs "
+                f"{sorted(missing)}")
+        return contrib
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        ctx.record(self, "t", state.t)
+        if self.measure_n:
+            ctx.record(self, "n", state.n_alive)
+        contrib = self._contributions(_state_particle_view(state, ctx))
+        for name in self.outputs:
+            val = jnp.asarray(contrib[name], jnp.float32)
+            ctx.record(self, name, jnp.sum(
+                jnp.where(state.alive, val, jnp.float32(0.0))))
+        return state
+
+    def collect(self, sim: "Simulation", records) -> None:
+        for i in range(len(records["t"])):
+            row = [float(records["t"][i])]
+            if self.measure_n:
+                row.append(int(records["n"][i]))
+            row.extend(float(records[name][i]) for name in self.outputs)
+            self.data.append(row)
 
 
 # ---------------------------------------------------------------------------

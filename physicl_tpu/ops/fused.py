@@ -127,9 +127,12 @@ class _Op:
     stream_scat: bool = False       # trace: also write dv!=0 flags
     stream_every: int = 1           # trace stride: sample every k-th iteration
     # user elementwise physics (engine.ElementwiseStep): traced straight
-    # into the kernel over the tile's field planes
+    # into the kernel over the tile's field planes. "reduce" ops reuse
+    # custom_fn for the contribution function and list their output names
+    # (declared order = float record channel order from cols[1]).
     custom_fn: Optional[Callable] = None
     after_update: bool = True  # custom op sees t after/before UpdateTimeStep
+    reduce_outputs: tuple = ()
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
     n_fn: Optional[Callable] = None  # variable n(r) (iso)
     c_val: float = 0.0              # |v| for resampled photons (iso)
@@ -378,6 +381,38 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     f[_ALIVE] = alive_b.astype(jnp.float32)
                 else:
                     f[plane_of[name]] = jnp.asarray(val).astype(jnp.float32)
+        elif op.kind == "reduce":
+            # user per-particle measurement (engine.ReduceMeasureStep):
+            # evaluate the contributions on this tile and sum the alive ones
+            # into float record channels — tile sums add across the grid
+            # (and psum across shards) into the global per-iteration totals
+            from physicl_tpu.engine import ParticleView
+
+            names = ParticleView._FIELDS
+            plane_of = {n: i for i, n in enumerate(names)}
+            view_fields = {n: (alive_b if n == "alive" else f[plane_of[n]])
+                           for n in names}
+            if t is None:
+                t_op, dt_op = jnp.float32(0.0), dt
+            else:
+                t_op = t[0] if op.after_update else t[1]
+                dt_op = t[2] if op.after_update else t[3]
+            view = ParticleView(view_fields, t_op, dt_op,
+                                lambda: rng.uniform(shape))
+            contrib = op.custom_fn(view)
+            missing = set(op.reduce_outputs) - set(contrib)
+            if missing:  # same validation as the generic path (trace time)
+                raise ValueError(
+                    f"ReduceMeasureStep fn did not return declared outputs "
+                    f"{sorted(missing)}")
+            n_col, f0 = op.cols
+            if n_col >= 0:
+                row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
+            for j, name in enumerate(op.reduce_outputs):
+                val = jnp.asarray(contrib[name]).astype(jnp.float32)
+                row_f = put_f(row_f, f0 + j,
+                              jnp.sum(jnp.where(alive_b, val,
+                                                jnp.float32(0.0))))
         elif op.kind == "trace":
             # per-photon positions at this step's position in the pipeline;
             # dead/padding slots encode as NaN (the reference row format's
@@ -610,7 +645,7 @@ def _plan_cache_key(plan: FusedPlan, capacity: int):
          op.after_update, op.wl_base, _fn_key(op.n_fn),
          op.c_val, op.cols, op.axes, op.emit_n, op.emit_E,
          _fn_key(op.emit_E_fn),
-         op.emit_r, op.emit_v, op.emit_sched_idx)
+         op.emit_r, op.emit_v, op.emit_sched_idx, op.reduce_outputs)
         for op in plan.ops)
     return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,
             plan.interpret, plan.const_norm_speed, plan.packed_angles,

@@ -182,7 +182,8 @@ class FusedProvider:
         self.emit_ops = [op for op in plan.ops if op.kind == "emit"]
         self.has_f_cols = any(
             e_col >= 0 for op in plan.ops if op.kind == "cross"
-            for (_, _, _, e_col, _ecap) in op.axes)
+            for (_, _, _, e_col, _ecap) in op.axes) or any(
+            op.kind == "reduce" for op in plan.ops)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
         # (saves a 14-plane concat + slice round trip per chunk)
@@ -420,6 +421,12 @@ class FusedProvider:
                 for j, p in enumerate(m.get("ecap_planes", [])):
                     if p >= 0:  # per-photon E capture, NaN-coded (K, C)
                         records[f"{uid}/E{j}"] = stream[:, p, :]
+            elif kind == "reduce":
+                records[f"{uid}/t"] = t_arr
+                if m["n_col"] >= 0:
+                    records[f"{uid}/n"] = rec_np[:, m["n_col"]]
+                for j, name in enumerate(m["names"]):
+                    records[f"{uid}/{name}"] = recf_np[:, m["f0"] + j]
             elif kind == "trace":
                 # device-resident: the step receives the RAW stream buffer
                 # plus plane offsets and slices lazily at assembly time —
@@ -443,7 +450,11 @@ class FusedProvider:
 
 def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
     """Return a FusedProvider if the sim is provably fusable, else None."""
-    from physicl_tpu.engine import ElementwiseStep, UpdateTimeStep
+    from physicl_tpu.engine import (
+        ElementwiseStep,
+        ReduceMeasureStep,
+        UpdateTimeStep,
+    )
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
         NewtonianKinematicsStep,
@@ -574,6 +585,19 @@ def try_build_fused(sim, steps, state: SimState) -> Optional[FusedProvider]:
             # into the kernel; t row chosen by position vs UpdateTimeStep
             ops.append(F._Op("custom", custom_fn=s.fn,
                              after_update=update_seen))
+        elif type(s) is ReduceMeasureStep:
+            # user per-particle measurement: one float record channel per
+            # declared output, summed over alive particles in-kernel
+            n_col = next_col if s.measure_n else -1
+            next_col += 1 if s.measure_n else 0
+            f0 = next_fcol
+            next_fcol += len(s.outputs)
+            ops.append(F._Op("reduce", custom_fn=s.fn,
+                             reduce_outputs=s.outputs,
+                             cols=(n_col, f0), after_update=update_seen))
+            rec_map.append({"uid": uid, "kind": "reduce", "n_col": n_col,
+                            "f0": f0, "names": s.outputs})
+            measure_after_update[uid] = update_seen
         elif type(s) is TracePathMeasureStep:
             p0 = next_plane
             next_plane += 3 + (1 if s.trace_dv else 0)

@@ -300,3 +300,61 @@ def test_kernel_cache_key_stable_for_bound_methods():
     k1 = F.build_fused_chunk(plan(s1.icdf), 16384)
     k2 = F.build_fused_chunk(plan(s1.icdf), 16384)
     assert k1 is k2  # cache hit across separate plan constructions
+
+
+def test_reduce_measure_step_fused_matches_generic():
+    """ReduceMeasureStep (user per-particle reductions) must keep the fused
+    path and agree with the generic scan in a deterministic workload."""
+    import jax.numpy as jnp
+
+    def moments(p):
+        return {"E_total": p.E, "x_sum": p.rx,
+                "ke_like": p.vx * p.vx + p.vy * p.vy + p.vz * p.vz}
+
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.004, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        red = phys.ReduceMeasureStep(
+            None, moments, outputs=("E_total", "x_sum", "ke_like"),
+            measure_n=True)
+        s.add_step(2, red)
+        Es = np.linspace(1.0, 3.0, 512)
+        s.add_photons(light.generate_photon_state(512, E=Es))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = np.array(red.data, dtype=float)
+    a, g = out["auto"], out["off"]
+    assert a.shape == g.shape == (4, 5)  # [t, n, 3 sums] x 4 iterations
+    np.testing.assert_allclose(a, g, rtol=1e-5)
+    # physics: constant E sum; x_sum = n * c * t (beam moves +x at c)
+    np.testing.assert_allclose(a[:, 2], Es.sum(), rtol=1e-5)
+    c = float(light.c)
+    np.testing.assert_allclose(a[:, 3], 512 * c * a[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(a[:, 4], 512 * c * c, rtol=1e-5)
+
+
+def test_reduce_measure_step_with_deletion_and_validation():
+    """Sums count only ALIVE particles; declared-output validation fires."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phys.ReduceMeasureStep(None, lambda p: {}, outputs=())
+    with _pytest.raises(ValueError):
+        phys.ReduceMeasureStep(None, lambda p: {}, outputs=("t",))
+
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=1, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(np.double(1.0), np.double(1.0)))
+        red = phys.ReduceMeasureStep(None, lambda p: {"E_total": p.E},
+                                     outputs=("E_total",), measure_n=True)
+        s.add_step(3, red)
+        s.add_photons(light.generate_photon_state(256, E=2.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        rows = np.array(red.data, dtype=float)
+        # pcoll >> 1: everything dies at iteration 0 -> all sums zero
+        assert (rows[:, 1] == 0).all() and (rows[:, 2] == 0).all()

@@ -79,11 +79,22 @@ def _ops(kind):
 
         return [kin, F._Op("custom", custom_fn=fn), iso,
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "reduce":
+        import jax.numpy as jnp
+
+        def moments(p):
+            return {"E_total": p.E * jnp.float32(_EPS),
+                    "r2": p.rx * p.rx + p.ry * p.ry + p.rz * p.rz}
+
+        return [kin, iso,
+                F._Op("reduce", custom_fn=moments,
+                      reduce_outputs=("E_total", "r2"), cols=(1, 0))], 3, 0
     raise AssertionError(kind)
 
 
 @pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf",
-                                  "trace", "trace_strided", "ecap", "custom"])
+                                  "trace", "trace_strided", "ecap", "custom",
+                                  "reduce"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
