@@ -51,10 +51,16 @@ def _random_pipeline(rng, fuse, seed):
     if rng.random() < 0.35:  # round 2 late: (strided) device tracing
         trace = light.TracePathMeasureStep(
             None, trace_every=int(rng.choice([1, 2, 4, 5])))
-        s.add_step(idx, trace)
+        s.add_step(idx, trace); idx += 1
+    red = None
+    if rng.random() < 0.35:  # round 2 late: fused user reductions
+        red = phys.ReduceMeasureStep(
+            None, lambda p: {"ones": p.E * 0.0 + 1.0}, outputs=("ones",),
+            measure_n=True)
+        s.add_step(idx, red)
     s.add_photons(light.generate_photon_state(
         int(rng.integers(3000, 8000)), E=1.0))
-    return s, sign, cross, trace
+    return s, sign, cross, trace, red
 
 
 @pytest.mark.parametrize("trial", range(12))
@@ -62,7 +68,7 @@ def test_random_pipeline_fused_matches_generic(trial):
     out = {}
     for fuse in ("auto", "off"):
         rng = np.random.default_rng(1000 + trial)  # same pipeline both ways
-        s, sign, cross, trace = _random_pipeline(rng, fuse, seed=trial)
+        s, sign, cross, trace, red = _random_pipeline(rng, fuse, seed=trial)
         s.start(); s.join()
         out[fuse] = {
             "fused": s.used_fused,
@@ -71,6 +77,11 @@ def test_random_pipeline_fused_matches_generic(trial):
             "crossed": float(sum(r[2] for r in cross.data)),
             "iters": len(s.ts),
         }
+        if red is not None:
+            rows = np.array(red.data, dtype=float)
+            # summing 1 per particle must EQUAL the alive count every
+            # iteration, on both paths
+            np.testing.assert_allclose(rows[:, 2], rows[:, 1], rtol=1e-5)
         if trace is not None:
             ts, pos, alive, _ = trace.as_arrays()
             # sampled times are exactly the global multiples of trace_every,
