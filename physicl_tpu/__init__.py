@@ -28,6 +28,7 @@ from physicl_tpu.engine import (
     StepContext,
 )
 from physicl_tpu.state import SimState
+from physicl_tpu.ops.fused import clear_kernel_cache
 
 from physicl_tpu import newton  # noqa: F401
 from physicl_tpu import light  # noqa: F401
@@ -70,6 +71,7 @@ __all__ = [
     "IndexException",
     "StepContext",
     "SimState",
+    "clear_kernel_cache",
     "newton",
     "light",
 ]

@@ -623,18 +623,73 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     return run
 
 
+def _freeze(v, depth=0):
+    """Hashable snapshot of a value for cache keying. Scalars/strings by
+    value; containers recursively (depth-capped); small numpy arrays by
+    content; large or device arrays by identity (JAX arrays are immutable,
+    so id is a sound content proxy; a rebind gives a new id)."""
+    if depth > 3:
+        return type(v).__name__
+    if v is None or isinstance(v, (bool, int, float, str, bytes)):
+        return v
+    if isinstance(v, (tuple, list)):
+        return tuple(_freeze(x, depth + 1) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted(
+            (str(k), _freeze(x, depth + 1)) for k, x in v.items()))
+    if isinstance(v, np.ndarray):
+        if v.size <= 256:
+            return (v.dtype.str, v.shape, v.tobytes())
+        return (id(v), v.dtype.str, v.shape)
+    return id(v)
+
+
 def _fn_key(fn):
-    """Identity key for a plan callable. Bound methods are fresh objects on
-    every attribute access (``sampler.icdf`` twice gives two ids), so key
-    them by (receiver id, function) — repeated sims over the same sampler
-    or step instance then share one compiled kernel. The cache holds the
-    plan (strong ref), so no id can be recycled while its entry lives."""
+    """Identity key for a plan callable. Kernels get user callables folded
+    in as traced constants, so the key must change whenever the values the
+    callable would produce could change — not just when the function object
+    does. Bound methods are keyed by (receiver state snapshot, function):
+    mutating ``sampler.T = ...`` on a reused PlanckSampler then misses the
+    cache and re-traces with the new temperature (it would otherwise reuse
+    a kernel with the old value baked in). Plain functions are keyed by
+    (code identity, defaults, closure-cell snapshot) so a closure over a
+    changed local re-traces too. Mutated *globals* read inside the callable
+    are not detectable — call :func:`clear_kernel_cache` after changing
+    one (documented in docs/api.md)."""
     if fn is None:
         return None
     recv = getattr(fn, "__self__", None)
     if recv is not None:
-        return (id(recv), getattr(fn, "__func__", fn).__qualname__)
-    return id(fn)
+        f = getattr(fn, "__func__", fn)
+        try:
+            state = _freeze(vars(recv))
+        except TypeError:  # __slots__ / C receivers: fall back to identity
+            state = id(recv)
+        return (f.__qualname__, id(getattr(f, "__code__", f)), state)
+    code = getattr(fn, "__code__", None)
+    if code is None:  # builtins / partials / arbitrary callables
+        return id(fn)
+    cells = tuple(_freeze(c.cell_contents) for c in (fn.__closure__ or ())
+                  if _cell_filled(c))
+    return (id(code), _freeze(fn.__defaults__), cells)
+
+
+def _cell_filled(cell):
+    try:
+        cell.cell_contents
+        return True
+    except ValueError:  # unfilled cell (recursive def)
+        return False
+
+
+def clear_kernel_cache():
+    """Drop every cached compiled fused chunk.
+
+    The cache keys user callables by a best-effort state snapshot
+    (receiver attributes, closure cells); it cannot see mutations to
+    module globals a callable reads. Call this after such a mutation to
+    force a re-trace with the new values."""
+    _chunk_cache.clear()
 
 
 def _plan_cache_key(plan: FusedPlan, capacity: int):

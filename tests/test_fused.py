@@ -283,9 +283,13 @@ def test_kernel_cache_key_stable_for_bound_methods():
     kT = float(light.kB.value()) * 5778.0
     s1 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
     s2 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
+    s3 = light.PlanckSampler(0.1 * kT, 12 * kT, 4000.0, bins=500)
     assert s1.icdf is not s1.icdf          # fresh object per access...
     assert F._fn_key(s1.icdf) == F._fn_key(s1.icdf)  # ...same cache key
-    assert F._fn_key(s1.icdf) != F._fn_key(s2.icdf)  # distinct receivers
+    # receivers are keyed by STATE, not identity: identical params share a
+    # kernel; different params (or a mutated attribute) re-trace
+    assert F._fn_key(s1.icdf) == F._fn_key(s2.icdf)
+    assert F._fn_key(s1.icdf) != F._fn_key(s3.icdf)
     assert F._fn_key(None) is None
 
     def plan(fn):
@@ -300,6 +304,37 @@ def test_kernel_cache_key_stable_for_bound_methods():
     k1 = F.build_fused_chunk(plan(s1.icdf), 16384)
     k2 = F.build_fused_chunk(plan(s1.icdf), 16384)
     assert k1 is k2  # cache hit across separate plan constructions
+
+
+def test_kernel_cache_invalidated_by_receiver_mutation():
+    """Mutating a reused sampler (``sampler.T = ...``) must MISS the kernel
+    cache — the old kernel has the old temperature folded in as a traced
+    constant and would silently run wrong physics (advisor finding,
+    round 2). Closure-captured locals get the same treatment; a public
+    clear_kernel_cache() covers mutated globals the key cannot see."""
+    from physicl_tpu.ops import fused as F
+    import physicl_tpu.light as light
+
+    kT = float(light.kB.value()) * 5778.0
+    s = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
+    k_before = F._fn_key(s.icdf)
+    s.T = 4000.0
+    assert F._fn_key(s.icdf) != k_before
+    s.T = 5778.0
+    assert F._fn_key(s.icdf) == k_before  # state-based: restores the hit
+
+    def make(scale):
+        return lambda p: {"x_sum": p.rx * scale}
+
+    f1, f2, f3 = make(1.0), make(2.0), make(1.0)
+    assert F._fn_key(f1) != F._fn_key(f2)   # closure cell differs
+    assert F._fn_key(f1) == F._fn_key(f3)   # same code + same capture
+
+    # public escape hatch for mutations the key cannot observe
+    import physicl_tpu as phys_pkg
+    F._chunk_cache["sentinel"] = ("p", "r")
+    phys_pkg.clear_kernel_cache()
+    assert "sentinel" not in F._chunk_cache
 
 
 def test_reduce_measure_step_fused_matches_generic():
