@@ -1,6 +1,9 @@
 # Developer entry points (counterpart of the reference Makefile + CI scripts)
 
-.PHONY: test test-fast bench dryrun install native clean
+.PHONY: test test-fast bench dryrun install native apidocs clean
+
+apidocs:
+	python scripts/gen_api_docs.py
 
 install:
 	pip3 install -e .

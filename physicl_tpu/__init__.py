@@ -26,6 +26,9 @@ from physicl_tpu.engine import (
     Simulation,
     IndexException,
     StepContext,
+    UntilT,
+    ExtinctionExit,
+    PlanReport,
 )
 from physicl_tpu.state import SimState
 from physicl_tpu.ops.fused import clear_kernel_cache
@@ -70,6 +73,9 @@ __all__ = [
     "Simulation",
     "IndexException",
     "StepContext",
+    "UntilT",
+    "ExtinctionExit",
+    "PlanReport",
     "SimState",
     "clear_kernel_cache",
     "newton",

@@ -29,8 +29,10 @@ TPU-native design (not a translation):
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 import time
+import warnings
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -127,9 +129,18 @@ class UpdateTimeStep(Step):
         dt_raw = self.fn(_TracedView(state, ctx.sim))
         dt = jnp.asarray(raw_code_value(dt_raw) if isinstance(dt_raw, Measurement)
                          else dt_raw, state.t.dtype)
-        t = state.t + dt
+        # Kahan-compensated accumulation: TPU scalars are f32, and a bare
+        # ``t += dt`` drifts by O(n*eps) — enough to miss ``t >= T`` exits by
+        # thousands of iterations at 1e6 steps of tiny dt. The compensation
+        # scalar keeps t within ~1 ulp of the exact sum at 3 extra scalar
+        # flops per iteration (reference keeps f64 t on the host,
+        # physicl/__init__.py:341-343).
+        comp = jnp.asarray(state.t_comp, state.t.dtype)
+        y = dt - comp
+        t = state.t + y
+        comp = (t - state.t) - y
         ctx.record(self, "ts", t)
-        return state.replace(t=t, dt=dt)
+        return state.replace(t=t, dt=dt, t_comp=comp)
 
     def collect(self, sim: "Simulation", records: Dict[str, np.ndarray]) -> None:
         sim.ts.extend(float(x) for x in records["ts"])
@@ -250,7 +261,14 @@ class MeasureStep(Step):
             return
         from physicl_tpu.utils.io import write_rows
 
-        rows = self.data.values() if isinstance(self.data, dict) else self.data
+        if isinstance(self.data, dict):
+            # the reference's dict branch intended `k, v` rows (its
+            # `for k, v in self.data` at physicl/__init__.py:374 is missing
+            # .items() and raises); keys must not be dropped
+            rows = [[k, *v] if isinstance(v, (list, tuple, np.ndarray))
+                    else [k, v] for k, v in self.data.items()]
+        else:
+            rows = self.data
         write_rows(self.out_fn, rows)
 
 
@@ -486,6 +504,89 @@ def _default_exit(view) -> jax.Array:
     return view.n_objects == 0
 
 
+class ExtinctionExit:
+    """Declared 'run until no objects remain' exit (``exit="extinction"``).
+
+    Functionally the reference-idiomatic ``lambda x: len(x.objects) == 0``
+    (physicl/__init__.py:414), but carries an explicit intent marker so the
+    planner never has to probe the predicate empirically — the documented
+    fast path for the fused pipeline and chunked generic scans.
+    """
+
+    exit_mode_hint = "n0"
+
+    def __call__(self, view):
+        return view.n_objects == 0
+
+    def __repr__(self):
+        return "ExtinctionExit()"
+
+
+class UntilT:
+    """Declared 'run until sim.t >= T' exit (``Simulation(until_t=T)``).
+
+    Equivalent to ``lambda c: c.t >= T`` but marked as t-only so the
+    planner precomputes the exact exit iteration from the host-replayed
+    time schedule without probing user code.
+    """
+
+    exit_mode_hint = "t"
+
+    def __init__(self, T):
+        self.T = float(raw_code_value(T))
+
+    def __call__(self, view):
+        return view.t >= self.T
+
+    def __repr__(self):
+        return f"UntilT({self.T!r})"
+
+
+@dataclasses.dataclass
+class PlanReport:
+    """Why the engine chose its execution strategy (``sim.explain_plan()``).
+
+    ``mode``: ``"fused"`` (multi-iteration Pallas kernel), ``"generic"``
+    (chunked jitted scan), or ``"host-exact"`` (chunk=1, one host round trip
+    per iteration — up to ~1000x slower; the exit predicate could not be
+    classified). ``refusals`` lists every (code, detail) reason the fused
+    prover declined; empty when fused or when fusion wasn't attempted.
+    """
+
+    mode: str
+    chunk: int
+    fuse_setting: str
+    allow_fuse: bool
+    exit_tier: str
+    refusals: List[tuple] = dataclasses.field(default_factory=list)
+    notes: List[str] = dataclasses.field(default_factory=list)
+
+    def describe(self) -> str:
+        lines = [f"execution mode: {self.mode} "
+                 f"(chunk={self.chunk} iterations/dispatch)",
+                 f"exit handling: {self.exit_tier}"]
+        if self.mode == "fused":
+            lines.append("the whole step pipeline runs as one fused Pallas "
+                         "TPU kernel; records stream back per chunk")
+        if self.fuse_setting != "auto":
+            lines.append(f"fusion not attempted: Simulation(fuse="
+                         f"{self.fuse_setting!r})")
+        elif not self.allow_fuse:
+            lines.append("fusion disabled for the rest of the run: a mid-run "
+                         "injection broke the fused plan's proven invariants")
+        for code, detail in self.refusals:
+            lines.append(f"fused pipeline refused [{code}]: {detail}")
+        if self.mode == "host-exact":
+            lines.append(
+                "host-exact mode checks the exit predicate on the host every "
+                "iteration; declare intent with Simulation(until_t=...) or "
+                "Simulation(exit='extinction'), or restrict the predicate to "
+                "sim.t/sim.dt or `len(sim.objects) == 0` to restore chunked "
+                "execution")
+        lines.extend(self.notes)
+        return "\n".join(lines)
+
+
 class Simulation(threading.Thread):
     """Threaded simulation driver (API parity with physicl/__init__.py:400-541).
 
@@ -502,11 +603,6 @@ class Simulation(threading.Thread):
 
     def __init__(self, **kwargs):
         threading.Thread.__init__(self)
-        from physicl_tpu.utils.cache import enable_persistent_compilation_cache
-
-        # fresh-process cold starts reuse on-disk compiled kernels
-        # (~10-40s -> <1s; opt out with PHYSICL_NO_COMPILE_CACHE=1)
-        enable_persistent_compilation_cache()
         self.bounds = np.zeros(3)
         self.cl_on = True          # compat alias, unused (no OpenCL here)
         self.jit_on = True
@@ -551,9 +647,25 @@ class Simulation(threading.Thread):
         # compact + shrink capacity when <1/4 of the buffer is alive
         # (disabled automatically when a step needs stable particle slots)
         self.auto_shrink = True
+        # declared exit intent (documented fast path; skips predicate probing)
+        self.until_t = None
         for attr, val in kwargs.items():
             setattr(self, attr, val)
+        if self.until_t is not None:
+            if self.exit is not _default_exit:
+                raise ValueError(
+                    "pass either until_t=... or exit=..., not both")
+            self.exit = UntilT(self.until_t)
+        if isinstance(self.exit, str):
+            if self.exit != "extinction":
+                raise ValueError(
+                    f"unknown exit mode {self.exit!r}; string form accepts "
+                    "'extinction' (run until no objects remain)")
+            self.exit = ExtinctionExit()
 
+        self.plan_report: Optional[PlanReport] = None
+        self.chunk_used: Optional[int] = None
+        self._warned_fallback = False
         self.dt = Measurement(np.double(0), "s**1")
         self.t = Measurement(np.double(0), "s**1")
         self._pending_objects: List[Object] = []
@@ -929,23 +1041,30 @@ class Simulation(threading.Thread):
         return int(np.clip(self.max_record_bytes // max(bytes_per_iter, 1), 1, 256))
 
     def _exit_traced_fn(self, state: SimState):
-        """The device-traceable exit predicate for the generic path, or None.
+        """``(fn, tier)``: the device-traceable exit predicate for the
+        generic path, or ``(None, "host-exact")``.
 
-        Three tiers (cheapest first): the user predicate traces directly;
-        else, if it empirically behaves as 'no objects left' on sampled host
-        views (the reference-idiomatic ``lambda x: len(x.objects) == 0``,
-        physicl/__init__.py:414 — untraceable because ``len`` cannot return a
-        tracer), substitute the equivalent device test ``n_alive == 0`` so
-        the run keeps chunked scans instead of dropping to one host round
-        trip per iteration; else None (host-exact mode, chunk=1).
+        Tiers (cheapest first): a declared intent (``until_t=`` /
+        ``exit="extinction"``) or a directly traceable predicate; else, if
+        the predicate empirically behaves as 'no objects left' on sampled
+        host views (the reference-idiomatic ``lambda x: len(x.objects) ==
+        0``, physicl/__init__.py:414 — untraceable because ``len`` cannot
+        return a tracer), substitute the equivalent device test
+        ``n_alive == 0`` so the run keeps chunked scans instead of dropping
+        to one host round trip per iteration; else host-exact (chunk=1).
         """
+        if getattr(self.exit, "exit_mode_hint", None) == "n0":
+            return (lambda view: view.n_objects == 0), "declared-extinction"
         if self._probe_exit_traceable(state):
-            return lambda view: self.exit(view)
+            tier = ("declared-t-only"
+                    if getattr(self.exit, "exit_mode_hint", None) == "t"
+                    else "traced")
+            return (lambda view: self.exit(view)), tier
         from physicl_tpu.ops.pipeline import _probe_extinction
 
         if _probe_extinction(self.exit):
-            return lambda view: view.n_objects == 0
-        return None
+            return (lambda view: view.n_objects == 0), "extinction-probe"
+        return None, "host-exact"
 
     def _build_chunk_fn(self, steps: List[Step], exit_fn, chunk: int,
                         state0: SimState):
@@ -986,6 +1105,11 @@ class Simulation(threading.Thread):
             return state, done, records, valid
 
         if self.jit_on:
+            from physicl_tpu.utils.cache import (
+                enable_persistent_compilation_cache,
+            )
+
+            enable_persistent_compilation_cache()  # lazily, pre-compile
             # NOT donated: self.sim_state aliases the input buffers while a
             # chunk executes, and the threaded polling surface (sim.objects,
             # save_checkpoint) may read them concurrently — donation would
@@ -1049,26 +1173,34 @@ class Simulation(threading.Thread):
         return state
 
     def _build_execution(self, steps: List[Step], state: SimState,
-                         allow_fuse: bool = True):
+                         allow_fuse: bool = True, warn: bool = True):
         """Choose and compile the execution strategy: the fused Pallas
         pipeline when provable, else the generic scan (chunked when the exit
         predicate traces or behaves as extinction, chunk=1 host-exact
-        otherwise)."""
+        otherwise). Records the decision in ``self.plan_report`` and warns
+        once when the run lands on a drastically slower tier."""
         from physicl_tpu.population import ExecPlan
 
         provider = None
+        refusals: List[tuple] = []
         if allow_fuse and self.fuse == "auto":
             from physicl_tpu.ops.pipeline import try_build_fused
 
-            provider = try_build_fused(self, steps, state)
+            provider = try_build_fused(self, steps, state, report=refusals)
         if provider is not None:
             # the provider owns exit handling via its `done` output
+            self.plan_report = PlanReport(
+                mode="fused", chunk=provider.plan.chunk,
+                fuse_setting=self.fuse, allow_fuse=allow_fuse,
+                exit_tier=("t-schedule (exit iteration precomputed on host)"
+                           if provider.exit_mode == "t"
+                           else "extinction (in-kernel alive count)"))
             return ExecPlan(provider=provider, chunk_fn=provider,
                             exit_traced=True, exit_fn=None,
                             chunk=provider.plan.chunk)
 
         _, _, emit_per_iter = self._population_policies()
-        exit_fn = self._exit_traced_fn(state)
+        exit_fn, exit_tier = self._exit_traced_fn(state)
         exit_traced = exit_fn is not None
         if not exit_traced:
             # host-exact mode: the predicate must be checked every iteration;
@@ -1084,9 +1216,53 @@ class Simulation(threading.Thread):
             chunk = max(1, min(chunk,
                                (state.capacity // 2) // emit_per_iter))
         self.chunk_used = chunk  # observability: 1 == host-exact mode
+        self.plan_report = PlanReport(
+            mode="host-exact" if chunk == 1 and not exit_traced
+            else "generic", chunk=chunk, fuse_setting=self.fuse,
+            allow_fuse=allow_fuse, exit_tier=exit_tier, refusals=refusals)
+        if warn and not self._warned_fallback:
+            msg = None
+            if not exit_traced:
+                msg = (f"host-exact mode (chunk=1): exit predicate "
+                       f"{getattr(self.exit, '__name__', repr(self.exit))} "
+                       "is neither traceable nor extinction-shaped, so it is "
+                       "checked on the host every iteration (orders of "
+                       "magnitude slower). Declare intent with Simulation("
+                       "until_t=...) or exit='extinction', or restrict it to "
+                       "sim.t/sim.dt or `len(sim.objects) == 0`. "
+                       "sim.explain_plan() has the full decision.")
+            elif refusals:
+                code, detail = refusals[0]
+                msg = (f"fused TPU pipeline refused [{code}]: {detail} — "
+                       "running the generic scan instead. "
+                       "sim.explain_plan() has the full decision.")
+            elif not allow_fuse and self.fuse == "auto":
+                msg = ("fused TPU pipeline disabled for the rest of the run: "
+                       "a mid-run injection broke its proven invariants "
+                       "(non-photon or off-speed particles); continuing on "
+                       "the generic scan. sim.explain_plan() has details.")
+            if msg is not None:
+                self._warned_fallback = True
+                warnings.warn(msg, RuntimeWarning, stacklevel=3)
         chunk_fn = self._build_chunk_fn(steps, exit_fn, chunk, state)
         return ExecPlan(provider=None, chunk_fn=chunk_fn,
                         exit_traced=exit_traced, exit_fn=exit_fn, chunk=chunk)
+
+    def explain_plan(self) -> str:
+        """Human-readable account of the chosen execution strategy: fused /
+        generic / host-exact, the chunk size, the exit-handling tier, and —
+        when the fused Pallas pipeline was refused — every structured reason
+        from the prover. Callable before ``start()`` (plans without
+        compiling or warning) or any time after."""
+        if self.plan_report is None:
+            restored = self._restored  # dry pass must not consume a
+            try:                       # pending checkpoint restore
+                steps = self._ordered_steps()
+                state = self._init_run_state()
+                self._build_execution(steps, state, warn=False)
+            finally:
+                self._restored = restored
+        return self.plan_report.describe()
 
     def _collect_records(self, steps, records, dev_keys, n_valid) -> None:
         """Fetch host record channels (device channels pass through as jax
@@ -1169,6 +1345,7 @@ class Simulation(threading.Thread):
                                        dev_keys)
 
         while True:
+            pop.check_divergence()  # multi-host: queued edits must match
             if pop.needs_attention(state, plan):
                 while pending:  # maintenance needs a definitive host view
                     done, final_state = drain_one()
@@ -1238,6 +1415,7 @@ class Simulation(threading.Thread):
                                  self._host_n_alive)
                 if bool(self.exit(view)):
                     break
+            pop.check_divergence()  # multi-host: queued edits must match
             state, done, records, valid = plan.chunk_fn(state)
             # one batched transfer: each separate device_get is a full relay
             # round trip (~tens of ms of dead time on tunneled devices)

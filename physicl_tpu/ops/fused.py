@@ -726,6 +726,11 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
     hit = _chunk_cache.get(key)
     if hit is not None:
         return hit[1]
+    # lazily, right before the first real compile — constructing a
+    # Simulation must not mutate process-global JAX config (advisor finding)
+    from physicl_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     run = _build_fused_chunk_uncached(plan, capacity)
     if len(_chunk_cache) >= _CHUNK_CACHE_MAX:  # FIFO: drop the oldest
         _chunk_cache.pop(next(iter(_chunk_cache)))

@@ -149,6 +149,6 @@ def shard_state_multiprocess(state, mesh):
         dv=place(state.dv), a=place(state.a), E=place(state.E),
         alive=place(state.alive), otype=place(state.otype),
         t=place(state.t), dt=place(state.dt), key=place(state.key),
-        n_spawned=place(state.n_spawned),
+        n_spawned=place(state.n_spawned), t_comp=place(state.t_comp),
         extras={k: place(v) for k, v in state.extras.items()},
     )

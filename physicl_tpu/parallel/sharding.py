@@ -72,6 +72,7 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         t=jax.device_put(state.t, rep), dt=jax.device_put(state.dt, rep),
         key=jax.device_put(state.key, rep),
         n_spawned=jax.device_put(state.n_spawned, rep),
+        t_comp=jax.device_put(state.t_comp, rep),
     )
 
 

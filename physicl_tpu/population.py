@@ -58,6 +58,87 @@ class PopulationManager:
         # (post-drain) alive count showed recycling impossible: suppresses
         # repeat drains until the mark moves or the alive mirror drops
         self._recycle_blocked_hwm = None
+        # SPMD divergence guard (multi-host runs): population edits must be
+        # issued identically on every process; a desync silently corrupts
+        # physics, so each chunk boundary allgathers a digest of the queued
+        # edits and raises loudly on mismatch (opt out:
+        # Simulation(divergence_guard=False))
+        from physicl_tpu.parallel.distributed import mesh_spans_processes
+
+        self.spmd_guard = (mesh_spans_processes(sim.mesh)
+                           and getattr(sim, "divergence_guard", True))
+        self._boundary_idx = 0
+        # cumulative digest of edits actually APPLIED by maintain(): closes
+        # the race where an edit lands between a boundary's check and its
+        # apply — the mismatch then surfaces at the NEXT boundary
+        import hashlib
+
+        self._applied_h = hashlib.blake2b(digest_size=8)
+
+    # -- multi-host SPMD divergence guard ------------------------------------
+
+    @staticmethod
+    def _hash_edits(h, items, removes) -> None:
+        """Fold population edits (order, kinds, payload values) into digest
+        ``h``. Identical edit sequences => identical digests."""
+        from physicl_tpu.units import raw_code_value
+
+        h.update(np.int64(len(items)).tobytes())
+        for kind, payload in items:
+            h.update(kind.encode())
+            if kind == "bulk":
+                h.update(np.int64(int(payload["n"])).tobytes())
+                h.update(np.int64(int(payload["otype"])).tobytes())
+                for f in ("r", "v", "E"):
+                    arr = np.asarray(jax.device_get(payload[f]), np.float64)
+                    h.update(np.ascontiguousarray(arr).tobytes())
+            else:  # "obj"
+                h.update(np.int64(getattr(payload, "_obj_type_code",
+                                          0)).tobytes())
+                for f in ("r", "v", "E"):
+                    val = raw_code_value(getattr(payload, f, 0.0))
+                    h.update(np.asarray(val, np.float64).tobytes())
+        h.update(np.asarray(sorted(removes), np.int64).tobytes())
+
+    def _note_applied(self, items, removes) -> None:
+        if self.spmd_guard and (items or removes):
+            self._hash_edits(self._applied_h, items, removes)
+
+    def check_divergence(self) -> None:
+        """Allgather-and-compare (queued-edit, applied-edit) digests across
+        processes.
+
+        Called once per chunk boundary on EVERY process (SPMD programs reach
+        boundaries in lockstep, so the collective always pairs). A mismatch
+        raises on all processes — turning a silent physics desync (VERDICT
+        r2 weak #5) into a loud, synchronized error.
+        """
+        if not self.spmd_guard:
+            return
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        self._boundary_idx += 1
+        sim = self.sim
+        with sim._inject_lock:
+            items = list(sim._pending_inject)
+            removes = list(sim._pending_remove)
+        h = hashlib.blake2b(digest_size=8)
+        self._hash_edits(h, items, removes)
+        queued = int.from_bytes(h.digest(), "little")
+        applied = int.from_bytes(self._applied_h.copy().digest(), "little")
+        gathered = np.asarray(multihost_utils.process_allgather(
+            np.array([queued, applied], np.uint64)))
+        if not (gathered == gathered[0]).all():
+            raise RuntimeError(
+                f"multi-host SPMD divergence at chunk boundary "
+                f"{self._boundary_idx}: queued/applied population edits "
+                f"differ across processes (per-process digests "
+                f"{[[hex(int(x)) for x in row] for row in gathered]}). "
+                f"Mid-run add_obj / add_photons / remove_obj must be issued "
+                f"identically and at the same boundary on every process "
+                f"(docs/distributed.md).")
 
     # -- individual policies (each returns the possibly-updated state) ------
 
@@ -127,6 +208,7 @@ class PopulationManager:
             return state
         with sim._inject_lock:
             slots, sim._pending_remove = sim._pending_remove, []
+        self._note_applied([], slots)
         alive = state.alive.at[jnp.asarray(slots, jnp.int32)].set(False)
         state = state.replace(alive=alive)
         with sim._state_lock:
@@ -142,6 +224,7 @@ class PopulationManager:
             return state
         with sim._inject_lock:
             items, sim._pending_inject = sim._pending_inject, []
+        self._note_applied(items, [])
         old_cap = state.capacity
         state, k_new = sim._inject_into_state(state, items)
         with sim._state_lock:
@@ -206,8 +289,15 @@ class PopulationManager:
                     return True
                 if self._recycle_blocked_hwm != provider.hwm_h:
                     return True
-        if (self.shrink_ok and 0 < sim._host_n_alive < state.capacity // 4):
-            return True
+        if self.shrink_ok and 0 < sim._host_n_alive < state.capacity // 4:
+            from physicl_tpu.state import pad_capacity
+
+            # exact trigger: only drain when compact_shrink would actually
+            # reduce capacity — at the pad minimum the <1/4 condition can
+            # stay true forever, and repeated drains would serialize the
+            # pipelined dispatch for a permanent no-op (advisor finding)
+            if pad_capacity(max(sim._host_n_alive, 1)) < state.capacity:
+                return True
         return False
 
     # -- chunk-boundary entry point ------------------------------------------

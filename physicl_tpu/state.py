@@ -67,6 +67,15 @@ class SimState:
         default_factory=lambda: jnp.zeros((), jnp.int32))
     # ^ device-side high-water slot mark: in-scan emitters allocate slots
     #   [n_spawned, n_spawned+k); host injection keeps it in sync
+    t_comp: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
+    # ^ Kahan compensation for the clock: TPU scalars are f32 (no x64), so
+    #   the generic path's on-device ``t += dt`` would drift by O(n*eps) over
+    #   long runs; compensated summation keeps ``t`` within ~1 ulp of the
+    #   exact sum. The fused path replays the SAME f32 Kahan arithmetic on
+    #   the host (ops/pipeline.py:_host_schedule), so ``sim.ts`` is
+    #   byte-identical between paths and (t, t_comp) round-trips losslessly.
+    #   Matches the reference's f64 sim.t, physicl/__init__.py:341-343.
     extras: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "SimState":

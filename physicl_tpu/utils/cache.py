@@ -7,7 +7,8 @@ compilation cache stores serialized executables on disk keyed by HLO +
 compiler version — measured 11 s -> 0.24 s for a first call in a fresh
 process on the attached TPU.
 
-The engine enables this automatically on the first ``Simulation`` unless the
+The engine enables this lazily, right before the first kernel/scan compile
+(constructing a ``Simulation`` has no process-global side effects), unless the
 user already configured a cache dir or opted out (``PHYSICL_NO_COMPILE_CACHE=1``).
 The reference has no counterpart (pyopencl caches kernel binaries per driver,
 physicl/__init__.py:583-597 recompiles per process).

@@ -20,7 +20,7 @@ from physicl_tpu.state import SimState
 __all__ = ["save_checkpoint", "load_checkpoint", "state_from_checkpoint"]
 
 _FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "t", "dt",
-           "key", "n_spawned")
+           "key", "n_spawned", "t_comp")
 
 
 def save_checkpoint(sim, path: str) -> None:
@@ -46,7 +46,9 @@ def load_checkpoint(path: str):
     """-> (SimState, meta dict)."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
-        kw = {f: jnp.asarray(z[f]) for f in _FIELDS}
+        # t_comp (Kahan clock compensation) is absent in pre-r3 checkpoints;
+        # default to zero rather than failing the load
+        kw = {f: jnp.asarray(z[f]) for f in _FIELDS if f in z.files}
         kw["extras"] = {
             k[len("extra."):]: jnp.asarray(z[k])
             for k in z.files if k.startswith("extra.")

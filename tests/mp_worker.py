@@ -69,4 +69,24 @@ s2.start(); s2.join()
 assert len(s2.objects) == 0
 print(f"[{pid}] generic sharded extinction run PASS", flush=True)
 
+# --- SPMD divergence guard: process 0 injects mid-run, others don't -------
+# A desync like this would silently corrupt physics; the per-boundary digest
+# allgather must turn it into a synchronized RuntimeError on EVERY process.
+s3 = phys.Simulation(exit=lambda c: c.t >= 1.0, seed=2, mesh=mesh,
+                     chunk_steps=2)
+s3.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s3.add_step(1, phys.newton.NewtonianKinematicsStep())
+s3.add_photons(light.generate_photon_state(N, E=1.0))
+s3.start()
+if pid == 0:
+    s3.add_photons(light.generate_photon_state(N, E=2.0))  # only process 0!
+err = None
+try:
+    s3.join()
+except RuntimeError as e:
+    err = e
+assert err is not None and "divergence" in str(err), repr(err)
+print(f"[{pid}] SPMD divergence guard raises on all processes PASS",
+      flush=True)
+
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)

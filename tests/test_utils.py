@@ -81,6 +81,62 @@ def test_write_rows_ragged_fallback(tmp_path):
     assert open(p).read() == "1, a\n2\n"
 
 
+def test_write_rows_durable_dir_target_writes_partial(tmp_path, monkeypatch):
+    """Unwritable target (a directory) -> data lands in <path>.partial with
+    a warning, not an exception (reference intent: physicl/__init__.py:367-378
+    retried forever interactively; we retry bounded then fall back)."""
+    monkeypatch.setattr(pio.time, "sleep", lambda s: None)
+    target = str(tmp_path / "outdir")
+    os.mkdir(target)
+    with pytest.warns(RuntimeWarning, match="partial"):
+        dest = pio.write_rows(target, [[1, "a"], [2]])
+    assert dest == target + ".partial"
+    assert open(dest).read() == "1, a\n2\n"
+
+
+def test_write_matrix_durable_missing_dir_falls_to_tmpdir(tmp_path,
+                                                          monkeypatch):
+    monkeypatch.setattr(pio.time, "sleep", lambda s: None)
+    target = str(tmp_path / "no" / "such" / "dir" / "m.csv")
+    with pytest.warns(RuntimeWarning, match="data saved to"):
+        dest = pio.write_matrix(target, np.array([[1.0, 2.0]]))
+    assert os.path.exists(dest) and dest.endswith("m.csv")
+    assert [float(x) for x in open(dest).read().strip().split(", ")] == [1, 2]
+    os.remove(dest)
+
+
+def test_write_rows_transient_eacces_retries_then_succeeds(tmp_path,
+                                                           monkeypatch):
+    sleeps = []
+    monkeypatch.setattr(pio.time, "sleep", sleeps.append)
+    p = str(tmp_path / "ok.csv")
+    calls = {"n": 0}
+    real_open = open
+
+    def flaky_open(path, mode="r", *a, **k):
+        if path == p and mode == "w":
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise PermissionError(13, "simulated EACCES")
+        return real_open(path, mode, *a, **k)
+
+    monkeypatch.setattr("builtins.open", flaky_open)
+    dest = pio.write_rows(p, [[1, "a"]])  # ragged -> python writer
+    assert dest == p
+    assert calls["n"] == 3 and len(sleeps) == 2  # backoff between attempts
+    assert real_open(p).read() == "1, a\n"
+
+
+def test_measure_step_dict_data_writes_key_value_rows(tmp_path):
+    """Dict-shaped MeasureStep data keeps its keys in the CSV (the
+    reference's dict branch intended k,v rows, physicl/__init__.py:374)."""
+    p = str(tmp_path / "d.csv")
+    m = phys.MeasureStep(out_fn=p)
+    m.data = {"a": [1, 2], "b": 3}
+    m.terminate(None)
+    assert open(p).read() == "a, 1, 2\nb, 3\n"
+
+
 def test_chunk_timer_step():
     from physicl_tpu.utils.profiling import ChunkTimerStep
 
