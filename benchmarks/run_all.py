@@ -251,6 +251,25 @@ def main():
     emit("path_trace_steady_1e5", steady_rate(trace, Nt, chunk=None),
          "photon-steps/s", 1.4e4)
 
+    # ...unstrided tracing at full 1e7 scale with bf16 stream planes:
+    # half the stream bytes => twice the iterations per dispatch (the
+    # every-iteration reference demo shape; documented ~0.4% position
+    # precision waiver, docs/api.md)
+    def trace_bf16():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                 n=np.double(0.001)))
+        s.add_step(3, light.TracePathMeasureStep(None,
+                                                 trace_dtype="bfloat16"))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("path_trace_bf16_unstrided_steady_1e7",
+         steady_rate(trace_bf16, N, chunk=None, reps=4),
+         "photon-steps/s", 1.4e4)
+
     # ...and strided tracing (trace_every=16) at full 1e7 scale: the kernel
     # skips the stream DMA off sample iterations, so 16x more iterations fit
     # one dispatch (output = exactly every 16th row of the unstrided trace)

@@ -99,7 +99,13 @@ class KernelInput:
             mul = float(eval(m.group("mul"), {"np": np}, {})) if m.group("mul") else 1.0
             return lambda key, n: jax.random.uniform(key, (n,)) * mul
         raise ValueError(
-            f"obj_def {d!r} not recognized; pass a callable f(key, n)")
+            f"obj_def {d!r} not recognized. The reference's CLProgram "
+            "accepted arbitrary host expressions here "
+            "(physicl/__init__.py:544-556); migrating users should pass a "
+            "callable ``f(key, n) -> (n,) array`` instead — strictly more "
+            "general, and it runs batched on device. The literal string "
+            "'np.random.random()' (optionally '* <scale>') is still "
+            "accepted for the common uniform-draw case.")
 
 
 class KernelOutput:

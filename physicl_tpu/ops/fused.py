@@ -182,6 +182,14 @@ class FusedPlan:
     # to the gcd of every stream op's stride (strided path tracing: k-fold
     # fewer stream bytes, so k-fold more iterations fit one dispatch).
     stream_every: int = 1
+    # stream element dtype: "bfloat16" halves stream bytes (2x iterations
+    # per dispatch for unstrided tracing at large N) at ~0.4% relative
+    # position precision (8-bit mantissa; full f32 exponent range, so no
+    # overflow and NaN death-encoding still works). Chosen by the prover
+    # only when EVERY stream source opts in (TracePathMeasureStep(
+    # trace_dtype="bfloat16")) and no per-photon E capture shares the
+    # buffer.
+    stream_dtype: str = "float32"
     # inner unroll factor: U iterations per loop body lets Mosaic software-
     # pipeline across iterations and batches the record-row read-modify-write
     # into one aligned (U, 128) access — measured +75% kernel throughput at
@@ -508,7 +516,9 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
                     _stream_dma(m - 2, slot).wait()
 
                 for p in range(plan.n_stream):
-                    stream_scratch[slot, p] = stream[p]
+                    # cast per plane (bf16 stream: halves the DMA bytes)
+                    stream_scratch[slot, p] = stream[p].astype(
+                        stream_scratch.dtype)
                 _stream_dma(m, slot).start()
 
             if S_stream == 1:
@@ -580,6 +590,8 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     rows = capacity // _LANE
     s_every = max(1, int(plan.stream_every))
     n_srows = -(-plan.chunk // s_every)  # ceil: strided stream rows
+    sdtype = (jnp.bfloat16 if plan.stream_dtype == "bfloat16"
+              else jnp.float32)
 
     @jax.jit
     def run(packed, dts, emit_starts, seed, k_act):
@@ -590,7 +602,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
         recf0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.float32)
         stream0 = jnp.full((n_srows, plan.n_stream, rows, _LANE), jnp.nan,
-                           jnp.float32)
+                           sdtype)
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0)
                 * jnp.int32(_LANE)
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1))
@@ -603,7 +615,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
                 t=(dts[1, k], dts[2, k], dts[3, k], dts[4, k]))
             if plan.n_stream:
                 m = k // s_every
-                val = jnp.stack(stream)
+                val = jnp.stack(stream).astype(sdtype)
                 if s_every > 1:  # keep row m untouched off sample iterations
                     val = jnp.where(jax.lax.rem(k, s_every) == 0, val,
                                     stream_buf[m])
@@ -704,7 +716,8 @@ def _plan_cache_key(plan: FusedPlan, capacity: int):
         for op in plan.ops)
     return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,
             plan.interpret, plan.const_norm_speed, plan.packed_angles,
-            plan.fast_trig, plan.n_stream, plan.stream_every, plan.unroll)
+            plan.fast_trig, plan.n_stream, plan.stream_every,
+            plan.stream_dtype, plan.unroll)
 
 
 _chunk_cache: dict = {}  # key -> (plan, compiled runner); FIFO-bounded
@@ -784,11 +797,13 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     if plan.n_stream:
         # stream buffer stays whole in HBM; tiles DMA their row stripe per
         # sampled iteration from a double-buffered VMEM scratch
+        sdtype = (jnp.bfloat16 if plan.stream_dtype == "bfloat16"
+                  else jnp.float32)
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         out_shape.append(jax.ShapeDtypeStruct(
-            (n_srows, plan.n_stream, rows, _LANE), jnp.float32))
+            (n_srows, plan.n_stream, rows, _LANE), sdtype))
         scratch_shapes = [
-            pltpu.VMEM((2, plan.n_stream, tile_rows, _LANE), jnp.float32),
+            pltpu.VMEM((2, plan.n_stream, tile_rows, _LANE), sdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 

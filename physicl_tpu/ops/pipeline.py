@@ -797,6 +797,7 @@ def try_build_fused(sim, steps, state: SimState,
         # starves mid-chunk before the engine can recycle slots
         chunk = max(1, min(chunk, (state.capacity // 2) // emit_total))
     stream_every = 1
+    stream_dtype = "float32"
     if next_plane:
         import math
 
@@ -804,14 +805,27 @@ def try_build_fused(sim, steps, state: SimState,
         # period (per-photon E capture is per-iteration => 1). Ops whose
         # trace_every exceeds the kernel stride subsample rows on the host.
         periods = [m["every"] for m in rec_map if m["kind"] == "trace"]
-        if any(m["kind"] == "cross" and any(p >= 0 for p in m["ecap_planes"])
-               for m in rec_map):
+        has_ecap = any(
+            m["kind"] == "cross" and any(p >= 0 for p in m["ecap_planes"])
+            for m in rec_map)
+        if has_ecap:
             periods.append(1)
         stream_every = math.gcd(*periods) if periods else 1
-        # stream planes allocate (ceil(chunk/stride), n_planes, C) f32 per
-        # dispatch; cap the chunk so one dispatch stays within the
+        # bf16 stream planes (halved bytes => 2x iterations per dispatch
+        # for unstrided large-N tracing): only when EVERY trace step opted
+        # in AND no per-photon E capture shares the buffer (captured
+        # energies keep f32 precision)
+        trace_steps = [s for s in steps
+                       if type(s) is TracePathMeasureStep]
+        if (trace_steps and not has_ecap
+                and all(getattr(s, "trace_dtype", "float32") == "bfloat16"
+                        for s in trace_steps)):
+            stream_dtype = "bfloat16"
+        # stream planes allocate (ceil(chunk/stride), n_planes, C) elements
+        # per dispatch; cap the chunk so one dispatch stays within the
         # record-buffer budget
-        row_bytes = next_plane * state.capacity * 4
+        elem = 2 if stream_dtype == "bfloat16" else 4
+        row_bytes = next_plane * state.capacity * elem
         budget = int(getattr(sim, "max_record_bytes", 256 << 20))
         chunk = max(1, min(chunk,
                            (budget // max(row_bytes, 1)) * stream_every))
@@ -836,6 +850,7 @@ def try_build_fused(sim, steps, state: SimState,
         fast_trig=True,
         n_stream=next_plane,
         stream_every=stream_every,
+        stream_dtype=stream_dtype,
     )
     return FusedProvider(sim, plan, rec_map, dt_fn, update_before_kin,
                          measure_after_update, sim.exit, exit_mode)

@@ -412,3 +412,86 @@ def test_trace_survives_midrun_injection_capacity_growth():
     c = float(light.c)
     for row, t in zip(pos[:, 0, :1000], ts):
         np.testing.assert_allclose(row, c * float(t), rtol=1e-4)
+
+
+def test_trace_bfloat16_stream_precision_waiver():
+    """bf16 traces (trace_dtype="bfloat16", half the stream bytes => 2x
+    iterations per dispatch at large N) match f32 traces within the
+    documented waiver (~0.4% relative position error) on BOTH paths, with
+    identical t rows, alive masks, and scatter-event counts."""
+    out = {}
+    for dtype in ("float32", "bfloat16"):
+        for fuse in ("auto", "off"):
+            s = phys.Simulation(until_t=0.006, seed=5, fuse=fuse)
+            s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+            s.add_step(1, phys.newton.NewtonianKinematicsStep())
+            s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                     n=np.double(0.001)))
+            tr = light.TracePathMeasureStep(None, trace_dv=True,
+                                            trace_dtype=dtype)
+            s.add_step(3, tr)
+            s.add_photons(light.generate_photon_state(512, E=1.0))
+            s.start(); s.join()
+            assert s.used_fused == (fuse == "auto")
+            out[(dtype, fuse)] = tr.as_arrays()
+    step_len = float(light.c) * 0.001  # bf16 ulp at |r|~c*dt is ~0.8% of it
+    for fuse in ("auto", "off"):
+        ts32, p32, a32, f32_ = out[("float32", fuse)]
+        tsb, pb, ab, fb = out[("bfloat16", fuse)]
+        # same seed + same path => identical physics; only the recorded
+        # copies are rounded
+        assert list(ts32) == list(tsb)
+        np.testing.assert_array_equal(a32, ab)
+        np.testing.assert_array_equal(np.asarray(f32_), np.asarray(fb))
+        m = np.broadcast_to(a32[:, None, :], p32.shape)
+        d = np.abs(pb - p32)[m]
+        tol = 0.004 * np.abs(p32)[m] + 0.005 * step_len
+        assert d.max() >= 0  # guards NaN leakage into the alive region
+        assert np.all(d <= tol), float((d - tol).max())
+
+
+def test_trace_bfloat16_doubles_iterations_per_dispatch():
+    """The bf16 stream budget fits twice the iterations of the f32 one."""
+    from physicl_tpu.ops.pipeline import try_build_fused
+    from physicl_tpu.state import SimState
+
+    chunks = {}
+    for dtype in ("float32", "bfloat16"):
+        s = phys.Simulation(until_t=1e9, seed=0)
+        s.max_record_bytes = 3 * 16384 * 4 * 8  # 8 f32 rows of 3 planes
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.TracePathMeasureStep(None, trace_dtype=dtype))
+        s.add_photons(light.generate_photon_state(1000, E=1.0))
+        state = SimState.from_population([], s._pending_bulk)
+        provider = try_build_fused(s, s._ordered_steps(), state)
+        assert provider is not None
+        chunks[dtype] = provider.plan.chunk
+        assert provider.plan.stream_dtype == dtype
+    assert chunks["float32"] == 8
+    assert chunks["bfloat16"] == 16
+
+
+def test_trace_bfloat16_not_used_with_energy_capture():
+    """Per-photon E capture shares the stream buffer: it must keep f32 even
+    when the trace step opted into bf16."""
+    from physicl_tpu.ops.pipeline import try_build_fused
+    from physicl_tpu.state import SimState
+
+    s = phys.Simulation(until_t=1e9, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.TracePathMeasureStep(None, trace_dtype="bfloat16"))
+    s.add_step(3, light.ScatterMeasureStep(None, True,
+                                           [[1e5, np.nan, np.nan]], True))
+    s.add_photons(light.generate_photon_state(1000, E=1.0))
+    state = SimState.from_population([], s._pending_bulk)
+    provider = try_build_fused(s, s._ordered_steps(), state)
+    assert provider is not None
+    assert provider.plan.stream_dtype == "float32"
+
+
+def test_trace_dtype_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bfloat16"):
+        light.TracePathMeasureStep(None, trace_dtype="float16")
