@@ -50,6 +50,7 @@ __all__ = [
     "PhotonEmitterStep",
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
+    "ScatterHenyeyGreensteinStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "TracePathMeasureStep",
 ]
 
@@ -685,6 +686,107 @@ class ScatterIsotropicStep(Step):
 # Public docs and every example call it ScatterSphericalStep
 # (docs/_build/phys.html:96 vs physicl/light.py:262) — export both names.
 ScatterSphericalStep = ScatterIsotropicStep
+
+
+def _hg_direction(d, cos_t, sin_t, cos_p, sin_p):
+    """Rotate unit direction ``d`` (stack of 3 component arrays) by polar
+    angle theta (cos/sin given) and azimuth phi around it.
+
+    Branch-free orthonormal basis (Duff et al. 2017): robust for every
+    incoming direction including ±z, all elementwise VPU ops.
+    """
+    x, y, z = d
+    sign = jnp.where(z >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    a = -1.0 / (sign + z)
+    b = x * y * a
+    e1 = (1.0 + sign * x * x * a, sign * b, -sign * x)
+    e2 = (b, sign + y * y * a, -y)
+    return tuple(
+        cos_t * dd + sin_t * (cos_p * u + sin_p * w)
+        for dd, u, w in zip((x, y, z), e1, e2))
+
+
+class ScatterHenyeyGreensteinStep(Step):
+    """Anisotropic scattering with the Henyey-Greenstein phase function —
+    the standard single-parameter model for forward/backward-peaked (Mie
+    regime, aerosols, tissue) scattering. No reference counterpart (the
+    reference only has isotropic scattering, physicl/light.py:262); TPU
+    extension in the same family: ``pcoll = A * n(r) * |dr|`` with the same
+    inclusive ``>=`` collision test and optional ``variable_n`` /
+    ``wavelength_dep_scattering``, but the outgoing direction is drawn
+    RELATIVE to the incoming one:
+
+    ``cos(theta) = (1 + g^2 - ((1 - g^2) / (1 - g + 2 g U))^2) / (2 g)``
+    (exact HG inverse CDF; ``g=0`` reduces to area-uniform isotropic),
+    azimuth uniform. The anisotropy parameter ``g`` in (-1, 1) is the mean
+    scattering cosine: <cos theta> == g.
+
+    Runs on the fused Pallas path (op kind "hg") and the generic scan with
+    statistically identical distributions.
+    """
+
+    def __init__(self, **kwargs):
+        self.g = float(kwargs.get("g", 0.0))
+        if not -1.0 < self.g < 1.0:
+            raise ValueError(f"g must be in (-1, 1), got {self.g}")
+        self.n = _as_code(kwargs.get("n", 1))
+        self.A = _as_code(kwargs.get("A", 1))
+        self.wavelength_dep_scattering = kwargs.get(
+            "wavelength_dep_scattering", False)
+        self.variable_n = kwargs.get("variable_n", False)
+        self.variable_n_fn = kwargs.get("variable_n_fn", None)
+        self._n_fn = (_compile_variable_n(self.variable_n_fn)
+                      if self.variable_n else None)
+        self._c = None
+        self._coef = None
+        self._wl_base = None
+
+    # pcoll folding is identical to the isotropic family
+    setup = ScatterIsotropicStep.setup
+
+    def _cos_theta(self, u, dtype):
+        g = jnp.asarray(self.g, dtype)
+        if abs(self.g) < 1e-7:
+            return 2.0 * u - 1.0  # exact isotropic limit
+        s = (1.0 - g * g) / (1.0 - g + 2.0 * g * u)
+        ct = (1.0 + g * g - s * s) / (2.0 * g)
+        return jnp.clip(ct, -1.0, 1.0)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        if self._c is None:
+            self.setup(None)
+        dtype = state.r.dtype
+        norm = _dr_norm(state)
+        pcoll = jnp.asarray(self._coef, dtype) * norm
+        if self._n_fn is not None:
+            pcoll = pcoll * jnp.asarray(
+                self._n_fn(state.r[0], state.r[1], state.r[2]), dtype)
+        if self._wl_base is not None:
+            base = state.E * jnp.asarray(self._wl_base, dtype)
+            base2 = base * base
+            pcoll = pcoll * (base2 * base2)
+
+        k = ctx.next_key()
+        u3 = jax.random.uniform(k, (3,) + norm.shape, dtype)
+        scatter = (pcoll >= u3[0]) & (state.otype == OBJ_PHOTON) & state.alive
+
+        cos_t = self._cos_theta(u3[1], dtype)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = u3[2] * (2 * np.pi)
+        cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
+
+        inv_v = jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
+        d = tuple(state.v[i] * inv_v for i in range(3))
+        n_new = _hg_direction(d, cos_t, sin_t, cos_p, sin_p)
+        # renormalize so |v| stays exactly the particle speed
+        inv_n = jax.lax.rsqrt(sum(x * x for x in n_new))
+        c_val = jnp.asarray(self._c, dtype) * inv_n
+        v_new = jnp.stack([x * c_val for x in n_new])
+
+        v = jnp.where(scatter, v_new, state.v)
+        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+        return state.replace(v=v, dv=dv)
 
 
 class PhotonEmitterStep(Step):

@@ -133,9 +133,10 @@ class _Op:
     custom_fn: Optional[Callable] = None
     after_update: bool = True  # custom op sees t after/before UpdateTimeStep
     reduce_outputs: tuple = ()
-    wl_base: Optional[float] = None  # lambda^-4 folding base (iso)
-    n_fn: Optional[Callable] = None  # variable n(r) (iso)
-    c_val: float = 0.0              # |v| for resampled photons (iso)
+    wl_base: Optional[float] = None  # lambda^-4 folding base (iso/hg)
+    n_fn: Optional[Callable] = None  # variable n(r) (iso/hg)
+    c_val: float = 0.0              # |v| for resampled photons (iso/hg)
+    g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
     # emit: photons appear in slots [emit_starts[k], +n) each iteration —
@@ -304,6 +305,63 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 old = f[_VX + d]
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)
                 f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
+                                        jnp.float32(0.0))
+        elif op.kind == "hg":
+            # Henyey-Greenstein anisotropic scatter: same collision model as
+            # "iso", outgoing direction drawn RELATIVE to the incoming one
+            # via the exact HG inverse CDF (<cos theta> == g)
+            pcoll = jnp.float32(op.coef) * dr_norm()
+            if op.n_fn is not None:
+                pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
+                    jnp.float32)
+            if op.wl_base is not None:
+                base = f[_E] * jnp.float32(op.wl_base)
+                b2 = base * base
+                pcoll = pcoll * (b2 * b2)
+            u = rng.uniform(shape)
+            if plan.packed_angles:
+                cu, pu = rng.uniform_pair(shape)
+            else:
+                cu, pu = rng.uniform(shape), rng.uniform(shape)
+            scatter = (pcoll >= u) & alive_b
+            gg = jnp.float32(op.g)
+            if abs(op.g) < 1e-7:
+                cos_t = 2.0 * cu - 1.0  # exact isotropic limit
+            else:
+                s = (1.0 - gg * gg) / (1.0 - gg + 2.0 * gg * cu)
+                cos_t = jnp.clip((1.0 + gg * gg - s * s) / (2.0 * gg),
+                                 jnp.float32(-1.0), jnp.float32(1.0))
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t,
+                                         jnp.float32(0.0)))
+            if plan.fast_trig:
+                two_pu = 2.0 * pu
+                sin_p = _fast_sinpi(_wrap1(two_pu))
+                cos_p = _fast_sinpi(_wrap1(two_pu + jnp.float32(0.5)))
+            else:
+                phi = pu * jnp.float32(2 * np.pi)
+                sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+            # unit incoming direction; branch-free orthonormal basis
+            # (Duff et al. 2017), robust incl. +-z
+            inv_v = jax.lax.rsqrt(jnp.maximum(
+                f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
+                jnp.float32(1e-30)))
+            dx, dy, dz = (f[_VX] * inv_v, f[_VY] * inv_v, f[_VZ] * inv_v)
+            sign = jnp.where(dz >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+            a = -1.0 / (sign + dz)
+            b = dx * dy * a
+            e1 = (1.0 + sign * dx * dx * a, sign * b, -sign * dx)
+            e2 = (b, sign + dy * dy * a, -dy)
+            n_new = tuple(
+                cos_t * dd + sin_t * (cos_p * uu + sin_p * ww)
+                for dd, uu, ww in zip((dx, dy, dz), e1, e2))
+            # renormalize so |v| stays exactly the particle speed
+            inv_n = jax.lax.rsqrt(n_new[0] * n_new[0] + n_new[1] * n_new[1]
+                                  + n_new[2] * n_new[2])
+            cval = jnp.float32(op.c_val) * inv_n
+            for d in range(3):
+                old = f[_VX + d]
+                f[_VX + d] = jnp.where(scatter, n_new[d] * cval, old)
+                f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
                                         jnp.float32(0.0))
         elif op.kind == "emit":
             # inactive iterations use a far-negative start (never overlaps);
@@ -710,7 +768,7 @@ def _plan_cache_key(plan: FusedPlan, capacity: int):
         (op.kind, op.coef, op.bounds, op.stream0, op.stream_scat,
          op.stream_every, _fn_key(op.custom_fn),
          op.after_update, op.wl_base, _fn_key(op.n_fn),
-         op.c_val, op.cols, op.axes, op.emit_n, op.emit_E,
+         op.c_val, op.g, op.cols, op.axes, op.emit_n, op.emit_E,
          _fn_key(op.emit_E_fn),
          op.emit_r, op.emit_v, op.emit_sched_idx, op.reduce_outputs)
         for op in plan.ops)

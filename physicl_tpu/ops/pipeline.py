@@ -518,6 +518,7 @@ def try_build_fused(sim, steps, state: SimState,
     from physicl_tpu.light import (
         PhotonEmitterStep,
         ScatterDeleteStep,
+        ScatterHenyeyGreensteinStep,
         ScatterIsotropicStep,
         ScatterMeasureStep,
         ScatterSignMeasureStep,
@@ -594,6 +595,12 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op(
                 "iso", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
+            ))
+        elif type(s) is ScatterHenyeyGreensteinStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "hg", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
+                c_val=s._c, g=s.g,
             ))
         elif type(s) is PhotonEmitterStep:
             # sampled energies fuse when the sampler exposes a traced
@@ -687,8 +694,9 @@ def try_build_fused(sim, steps, state: SimState,
             return _no("unsupported-step",
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/ScatterDelete/"
-                       "ScatterIsotropic/boundaries/PhotonEmitter/"
-                       "Sign+Cross+Reduce measures/Elementwise/TracePath")
+                       "ScatterIsotropic/ScatterHenyeyGreenstein/boundaries/"
+                       "PhotonEmitter/Sign+Cross+Reduce measures/"
+                       "Elementwise/TracePath")
 
     if not update_seen:
         return _no("no-update-step",
@@ -707,7 +715,7 @@ def try_build_fused(sim, steps, state: SimState,
     const_speed = None
     kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
     scatter_positions = [i for i, op in enumerate(ops)
-                         if op.kind in ("del", "iso")]
+                         if op.kind in ("del", "iso", "hg")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     reflect_positions = [i for i, op in enumerate(ops)
                          if op.kind == "reflect"]
@@ -751,7 +759,8 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if op.kind == "iso" and abs(op.c_val - s0) > 1e-5 * s0:
+                if (op.kind in ("iso", "hg")
+                        and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:
                 const_speed = s0

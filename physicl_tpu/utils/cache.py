@@ -34,6 +34,13 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
 
     if os.environ.get("PHYSICL_NO_COMPILE_CACHE") == "1":
         return None
+    if jax.default_backend() == "cpu":
+        # CPU executables are AOT-compiled against the build host's exact
+        # ISA features; a cache dir shared across machines (home dirs on
+        # network volumes, container images) can serve binaries the current
+        # host can't run (XLA warns "could lead to SIGILL"). CPU compiles
+        # are cheap — cache only accelerator backends.
+        return None
     current = jax.config.jax_compilation_cache_dir
     if current:  # user (or a previous call) already configured one
         return current

@@ -185,3 +185,85 @@ def test_scatter_constants_use_code_units():
     finally:
         phys.reset_code_scale("m")
         light.refresh_constants()
+
+
+# ---------------------------------------------------------------------------
+# Henyey-Greenstein anisotropic scattering (TPU extension: the reference has
+# only isotropic scattering; HG is the standard single-parameter anisotropic
+# phase function and <cos theta> == g is its defining property).
+# ---------------------------------------------------------------------------
+
+
+def _hg_one_scatter(g, fuse, n=20000, seed=3):
+    """One guaranteed scatter (pcoll >> 1) from a +x beam; returns the
+    final (v, dv) arrays and the sim."""
+    s = phys.Simulation(until_t=0.001, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterHenyeyGreensteinStep(A=1.0, n=1.0, g=g))
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    v = np.asarray(s.sim_state.v)[:, :n]
+    dv = np.asarray(s.sim_state.dv)[:, :n]
+    return v, dv, s
+
+
+def test_hg_mean_cosine_equals_g_both_paths():
+    c_val = float(light.c)
+    for g in (0.0, 0.5, 0.9, -0.4):
+        for fuse in ("auto", "off"):
+            v, dv, s = _hg_one_scatter(g, fuse)
+            scattered = np.any(dv != 0, axis=0)
+            assert scattered.mean() > 0.999  # pcoll = c*dt >> 1
+            # incoming beam was +x: cos(theta) = vx_new / |v|
+            cos_t = v[0, scattered] / c_val
+            # sampling noise ~ sqrt((1-g^2)/N); allow 5 sigma + fast-trig bias
+            tol = 5 * np.sqrt(max(1 - g * g, 0.05) / scattered.sum()) + 0.01
+            assert abs(cos_t.mean() - g) < tol, (g, fuse, cos_t.mean())
+            # speed preserved through the frame rotation
+            speed = np.sqrt((v[:, scattered] ** 2).sum(axis=0))
+            np.testing.assert_allclose(speed, c_val, rtol=2e-5)
+
+
+def test_hg_azimuthal_symmetry():
+    """Azimuth around the incoming +x beam is uniform: mean vy and vz of
+    scattered photons vanish, for strong forward peaking too."""
+    for fuse in ("auto", "off"):
+        v, dv, _ = _hg_one_scatter(0.8, fuse, n=40000)
+        scattered = np.any(dv != 0, axis=0)
+        c_val = float(light.c)
+        for comp in (1, 2):
+            m = (v[comp, scattered] / c_val).mean()
+            assert abs(m) < 0.01, (fuse, comp, m)
+
+
+def test_hg_g_zero_matches_area_uniform_isotropic():
+    """g=0 is TRUE isotropic (area-uniform cos): mean cos == 0 and the
+    cos histogram is flat — distinguishable from the reference's
+    angle-uniform ScatterIsotropicStep distribution."""
+    v, dv, _ = _hg_one_scatter(0.0, "auto", n=50000)
+    scattered = np.any(dv != 0, axis=0)
+    cos_t = v[0, scattered] / float(light.c)
+    hist, _ = np.histogram(cos_t, bins=10, range=(-1, 1), density=True)
+    np.testing.assert_allclose(hist, 0.5, atol=0.03)
+
+
+def test_hg_options_variable_n_and_wavelength():
+    """The shared collision-model options stay available and fused."""
+    s = phys.Simulation(until_t=0.003, seed=1)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterHenyeyGreensteinStep(
+        A=1e-3, n=1.0, g=0.6, variable_n=True,
+        variable_n_fn="exp(-r0[gid] / 1e9)"))
+    s.add_photons(light.generate_photon_state(4096, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    assert len(s.ts) == 3
+
+
+def test_hg_g_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="-1"):
+        light.ScatterHenyeyGreensteinStep(g=1.0)
