@@ -622,8 +622,10 @@ class Simulation(threading.Thread):
         # per chunk on stream-plane workloads (path tracing), amortizing the
         # fixed per-dispatch cost; the pipelined fused loop holds at most two
         # of these in HBM at once (plus up to device_hold_bytes retained by
-        # the trace step before spilling to host RAM)
-        self.max_record_bytes = 1024 * 1024 * 1024
+        # the trace step before spilling to host RAM). 2 GB: unstrided
+        # tracing at 1e7 photons is dispatch-bound, and in-flight stream
+        # HBM (2 budgets + state + arena) still clears a 16 GB v5e chip
+        self.max_record_bytes = 2 * 1024 * 1024 * 1024
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
         # generic-path PRNG: None = threefry (default, cross-backend
         # reproducible); "rbg" = TPU hardware generator (faster fallback path)

@@ -835,6 +835,12 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+    if any(op.kind == "hg" for op in plan.ops):
+        # the HG frame rotation carries ~15 extra (tile, 128) f32
+        # temporaries per unrolled iteration: at unroll 8 with 256-row
+        # tiles the Mosaic stack measured 16.61M against the 16M scoped-
+        # vmem limit; unroll 4 fits with margin
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
 
     out_specs = [
         pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),

@@ -161,6 +161,29 @@ def main():
     check("reflecting box containment", out_frac == 0.0,
           f"fraction outside {out_frac:.2e}")
 
+    # 8 (round 3): Henyey-Greenstein anisotropy — <cos theta> == g and
+    # exact speed preservation through the frame rotation
+    for g in (0.7, -0.3):
+        s = phys.Simulation(until_t=0.001, seed=4)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterHenyeyGreensteinStep(A=1.0, n=1.0, g=g))
+        s.add_photons(light.generate_photon_state(100_000, E=1.0))
+        s.start(); s.join()
+        check(f"HG pipeline stays fused (g={g})", s.used_fused,
+              f"{s.used_fused}")
+        v = np.asarray(s.sim_state.v)[:, :100_000]
+        dv = np.asarray(s.sim_state.dv)[:, :100_000]
+        scat = np.any(dv != 0, axis=0)
+        cos_t = v[0, scat] / float(light.c)
+        check(f"HG mean cosine == g (g={g})",
+              abs(cos_t.mean() - g) < 0.015,
+              f"<cos> {cos_t.mean():+.4f} over {int(scat.sum())} events")
+        spd = np.sqrt((v[:, scat] ** 2).sum(axis=0)) / float(light.c)
+        check(f"HG speed preserved (g={g})",
+              np.abs(spd - 1).max() < 3e-5,
+              f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

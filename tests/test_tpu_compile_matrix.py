@@ -62,8 +62,13 @@ def _ops(kind):
                       emit_r=(0.0, 0.0, 0.0), emit_v=(c, 0.0, 0.0),
                       c_val=c, emit_sched_idx=0),
                 kin, F._Op("del", coef=1e-5 * _EPS)], 3, 0
+    if kind == "hg":
+        return [kin, F._Op("hg", coef=1e-6 * _EPS, c_val=c, g=0.73),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "trace":
         return [kin, iso, F._Op("trace", stream0=0, stream_scat=True)], 5, 4
+    if kind == "trace_bf16":
+        return ([kin, iso, F._Op("trace", stream0=0)], 5, 3, "bfloat16")
     if kind == "trace_strided":
         return [kin, iso, F._Op("trace", stream0=0, stream_every=4)], 5, 3
     if kind == "ecap":
@@ -92,9 +97,9 @@ def _ops(kind):
     raise AssertionError(kind)
 
 
-@pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf",
-                                  "trace", "trace_strided", "ecap", "custom",
-                                  "reduce"])
+@pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf", "hg",
+                                  "trace", "trace_strided", "trace_bf16",
+                                  "ecap", "custom", "reduce"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -102,13 +107,16 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     import jax.numpy as jnp
     from physicl_tpu.ops import fused as F
 
-    ops, n_rec, n_stream = _ops(kind)
+    cfg = _ops(kind)
+    ops, n_rec, n_stream = cfg[:3]
+    stream_dtype = cfg[3] if len(cfg) > 3 else "float32"
     chunk = 32  # small: compile dominates; the matrix probes fit, not perf
     stream_every = max([getattr(o, "stream_every", 1) for o in ops])
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
                        fast_trig=True, n_stream=n_stream,
-                       stream_every=stream_every if n_stream else 1)
+                       stream_every=stream_every if n_stream else 1,
+                       stream_dtype=stream_dtype)
     cap = rows * 128
     k = F.build_fused_chunk(plan, cap)
     packed = jnp.concatenate([
