@@ -863,7 +863,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # sampled iteration from a double-buffered VMEM scratch
         sdtype = (jnp.bfloat16 if plan.stream_dtype == "bfloat16"
                   else jnp.float32)
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct(
             (n_srows, plan.n_stream, rows, _LANE), sdtype))
         scratch_shapes = [
