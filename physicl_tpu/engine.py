@@ -500,6 +500,40 @@ class _LazyObjects:
 # ---------------------------------------------------------------------------
 
 
+# device_kind -> HBM bytes per JAX device, for backends whose
+# memory_stats() reports nothing (the axon relay among them)
+_HBM_BY_KIND = {
+    "TPU v2": 8 << 30, "TPU v3": 16 << 30, "TPU v4": 32 << 30,
+    "TPU v4 lite": 8 << 30, "TPU v5 lite": 16 << 30, "TPU v5": 95 << 30,
+    "TPU v5p": 95 << 30, "TPU v6 lite": 32 << 30,
+}
+_record_budget: Optional[int] = None
+
+
+def _default_record_budget() -> int:
+    """Auto stream-budget: HBM/8 clamped to [256 MB, 2 GB].
+
+    Resolved once per process from the default device — memory_stats()
+    where the backend reports it, else a device_kind table, else the 2 GB
+    cap (CPU and unknown backends; host RAM is not the constraint there).
+    """
+    global _record_budget
+    if _record_budget is None:
+        limit = 0
+        try:
+            d = jax.devices()[0]
+            stats = d.memory_stats()
+            if stats:
+                limit = int(stats.get("bytes_limit") or 0)
+            if not limit:
+                limit = _HBM_BY_KIND.get(getattr(d, "device_kind", ""), 0)
+        except Exception:
+            pass
+        _record_budget = (max(256 << 20, min(2 << 30, limit // 8))
+                          if limit else 2 << 30)
+    return _record_budget
+
+
 def _default_exit(view) -> jax.Array:
     return view.n_objects == 0
 
@@ -622,10 +656,13 @@ class Simulation(threading.Thread):
         # per chunk on stream-plane workloads (path tracing), amortizing the
         # fixed per-dispatch cost; the pipelined fused loop holds at most two
         # of these in HBM at once (plus up to device_hold_bytes retained by
-        # the trace step before spilling to host RAM). 2 GB: unstrided
-        # tracing at 1e7 photons is dispatch-bound, and in-flight stream
-        # HBM (2 budgets + state + arena) still clears a 16 GB v5e chip
-        self.max_record_bytes = 2 * 1024 * 1024 * 1024
+        # the trace step before spilling to host RAM). Default None = auto:
+        # HBM/8 clamped to [256 MB, 2 GB], resolved lazily from the default
+        # device (2 GB on a 16 GB v5e — measured dispatch-bound at 1e7
+        # unstrided tracing — but 1 GB on an 8 GB v2 core, which the flat
+        # 2 GB default could OOM; round-3 code-review finding). Assign an
+        # int to override.
+        self._max_record_bytes: Optional[int] = None
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
         # generic-path PRNG: None = threefry (default, cross-backend
         # reproducible); "rbg" = TPU hardware generator (faster fallback path)
@@ -690,6 +727,19 @@ class Simulation(threading.Thread):
         self._host_dt = 0.0
         self._host_n_alive = 0
         self._initial_count = 0
+
+    @property
+    def max_record_bytes(self) -> int:
+        """Per-dispatch stream/record HBM budget. Auto (unless assigned):
+        device HBM/8 clamped to [256 MB, 2 GB] — two budgets are in flight
+        at once and the arena + packed state need the rest."""
+        if self._max_record_bytes is not None:
+            return self._max_record_bytes
+        return _default_record_budget()
+
+    @max_record_bytes.setter
+    def max_record_bytes(self, v: int) -> None:
+        self._max_record_bytes = int(v)
 
     # -- population management -------------------------------------------------
 
@@ -868,13 +918,22 @@ class Simulation(threading.Thread):
             return state, 0
         from physicl_tpu.parallel.distributed import mesh_spans_processes
 
-        if mesh_spans_processes(self.mesh):
+        spans = mesh_spans_processes(self.mesh)
+        if spans and not getattr(self, "divergence_guard", True):
             raise NotImplementedError(
-                "Mid-run injection on a multi-process mesh is not supported "
-                "(re-placement would need a cross-host gather, and SPMD "
-                "processes cannot be guaranteed to inject identically). "
-                "Populate before start() or use a single-process mesh.")
+                "Mid-run injection on a multi-process mesh requires the "
+                "divergence guard: its consensus gating is what guarantees "
+                "every process applies identical edits at the same chunk "
+                "boundary (the update below is a global SPMD op that must "
+                "execute in lockstep pod-wide). Re-enable "
+                "Simulation(divergence_guard=True) or populate before "
+                "start().")
         sub = SimState.from_population(objs, bulks, dtype=self.dtype)
+        if spans:
+            # the new rows as host values: each process feeds the identical
+            # replicated operand into the global sharded update ops below
+            # (a single-process device sub would pin a conflicting layout)
+            sub = jax.device_get(sub)
         # device emitters may have advanced the spawn mark past the host view
         hwm = max(self._hwm, int(jax.device_get(state.n_spawned)))
         cap = state.capacity
@@ -1257,13 +1316,20 @@ class Simulation(threading.Thread):
         from the prover. Callable before ``start()`` (plans without
         compiling or warning) or any time after."""
         if self.plan_report is None:
-            restored = self._restored  # dry pass must not consume a
-            try:                       # pending checkpoint restore
+            # Dry pass: must not consume a pending checkpoint restore, and
+            # must not PIN the device arena it transiently materializes —
+            # the real run allocates its own in run(), and holding both
+            # doubles peak HBM (code-review finding). The transient state
+            # is dropped before returning; planning never compiles (fused
+            # kernels build lazily at first dispatch).
+            restored, prior_state = self._restored, self.sim_state
+            try:
                 steps = self._ordered_steps()
                 state = self._init_run_state()
                 self._build_execution(steps, state, warn=False)
             finally:
                 self._restored = restored
+                self.sim_state = prior_state
         return self.plan_report.describe()
 
     def _collect_records(self, steps, records, dev_keys, n_valid) -> None:

@@ -1125,11 +1125,16 @@ class TracePathMeasureStep(MeasureStep):
             sel = x.rows if x.rows is not None else slice(
                 0, -(-n_it // x.every))  # valid-prefix rows (ceil)
             # bf16 streams come back as ml_dtypes arrays; normalize to f32
-            # for the numpy-facing assembly surface
-            sub = np.asarray(buf[sel], dtype=np.float32)
-            pos = sub[:, x.p0:x.p0 + 3, :]
-            alive = ~np.isnan(sub[:, x.p0, :])
-            scat = sub[:, x.p0 + 3, :] if x.scat else None
+            # for the numpy-facing assembly surface. Slice THIS step's
+            # planes before converting: several trace steps share one
+            # stream buffer, and converting all planes per step duplicates
+            # the work and ~doubles peak host RAM at the 2 GB budget
+            # (round-3 code-review finding)
+            npl = 4 if x.scat else 3
+            sub = np.asarray(buf[sel, x.p0:x.p0 + npl], dtype=np.float32)
+            pos = sub[:, :3, :]
+            alive = ~np.isnan(sub[:, 0, :])
+            scat = sub[:, 3, :] if x.scat else None
             return pos, alive, scat
         return (np.asarray(jax.device_get(x), dtype=np.float32),
                 np.asarray(jax.device_get(self._alive[i])), None)

@@ -693,55 +693,84 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     return run
 
 
-def _freeze(v, depth=0):
+# Arrays up to this many bytes are keyed by a full content hash; larger
+# ones by identity (anchored — see _freeze).  4 MB hashes in ~1 ms, and
+# constants folded into kernels beyond that are a perf smell anyway.
+_HASH_NBYTES_MAX = 4 << 20
+
+
+def _freeze(v, anchors, depth=0):
     """Hashable snapshot of a value for cache keying. Scalars/strings by
-    value; containers recursively (depth-capped); small numpy arrays by
-    content; large or device arrays by identity (JAX arrays are immutable,
-    so id is a sound content proxy; a rebind gives a new id)."""
+    value; containers recursively (depth-capped); numpy arrays by content
+    (raw bytes when tiny, SHA-1 up to ``_HASH_NBYTES_MAX``). Anything
+    keyed by identity — device arrays (immutable, so id is a sound
+    content proxy while the object is alive), huge numpy arrays,
+    arbitrary objects — is appended to ``anchors``: the cache entry holds
+    those references so a freed object's id can never be recycled into a
+    stale hit. In-place mutation of a >4 MB numpy array is the one
+    undetectable case (documented with the globals hazard in
+    :func:`clear_kernel_cache`)."""
     if depth > 3:
         return type(v).__name__
     if v is None or isinstance(v, (bool, int, float, str, bytes)):
         return v
     if isinstance(v, (tuple, list)):
-        return tuple(_freeze(x, depth + 1) for x in v)
+        return tuple(_freeze(x, anchors, depth + 1) for x in v)
     if isinstance(v, dict):
         return tuple(sorted(
-            (str(k), _freeze(x, depth + 1)) for k, x in v.items()))
+            (str(k), _freeze(x, anchors, depth + 1)) for k, x in v.items()))
     if isinstance(v, np.ndarray):
         if v.size <= 256:
             return (v.dtype.str, v.shape, v.tobytes())
-        return (id(v), v.dtype.str, v.shape)
-    return id(v)
+        if v.nbytes <= _HASH_NBYTES_MAX:
+            import hashlib
+
+            return (v.dtype.str, v.shape,
+                    hashlib.sha1(np.ascontiguousarray(v).tobytes()).digest())
+        anchors.append(v)
+        return ("np-id", id(v), v.dtype.str, v.shape)
+    anchors.append(v)
+    return ("id", id(v))
 
 
-def _fn_key(fn):
+def _fn_key(fn, anchors):
     """Identity key for a plan callable. Kernels get user callables folded
     in as traced constants, so the key must change whenever the values the
     callable would produce could change — not just when the function object
-    does. Bound methods are keyed by (receiver state snapshot, function):
-    mutating ``sampler.T = ...`` on a reused PlanckSampler then misses the
-    cache and re-traces with the new temperature (it would otherwise reuse
-    a kernel with the old value baked in). Plain functions are keyed by
-    (code identity, defaults, closure-cell snapshot) so a closure over a
-    changed local re-traces too. Mutated *globals* read inside the callable
-    are not detectable — call :func:`clear_kernel_cache` after changing
-    one (documented in docs/api.md)."""
+    does. Bound methods are keyed by (receiver class, receiver state
+    snapshot, function): mutating ``sampler.T = ...`` on a reused
+    PlanckSampler then misses the cache and re-traces with the new
+    temperature, and a subclass overriding a helper the method calls gets
+    its own entry (same inherited ``__code__``, different class). Plain
+    functions are keyed by (code identity, defaults, closure-cell
+    snapshot) so a closure over a changed local re-traces too. Mutated
+    *globals* read inside the callable are not detectable — call
+    :func:`clear_kernel_cache` after changing one (documented in
+    docs/api.md). Objects keyed by id are appended to ``anchors`` (kept
+    alive by the cache entry) so id recycling cannot alias keys."""
     if fn is None:
         return None
     recv = getattr(fn, "__self__", None)
     if recv is not None:
         f = getattr(fn, "__func__", fn)
         try:
-            state = _freeze(vars(recv))
+            state = _freeze(vars(recv), anchors)
         except TypeError:  # __slots__ / C receivers: fall back to identity
+            anchors.append(recv)
             state = id(recv)
-        return (f.__qualname__, id(getattr(f, "__code__", f)), state)
+        cls = type(recv)
+        anchors.append(cls)
+        code = getattr(f, "__code__", f)
+        anchors.append(code)
+        return (f.__qualname__, id(code), cls.__qualname__, id(cls), state)
     code = getattr(fn, "__code__", None)
     if code is None:  # builtins / partials / arbitrary callables
+        anchors.append(fn)
         return id(fn)
-    cells = tuple(_freeze(c.cell_contents) for c in (fn.__closure__ or ())
-                  if _cell_filled(c))
-    return (id(code), _freeze(fn.__defaults__), cells)
+    anchors.append(code)
+    cells = tuple(_freeze(c.cell_contents, anchors)
+                  for c in (fn.__closure__ or ()) if _cell_filled(c))
+    return (id(code), _freeze(fn.__defaults__, anchors), cells)
 
 
 def _cell_filled(cell):
@@ -763,22 +792,26 @@ def clear_kernel_cache():
 
 
 def _plan_cache_key(plan: FusedPlan, capacity: int):
-    """Structural identity of a compiled chunk."""
+    """(structural identity of a compiled chunk, id-anchored objects)."""
+    anchors: list = []
     ops = tuple(
         (op.kind, op.coef, op.bounds, op.stream0, op.stream_scat,
-         op.stream_every, _fn_key(op.custom_fn),
-         op.after_update, op.wl_base, _fn_key(op.n_fn),
+         op.stream_every, _fn_key(op.custom_fn, anchors),
+         op.after_update, op.wl_base, _fn_key(op.n_fn, anchors),
          op.c_val, op.g, op.cols, op.axes, op.emit_n, op.emit_E,
-         _fn_key(op.emit_E_fn),
+         _fn_key(op.emit_E_fn, anchors),
          op.emit_r, op.emit_v, op.emit_sched_idx, op.reduce_outputs)
         for op in plan.ops)
     return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,
             plan.interpret, plan.const_norm_speed, plan.packed_angles,
             plan.fast_trig, plan.n_stream, plan.stream_every,
-            plan.stream_dtype, plan.unroll)
+            plan.stream_dtype, plan.unroll), anchors
 
 
-_chunk_cache: dict = {}  # key -> (plan, compiled runner); FIFO-bounded
+# key -> (plan, compiled runner, anchors); FIFO-bounded.  ``anchors`` pins
+# every object the key references by id() so that id cannot be recycled
+# by a new object while the entry is live (stale-hit hazard otherwise).
+_chunk_cache: dict = {}
 _CHUNK_CACHE_MAX = 64
 
 
@@ -793,7 +826,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
     provider invalidations (slot recycling, mid-run edits) skip the
     re-trace + compile round trip entirely.
     """
-    key = _plan_cache_key(plan, capacity)
+    key, anchors = _plan_cache_key(plan, capacity)
     hit = _chunk_cache.get(key)
     if hit is not None:
         return hit[1]
@@ -805,7 +838,7 @@ def build_fused_chunk(plan: FusedPlan, capacity: int):
     run = _build_fused_chunk_uncached(plan, capacity)
     if len(_chunk_cache) >= _CHUNK_CACHE_MAX:  # FIFO: drop the oldest
         _chunk_cache.pop(next(iter(_chunk_cache)))
-    _chunk_cache[key] = (plan, run)
+    _chunk_cache[key] = (plan, run, anchors)
     return run
 
 

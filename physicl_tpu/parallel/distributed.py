@@ -121,11 +121,17 @@ def process_local_slice(mesh, global_shape: tuple) -> tuple:
 
 
 def shard_state_multiprocess(state, mesh):
-    """Place a host-replicated SimState onto a process-spanning mesh.
+    """Place a SimState onto a process-spanning mesh.
 
-    Every process holds the same full-state value (SPMD construction from
-    the same seed); each contributes its local span of the particle axis via
-    ``jax.make_array_from_process_local_data`` — no cross-host transfer.
+    Host-replicated input (initial population; SPMD construction from the
+    same seed on every process): each process contributes its local span of
+    the particle axis via ``jax.make_array_from_process_local_data`` — no
+    cross-host transfer. Arrays that are ALREADY global device arrays
+    (mid-run injection updated the pod-sharded state with eager SPMD ops)
+    cannot be fetched to host; they are resharded in place by a compiled
+    identity with the target shardings — every process executes it in
+    lockstep (guaranteed by the consensus-gated edit application,
+    population.py:check_divergence).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from physicl_tpu.parallel.sharding import PHOTON_AXIS
@@ -134,15 +140,21 @@ def shard_state_multiprocess(state, mesh):
     cap = state.capacity
 
     def place(x):
+        sharded = (getattr(x, "ndim", 0) > 0 and x.shape[-1] == cap)
+        if sharded:
+            spec = P(*([None] * (x.ndim - 1) + [PHOTON_AXIS]))
+            target = NamedSharding(mesh, spec)
+        else:
+            target = rep
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jax.jit(lambda a: a, out_shardings=target)(x)
         x_np = np.asarray(jax.device_get(x))
-        if x_np.ndim == 0 or x_np.shape[-1] != cap:
+        if not sharded:
             return jax.make_array_from_process_local_data(rep, x_np,
                                                           x_np.shape)
         start, size = process_local_slice(mesh, x_np.shape)
-        spec = P(*([None] * (x_np.ndim - 1) + [PHOTON_AXIS]))
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), x_np[..., start:start + size],
-            x_np.shape)
+            target, x_np[..., start:start + size], x_np.shape)
 
     return state.replace(
         r=place(state.r), dr=place(state.dr), v=place(state.v),

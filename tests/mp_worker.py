@@ -70,10 +70,12 @@ assert len(s2.objects) == 0
 print(f"[{pid}] generic sharded extinction run PASS", flush=True)
 
 # --- SPMD divergence guard: process 0 injects mid-run, others don't -------
-# A desync like this would silently corrupt physics; the per-boundary digest
-# allgather must turn it into a synchronized RuntimeError on EVERY process.
+# A desync like this would silently corrupt physics. Consensus gating never
+# applies the one-sided edit (state stays identical pod-wide), and after
+# `divergence_patience` stalled boundaries the guard raises a synchronized
+# RuntimeError on EVERY process.
 s3 = phys.Simulation(exit=lambda c: c.t >= 1.0, seed=2, mesh=mesh,
-                     chunk_steps=2)
+                     chunk_steps=2, divergence_patience=20)
 s3.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
 s3.add_step(1, phys.newton.NewtonianKinematicsStep())
 s3.add_photons(light.generate_photon_state(N, E=1.0))
@@ -88,5 +90,38 @@ except RuntimeError as e:
 assert err is not None and "divergence" in str(err), repr(err)
 print(f"[{pid}] SPMD divergence guard raises on all processes PASS",
       flush=True)
+
+# --- consensus gating: identical edits issued at DIFFERENT times apply ----
+# Each process injects the same photons when its own engine clock passes a
+# per-process threshold (~50 boundaries apart). The old instantaneous-digest
+# guard killed exactly this healthy pattern; consensus gating defers the
+# early process's edit until every process has queued it, then applies it at
+# the same boundary everywhere.
+import warnings  # noqa: E402
+
+s4 = phys.Simulation(exit=lambda c: c.t >= 0.5, seed=3, mesh=mesh,
+                     chunk_steps=2)
+s4.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s4.add_step(1, phys.newton.NewtonianKinematicsStep())
+sign4 = light.ScatterSignMeasureStep(None, True)
+s4.add_step(2, sign4)
+s4.add_photons(light.generate_photon_state(N, E=1.0))
+with warnings.catch_warnings():
+    warnings.simplefilter("error", RuntimeWarning)  # no unapplied-edit warn
+    s4.start()
+    threshold = 0.1 if pid == 0 else 0.2  # ~50 boundaries of stagger
+    import time
+
+    while float(s4.get_state()["t"]) < threshold:
+        time.sleep(0.005)
+    s4.add_photons(light.generate_photon_state(N, E=2.0))  # identical data
+    s4.join()
+assert len(s4.ts) == 500, len(s4.ts)
+counts = np.array([int(r[1]) for r in sign4.data])
+assert counts[0] == N and counts[-1] == 2 * N, (counts[0], counts[-1])
+# applied at ONE boundary: the count steps N -> 2N exactly once
+assert set(np.unique(counts)) == {N, 2 * N}, np.unique(counts)
+print(f"[{pid}] consensus-gated staggered injection applied identically "
+      f"PASS", flush=True)
 
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)

@@ -5,12 +5,14 @@ O(n*eps) drift — measurably wrong at a few hundred thousand iterations
 (plain f32 crosses t=0.25 with dt=1e-6 ~350 iterations late, and t=1.0
 ~9500 iterations EARLY). The engine therefore keeps the clock exact:
 
-* fused path — the host replays the whole time schedule in f64
-  (ops/pipeline.py:_host_schedule) and quantizes each per-iteration value
-  to f32 for the device, so rounding never compounds;
-* generic path — ``UpdateTimeStep.apply`` uses Kahan-compensated summation
-  (``SimState.t_comp``), keeping the f32 ``t`` within ~1 ulp of the exact
-  sum.
+* generic path — ``UpdateTimeStep.apply`` uses Kahan-compensated f32
+  summation (``SimState.t_comp``), keeping ``t`` within ~1 ulp of the
+  exact sum;
+* fused path — the host replays the SAME f32 Kahan arithmetic
+  bit-for-bit (ops/pipeline.py:_host_schedule), so ``sim.ts`` stays
+  byte-identical between paths. (A plain-f64 host replay was tried and
+  rejected: exactness of the f64 sum is not the goal — agreement with
+  the device clock is; see NOTES.md.)
 
 Both must hit ``t >= T`` within 1 iteration of the exact f64 count
 (reference keeps f64 ``sim.t`` on the host, physicl/__init__.py:341-343).
@@ -45,7 +47,7 @@ def _run(fuse: str):
 def test_fused_quarter_million_iterations_exact_exit():
     s = _run("auto")
     assert s.used_fused
-    # host schedule accumulates the f64 dt directly: exact crossing
+    # the Kahan-compensated clock tracks the exact f64 crossing within 1
     expected = _crossing_f64(DT)
     assert expected == 250_000  # sanity on the arithmetic itself
     assert abs(len(s.ts) - expected) <= 1

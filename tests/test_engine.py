@@ -442,3 +442,21 @@ def test_host_only_predicate_still_exact():
     s.start(); s.join()
     assert s.chunk_used == 1
     assert len(s.ts) == 3  # crosses 0.002 after iteration 3 (r=0.003)
+
+
+def test_record_budget_auto_and_override():
+    """max_record_bytes defaults to an HBM-derived budget (HBM/8 clamped to
+    [256 MB, 2 GB] — a flat 2 GB default could OOM an 8 GB core; round-3
+    code-review finding) and stays a plain assignable knob."""
+    from physicl_tpu import engine as E
+
+    b = E._default_record_budget()
+    assert 256 << 20 <= b <= 2 << 30
+    s = phys.Simulation()
+    assert s.max_record_bytes == b
+    s.max_record_bytes = 512 << 20
+    assert s.max_record_bytes == 512 << 20
+    # the clamp arithmetic itself
+    for limit, want in ((8 << 30, 1 << 30), (16 << 30, 2 << 30),
+                        ((1 << 30), 256 << 20), (95 << 30, 2 << 30)):
+        assert max(256 << 20, min(2 << 30, limit // 8)) == want

@@ -280,17 +280,20 @@ def test_kernel_cache_key_stable_for_bound_methods():
     from physicl_tpu.ops import fused as F
     import physicl_tpu.light as light
 
+    def fk(fn):
+        return F._fn_key(fn, [])
+
     kT = float(light.kB.value()) * 5778.0
     s1 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
     s2 = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
     s3 = light.PlanckSampler(0.1 * kT, 12 * kT, 4000.0, bins=500)
     assert s1.icdf is not s1.icdf          # fresh object per access...
-    assert F._fn_key(s1.icdf) == F._fn_key(s1.icdf)  # ...same cache key
+    assert fk(s1.icdf) == fk(s1.icdf)      # ...same cache key
     # receivers are keyed by STATE, not identity: identical params share a
     # kernel; different params (or a mutated attribute) re-trace
-    assert F._fn_key(s1.icdf) == F._fn_key(s2.icdf)
-    assert F._fn_key(s1.icdf) != F._fn_key(s3.icdf)
-    assert F._fn_key(None) is None
+    assert fk(s1.icdf) == fk(s2.icdf)
+    assert fk(s1.icdf) != fk(s3.icdf)
+    assert fk(None) is None
 
     def plan(fn):
         return F.FusedPlan(ops=[F._Op("kin"),
@@ -315,26 +318,96 @@ def test_kernel_cache_invalidated_by_receiver_mutation():
     from physicl_tpu.ops import fused as F
     import physicl_tpu.light as light
 
+    def fk(fn):
+        return F._fn_key(fn, [])
+
     kT = float(light.kB.value()) * 5778.0
     s = light.PlanckSampler(0.1 * kT, 12 * kT, 5778.0, bins=500)
-    k_before = F._fn_key(s.icdf)
+    k_before = fk(s.icdf)
     s.T = 4000.0
-    assert F._fn_key(s.icdf) != k_before
+    assert fk(s.icdf) != k_before
     s.T = 5778.0
-    assert F._fn_key(s.icdf) == k_before  # state-based: restores the hit
+    assert fk(s.icdf) == k_before  # state-based: restores the hit
 
     def make(scale):
         return lambda p: {"x_sum": p.rx * scale}
 
     f1, f2, f3 = make(1.0), make(2.0), make(1.0)
-    assert F._fn_key(f1) != F._fn_key(f2)   # closure cell differs
-    assert F._fn_key(f1) == F._fn_key(f3)   # same code + same capture
+    assert fk(f1) != fk(f2)   # closure cell differs
+    assert fk(f1) == fk(f3)   # same code + same capture
 
     # public escape hatch for mutations the key cannot observe
     import physicl_tpu as phys_pkg
-    F._chunk_cache["sentinel"] = ("p", "r")
+    F._chunk_cache["sentinel"] = ("p", "r", [])
     phys_pkg.clear_kernel_cache()
     assert "sentinel" not in F._chunk_cache
+
+
+def test_kernel_cache_key_sees_subclass_and_array_mutation():
+    """Two cache-aliasing hazards (round-3 code-review findings):
+
+    (a) a subclass overriding a helper that an *inherited* method calls
+    shares the base method's ``__code__`` — the key must still differ
+    (receiver class is part of the key), else the subclass silently reuses
+    the base class's compiled kernel;
+    (b) a >256-element numpy attribute mutated in place must change the
+    key (content-hashed up to 4 MB), and anything keyed by id() must be
+    anchored by the key builder so a freed object's id cannot be recycled
+    into a stale hit."""
+    import numpy as np
+    from physicl_tpu.ops import fused as F
+
+    def fk(fn):
+        return F._fn_key(fn, [])
+
+    class Base:
+        def __init__(self):
+            self.k = 2.0
+
+        def _helper(self):
+            return self.k
+
+        def sample(self, u):
+            return u * self._helper()
+
+    class Sub(Base):
+        def _helper(self):
+            return -self.k
+
+    b, s = Base(), Sub()
+    assert vars(b) == vars(s)
+    assert fk(b.sample) != fk(s.sample)          # (a) class in the key
+    assert fk(Sub().sample) == fk(s.sample)      # same class+state: hit
+
+    class Tab:
+        def __init__(self):
+            self.table = np.arange(1000, dtype=np.float64)
+
+        def sample(self, u):
+            return u * self.table[0]
+
+    t = Tab()
+    k0 = fk(t.sample)
+    t.table *= 2                                  # (b) in-place mutation
+    assert fk(t.sample) != k0
+    t.table /= 2
+    assert fk(t.sample) == k0                     # content-based: restores
+
+    # id-keyed values (e.g. a >4 MB array) are anchored so the cache entry
+    # pins them alive — id recycling cannot alias keys
+    class Big:
+        def __init__(self, fill):
+            self.huge = np.full(2_000_000, fill)  # 16 MB: identity-keyed
+
+        def sample(self, u):
+            return u * self.huge[0]
+
+    g, g2 = Big(1.0), Big(1.0)
+    anchors: list = []
+    F._fn_key(g.sample, anchors)
+    assert any(a is g.huge for a in anchors)
+    assert any(a is Big for a in anchors)
+    assert fk(g.sample) != fk(g2.sample)  # identity-keyed, not value-keyed
 
 
 def test_reduce_measure_step_fused_matches_generic():

@@ -104,6 +104,21 @@ def test_refusal_no_update_step():
     assert "no-update-step" in _refusal_codes(s)
 
 
+def test_explain_plan_prestart_does_not_pin_state():
+    """A pre-start explain_plan() materializes the initial arena only
+    transiently: it must not stay pinned in ``sim.sim_state`` — the real
+    run allocates its own arena in run(), and holding both doubles peak
+    HBM (round-3 code-review finding). The subsequent run is unaffected."""
+    s = _base_sim()
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    assert s.sim_state is None
+    text = s.explain_plan()
+    assert "fused" in text
+    assert s.sim_state is None  # dry-pass arena dropped, not pinned
+    _run(s, photons=0)
+    assert s.used_fused and len(s.ts) == 3
+
+
 def test_refusal_emitter_sampler_without_icdf():
     s = _base_sim()
     s.add_step(2, light.PhotonEmitterStep(4, E=lambda key, k: np.ones(k)))
