@@ -50,7 +50,7 @@ __all__ = [
     "PhotonEmitterStep",
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
-    "ScatterHenyeyGreensteinStep",
+    "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "TracePathMeasureStep",
 ]
 
@@ -787,6 +787,47 @@ class ScatterHenyeyGreensteinStep(Step):
         v = jnp.where(scatter, v_new, state.v)
         dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
         return state.replace(v=v, dv=dv)
+
+
+def _rayleigh_cos_theta(u, dtype):
+    """Exact inverse CDF of the Rayleigh (dipole) phase function
+    ``p(cos) = (3/8)(1 + cos^2)``: the CDF ``(c^3 + 3c + 4)/8 = u`` gives
+    the depressed cubic ``c^3 + 3c = 8u - 4`` whose single real root
+    (discriminant ``w^2 + 1 > 0``) is, by Cardano with ``w = 4u - 2`` and
+    ``s = sqrt(w^2 + 1)``: ``c = A - 1/A`` where ``A = cbrt(w + s)`` (the
+    second Cardano term folds via ``(w+s)(w-s) = -1``). ``w + s`` lies in
+    ``[sqrt(5)-2, sqrt(5)+2]`` — positive and bounded away from 0 — so the
+    cube root is computed as ``exp(log/3)``, safe in f32 and available
+    inside the Pallas kernel."""
+    w = 4.0 * u - 2.0
+    s = jnp.sqrt(w * w + 1.0)
+    a = jnp.exp(jnp.log(w + s) * jnp.asarray(1.0 / 3.0, dtype))
+    return jnp.clip(a - 1.0 / a, -1.0, 1.0)
+
+
+class ScatterRayleighStep(ScatterHenyeyGreensteinStep):
+    """Rayleigh scattering with the TRUE dipole phase function
+    ``p(cos theta) = (3/8)(1 + cos^2 theta)`` (outgoing direction relative
+    to the incoming one, azimuth uniform).
+
+    The reference's Rayleigh treatment (physicl/light.py:262-359) applies
+    the lambda^-4 *cross-section* but redirects isotropically — unphysical
+    for sky/atmosphere problems where the angular distribution matters.
+    This step samples the exact phase function via a closed-form Cardano
+    inverse CDF (defining property ``<cos^2 theta> = 2/5`` vs ``1/3`` for
+    isotropic; ``<cos theta> = 0`` by symmetry). Collision model, options
+    (``A``, ``n``, ``variable_n``, ``wavelength_dep_scattering`` — enable
+    the latter for the full lambda^-4 Rayleigh cross-section), fused path
+    (op kind "rayl") and generic scan all match the
+    :class:`ScatterHenyeyGreensteinStep` family.
+    """
+
+    def __init__(self, **kwargs):
+        kwargs.pop("g", None)  # no anisotropy parameter: the phase is fixed
+        super().__init__(**kwargs)
+
+    def _cos_theta(self, u, dtype):
+        return _rayleigh_cos_theta(u, dtype)
 
 
 class PhotonEmitterStep(Step):

@@ -306,10 +306,12 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)
                 f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
                                         jnp.float32(0.0))
-        elif op.kind == "hg":
-            # Henyey-Greenstein anisotropic scatter: same collision model as
-            # "iso", outgoing direction drawn RELATIVE to the incoming one
-            # via the exact HG inverse CDF (<cos theta> == g)
+        elif op.kind in ("hg", "rayl"):
+            # Anisotropic scatter: same collision model as "iso", outgoing
+            # direction drawn RELATIVE to the incoming one. "hg": exact
+            # Henyey-Greenstein inverse CDF (<cos theta> == g). "rayl":
+            # exact Rayleigh dipole phase (3/8)(1+cos^2) via the Cardano
+            # closed form (light._rayleigh_cos_theta; <cos^2 theta> == 2/5)
             pcoll = jnp.float32(op.coef) * dr_norm()
             if op.n_fn is not None:
                 pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
@@ -324,10 +326,14 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             else:
                 cu, pu = rng.uniform(shape), rng.uniform(shape)
             scatter = (pcoll >= u) & alive_b
-            gg = jnp.float32(op.g)
-            if abs(op.g) < 1e-7:
+            if op.kind == "rayl":
+                from physicl_tpu.light import _rayleigh_cos_theta
+
+                cos_t = _rayleigh_cos_theta(cu, jnp.float32)
+            elif abs(op.g) < 1e-7:
                 cos_t = 2.0 * cu - 1.0  # exact isotropic limit
             else:
+                gg = jnp.float32(op.g)
                 s = (1.0 - gg * gg) / (1.0 - gg + 2.0 * gg * cu)
                 cos_t = jnp.clip((1.0 + gg * gg - s * s) / (2.0 * gg),
                                  jnp.float32(-1.0), jnp.float32(1.0))
@@ -868,11 +874,11 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind == "hg" for op in plan.ops):
-        # the HG frame rotation carries ~15 extra (tile, 128) f32
-        # temporaries per unrolled iteration: at unroll 8 with 256-row
-        # tiles the Mosaic stack measured 16.61M against the 16M scoped-
-        # vmem limit; unroll 4 fits with margin
+    if any(op.kind in ("hg", "rayl") for op in plan.ops):
+        # the relative-frame rotation (hg/rayl) carries ~15 extra
+        # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
+        # with 256-row tiles the Mosaic stack measured 16.61M against the
+        # 16M scoped-vmem limit; unroll 4 fits with margin
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
 
     out_specs = [

@@ -5,10 +5,12 @@ Fusability requirements (everything else falls back to the generic scan):
 
 * steps are exactly: one ``UpdateTimeStep`` whose dt function depends on at
   most ``(t, dt)``, plus any mix of ``NewtonianKinematicsStep``,
-  ``ScatterDeleteStep``, ``ScatterIsotropicStep``, ``AbsorbingBoundaryStep``,
-  ``ReflectingBoundaryStep``, ``PhotonEmitterStep``,
-  ``ScatterSignMeasureStep`` and ``ScatterMeasureStep`` (without per-photon
-  energy-list capture);
+  ``ScatterDeleteStep``, ``ScatterIsotropicStep``,
+  ``ScatterHenyeyGreensteinStep``, ``ScatterRayleighStep``,
+  ``AbsorbingBoundaryStep``, ``ReflectingBoundaryStep``,
+  ``PhotonEmitterStep``, ``ElementwiseStep``, ``ReduceMeasureStep``,
+  ``TracePathMeasureStep``, ``ScatterSignMeasureStep`` and
+  ``ScatterMeasureStep``;
 * the population is photons only (the fused kernel elides per-particle type
   dispatch; mixed populations use the generic path);
 * the exit predicate is either *t-only* (the exact exit iteration is
@@ -519,6 +521,7 @@ def try_build_fused(sim, steps, state: SimState,
         PhotonEmitterStep,
         ScatterDeleteStep,
         ScatterHenyeyGreensteinStep,
+        ScatterRayleighStep,
         ScatterIsotropicStep,
         ScatterMeasureStep,
         ScatterSignMeasureStep,
@@ -601,6 +604,12 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op(
                 "hg", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c, g=s.g,
+            ))
+        elif type(s) is ScatterRayleighStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "rayl", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
+                c_val=s._c,
             ))
         elif type(s) is PhotonEmitterStep:
             # sampled energies fuse when the sampler exposes a traced
@@ -694,7 +703,8 @@ def try_build_fused(sim, steps, state: SimState,
             return _no("unsupported-step",
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/ScatterDelete/"
-                       "ScatterIsotropic/ScatterHenyeyGreenstein/boundaries/"
+                       "ScatterIsotropic/ScatterHenyeyGreenstein/ScatterRayleigh/"
+                       "boundaries/"
                        "PhotonEmitter/Sign+Cross+Reduce measures/"
                        "Elementwise/TracePath")
 
@@ -715,7 +725,7 @@ def try_build_fused(sim, steps, state: SimState,
     const_speed = None
     kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
     scatter_positions = [i for i, op in enumerate(ops)
-                         if op.kind in ("del", "iso", "hg")]
+                         if op.kind in ("del", "iso", "hg", "rayl")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     reflect_positions = [i for i, op in enumerate(ops)
                          if op.kind == "reflect"]
@@ -759,7 +769,7 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if (op.kind in ("iso", "hg")
+                if (op.kind in ("iso", "hg", "rayl")
                         and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:

@@ -184,6 +184,28 @@ def main():
               np.abs(spd - 1).max() < 3e-5,
               f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
 
+    # 9 (round 3, late): Rayleigh dipole phase — <cos^2 theta> == 2/5
+    # (isotropic would give 1/3) and exact speed preservation
+    s = phys.Simulation(until_t=0.001, seed=5)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterRayleighStep(A=1.0, n=1.0))
+    s.add_photons(light.generate_photon_state(100_000, E=1.0))
+    s.start(); s.join()
+    check("Rayleigh pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    v = np.asarray(s.sim_state.v)[:, :100_000]
+    dv = np.asarray(s.sim_state.dv)[:, :100_000]
+    scat = np.any(dv != 0, axis=0)
+    cos_t = v[0, scat] / float(light.c)
+    m2 = float((cos_t ** 2).mean())
+    check("Rayleigh <cos^2> == 2/5", abs(m2 - 0.4) < 0.01,
+          f"<cos^2> {m2:.4f} over {int(scat.sum())} events")
+    check("Rayleigh <cos> == 0", abs(float(cos_t.mean())) < 0.01,
+          f"<cos> {float(cos_t.mean()):+.4f}")
+    spd = np.sqrt((v[:, scat] ** 2).sum(axis=0)) / float(light.c)
+    check("Rayleigh speed preserved", np.abs(spd - 1).max() < 3e-5,
+          f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

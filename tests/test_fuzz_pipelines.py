@@ -26,10 +26,14 @@ def _random_pipeline(rng, fuse, seed):
             isotropic=bool(rng.random() < 0.5))); idx += 1
     s.add_step(idx, phys.newton.NewtonianKinematicsStep()); idx += 1
     if rng.random() < 0.7:
-        if rng.random() < 0.3:  # round 3: anisotropic (HG) scatter
+        pick = rng.random()
+        if pick < 0.25:  # round 3: anisotropic (HG) scatter
             s.add_step(idx, light.ScatterHenyeyGreensteinStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
                 g=float(rng.uniform(-0.8, 0.9))))
+        elif pick < 0.45:  # round 3 late: Rayleigh dipole phase
+            s.add_step(idx, light.ScatterRayleighStep(
+                A=float(rng.uniform(2e-4, 2e-3)), n=0.001))
         else:
             s.add_step(idx, light.ScatterIsotropicStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,

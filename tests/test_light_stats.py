@@ -267,3 +267,87 @@ def test_hg_g_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="-1"):
         light.ScatterHenyeyGreensteinStep(g=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh dipole phase function (TPU extension): the reference applies the
+# lambda^-4 cross-section but redirects isotropically; ScatterRayleighStep
+# samples the TRUE (3/8)(1+cos^2) phase via the closed-form Cardano inverse
+# CDF. Defining property: <cos^2 theta> = 2/5 (isotropic gives 1/3).
+# ---------------------------------------------------------------------------
+
+
+def _rayleigh_one_scatter(fuse, n=40000, seed=3):
+    s = phys.Simulation(until_t=0.001, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterRayleighStep(A=1.0, n=1.0))
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    v = np.asarray(s.sim_state.v)[:, :n]
+    dv = np.asarray(s.sim_state.dv)[:, :n]
+    return v, dv
+
+
+def test_rayleigh_phase_moments_both_paths():
+    c_val = float(light.c)
+    for fuse in ("auto", "off"):
+        v, dv = _rayleigh_one_scatter(fuse)
+        sc = np.any(dv != 0, axis=0)
+        assert sc.mean() > 0.999  # pcoll = c*dt >> 1
+        cos_t = v[0, sc] / c_val
+        n = sc.sum()
+        # symmetric phase: <cos> = 0 (var = 2/5); <cos^2> = 2/5 exactly
+        assert abs(cos_t.mean()) < 5 * np.sqrt(0.4 / n) + 0.005, fuse
+        m2 = (cos_t ** 2).mean()
+        # var(cos^2) = E[c^4] - (2/5)^2 = 11/35... ~ 0.155; 5 sigma
+        assert abs(m2 - 0.4) < 5 * np.sqrt(0.155 / n) + 0.005, (fuse, m2)
+        speed = np.sqrt((v[:, sc] ** 2).sum(axis=0))
+        np.testing.assert_allclose(speed, c_val, rtol=2e-5)
+
+
+def test_rayleigh_cos_histogram_matches_phase_function():
+    """Sampled cos-theta density matches (3/8)(1 + cos^2) per bin."""
+    v, dv = _rayleigh_one_scatter("auto", n=100_000)
+    sc = np.any(dv != 0, axis=0)
+    cos_t = v[0, sc] / float(light.c)
+    hist, edges = np.histogram(cos_t, bins=16, range=(-1, 1), density=True)
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    expect = (3.0 / 8.0) * (1.0 + mid ** 2)
+    np.testing.assert_allclose(hist, expect, atol=0.02)
+
+
+def test_rayleigh_inverse_cdf_exact():
+    """The Cardano closed form inverts the phase-function CDF to f32
+    precision: CDF(icdf(u)) == u."""
+    import jax.numpy as jnp
+    from physicl_tpu.light import _rayleigh_cos_theta
+
+    u = np.linspace(0.0, 1.0, 4001)
+    c = np.asarray(_rayleigh_cos_theta(jnp.asarray(u, jnp.float32),
+                                       jnp.float32), np.float64)
+    assert c[0] == -1.0 and c[-1] == 1.0
+    cdf = (c ** 3 + 3 * c + 4.0) / 8.0
+    np.testing.assert_allclose(cdf, u, atol=2e-6)
+
+
+def test_rayleigh_options_and_azimuth():
+    """Shared collision options stay fused; azimuth around the beam is
+    uniform (mean vy, vz vanish)."""
+    s = phys.Simulation(until_t=0.003, seed=1)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterRayleighStep(
+        A=1e-3, n=1.0, variable_n=True,
+        variable_n_fn="exp(-r0[gid] / 1e9)"))
+    s.add_photons(light.generate_photon_state(4096, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    assert len(s.ts) == 3
+
+    v, dv = _rayleigh_one_scatter("auto")
+    sc = np.any(dv != 0, axis=0)
+    for comp in (1, 2):
+        m = (v[comp, sc] / float(light.c)).mean()
+        assert abs(m) < 0.01, (comp, m)

@@ -65,6 +65,9 @@ def _ops(kind):
     if kind == "hg":
         return [kin, F._Op("hg", coef=1e-6 * _EPS, c_val=c, g=0.73),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "rayl":
+        return [kin, F._Op("rayl", coef=1e-6 * _EPS, c_val=c),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "trace":
         return [kin, iso, F._Op("trace", stream0=0, stream_scat=True)], 5, 4
     if kind == "trace_bf16":
@@ -98,8 +101,8 @@ def _ops(kind):
 
 
 @pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf", "hg",
-                                  "trace", "trace_strided", "trace_bf16",
-                                  "ecap", "custom", "reduce"])
+                                  "rayl", "trace", "trace_strided",
+                                  "trace_bf16", "ecap", "custom", "reduce"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
