@@ -137,6 +137,9 @@ class _Op:
     n_fn: Optional[Callable] = None  # variable n(r) (iso/hg)
     c_val: float = 0.0              # |v| for resampled photons (iso/hg)
     g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
+    inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
+    kn_xsec: bool = False           # scale pcoll by sigma_KN/sigma_T (compton)
+    kn_tries: int = 12              # Kahn rejection loop bound (compton)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
     # emit: photons appear in slots [emit_starts[k], +n) each iteration —
@@ -306,12 +309,15 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)
                 f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
                                         jnp.float32(0.0))
-        elif op.kind in ("hg", "rayl"):
+        elif op.kind in ("hg", "rayl", "compton"):
             # Anisotropic scatter: same collision model as "iso", outgoing
             # direction drawn RELATIVE to the incoming one. "hg": exact
             # Henyey-Greenstein inverse CDF (<cos theta> == g). "rayl":
             # exact Rayleigh dipole phase (3/8)(1+cos^2) via the Cardano
-            # closed form (light._rayleigh_cos_theta; <cos^2 theta> == 2/5)
+            # closed form (light._rayleigh_cos_theta; <cos^2 theta> == 2/5).
+            # "compton": exact Klein-Nishina (Kahn/Koblinger per-photon
+            # selection, light._kn_cos_eta) + the E' = E/eta recoil shift —
+            # the only op that rewrites the energy plane in-flight.
             pcoll = jnp.float32(op.coef) * dr_norm()
             if op.n_fn is not None:
                 pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
@@ -320,13 +326,36 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 base = f[_E] * jnp.float32(op.wl_base)
                 b2 = base * base
                 pcoll = pcoll * (b2 * b2)
-            u = rng.uniform(shape)
-            if plan.packed_angles:
-                cu, pu = rng.uniform_pair(shape)
+            eta = None
+            if op.kind == "compton":
+                from physicl_tpu.light import _kn_cos_eta, _kn_sigma_ratio
+
+                alpha = f[_E] * jnp.float32(op.inv_mec2)
+                if op.kn_xsec:
+                    pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
+                u = rng.uniform(shape)
+                pu = rng.uniform(shape)
+                triples = []
+                for _ in range(op.kn_tries):
+                    if plan.packed_angles:
+                        r1 = rng.uniform(shape)
+                        r2, r3 = rng.uniform_pair(shape)
+                    else:
+                        r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
+                                      rng.uniform(shape))
+                    triples.append((r1, r2, r3))
+                cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples, jnp.float32)
+                scatter = (pcoll >= u) & alive_b & kn_ok
             else:
-                cu, pu = rng.uniform(shape), rng.uniform(shape)
-            scatter = (pcoll >= u) & alive_b
-            if op.kind == "rayl":
+                u = rng.uniform(shape)
+                if plan.packed_angles:
+                    cu, pu = rng.uniform_pair(shape)
+                else:
+                    cu, pu = rng.uniform(shape), rng.uniform(shape)
+                scatter = (pcoll >= u) & alive_b
+            if op.kind == "compton":
+                pass  # cos_t already sampled above
+            elif op.kind == "rayl":
                 from physicl_tpu.light import _rayleigh_cos_theta
 
                 cos_t = _rayleigh_cos_theta(cu, jnp.float32)
@@ -343,6 +372,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 two_pu = 2.0 * pu
                 sin_p = _fast_sinpi(_wrap1(two_pu))
                 cos_p = _fast_sinpi(_wrap1(two_pu + jnp.float32(0.5)))
+                # normalize the azimuth pair: the ~1e-3 polynomial norm
+                # error would otherwise leak into the POLAR angle through
+                # the final renormalization (skewing cos_theta by ~1e-4 —
+                # for compton that breaks the exact E'-angle relation)
+                inv_p = jax.lax.rsqrt(sin_p * sin_p + cos_p * cos_p)
+                sin_p = sin_p * inv_p
+                cos_p = cos_p * inv_p
             else:
                 phi = pu * jnp.float32(2 * np.pi)
                 sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
@@ -369,6 +405,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_VX + d] = jnp.where(scatter, n_new[d] * cval, old)
                 f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
                                         jnp.float32(0.0))
+            if eta is not None:  # Compton recoil: E' = E / eta
+                f[_E] = jnp.where(scatter, f[_E] / eta, f[_E])
         elif op.kind == "emit":
             # inactive iterations use a far-negative start (never overlaps);
             # under shard_map starts are shifted into shard-local coordinates
@@ -797,21 +835,25 @@ def clear_kernel_cache():
     _chunk_cache.clear()
 
 
+_OP_FN_FIELDS = frozenset({"custom_fn", "n_fn", "emit_E_fn"})
+
+
 def _plan_cache_key(plan: FusedPlan, capacity: int):
-    """(structural identity of a compiled chunk, id-anchored objects)."""
+    """(structural identity of a compiled chunk, id-anchored objects).
+
+    Derived from ``dataclasses.fields`` so a field added to ``_Op`` or
+    ``FusedPlan`` is part of the key automatically — an explicit tuple here
+    silently served stale kernels when a new op parameter was introduced
+    (the exact hazard ADVICE r2 #1 flagged for callable state)."""
     anchors: list = []
     ops = tuple(
-        (op.kind, op.coef, op.bounds, op.stream0, op.stream_scat,
-         op.stream_every, _fn_key(op.custom_fn, anchors),
-         op.after_update, op.wl_base, _fn_key(op.n_fn, anchors),
-         op.c_val, op.g, op.cols, op.axes, op.emit_n, op.emit_E,
-         _fn_key(op.emit_E_fn, anchors),
-         op.emit_r, op.emit_v, op.emit_sched_idx, op.reduce_outputs)
+        tuple(_fn_key(getattr(op, f.name), anchors)
+              if f.name in _OP_FN_FIELDS else getattr(op, f.name)
+              for f in dataclasses.fields(op))
         for op in plan.ops)
-    return (capacity, ops, plan.n_rec_cols, plan.chunk, plan.tile_rows,
-            plan.interpret, plan.const_norm_speed, plan.packed_angles,
-            plan.fast_trig, plan.n_stream, plan.stream_every,
-            plan.stream_dtype, plan.unroll), anchors
+    plan_rest = tuple(getattr(plan, f.name) for f in dataclasses.fields(plan)
+                      if f.name != "ops")
+    return (capacity, ops) + plan_rest, anchors
 
 
 # key -> (plan, compiled runner, anchors); FIFO-bounded.  ``anchors`` pins
@@ -874,12 +916,17 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind in ("hg", "rayl") for op in plan.ops):
-        # the relative-frame rotation (hg/rayl) carries ~15 extra
+    if any(op.kind in ("hg", "rayl", "compton") for op in plan.ops):
+        # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
         # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
         # with 256-row tiles the Mosaic stack measured 16.61M against the
         # 16M scoped-vmem limit; unroll 4 fits with margin
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
+    if any(op.kind == "compton" for op in plan.ops):
+        # the Kahn rejection loop (kn_tries x ~10 live (tile, 128)
+        # temporaries) stacks on top of the rotation: unroll 2 keeps the
+        # Mosaic scoped-vmem stack under the 16M limit at 256-row tiles
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
 
     out_specs = [
         pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),

@@ -7,6 +7,7 @@ Fusability requirements (everything else falls back to the generic scan):
   most ``(t, dt)``, plus any mix of ``NewtonianKinematicsStep``,
   ``ScatterDeleteStep``, ``ScatterIsotropicStep``,
   ``ScatterHenyeyGreensteinStep``, ``ScatterRayleighStep``,
+  ``ScatterComptonStep``,
   ``AbsorbingBoundaryStep``, ``ReflectingBoundaryStep``,
   ``PhotonEmitterStep``, ``ElementwiseStep``, ``ReduceMeasureStep``,
   ``TracePathMeasureStep``, ``ScatterSignMeasureStep`` and
@@ -519,6 +520,7 @@ def try_build_fused(sim, steps, state: SimState,
     )
     from physicl_tpu.light import (
         PhotonEmitterStep,
+        ScatterComptonStep,
         ScatterDeleteStep,
         ScatterHenyeyGreensteinStep,
         ScatterRayleighStep,
@@ -610,6 +612,13 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op(
                 "rayl", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
+            ))
+        elif type(s) is ScatterComptonStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "compton", coef=s._coef, n_fn=s._n_fn, c_val=s._c,
+                inv_mec2=s._inv_mec2, kn_xsec=s.kn_cross_section,
+                kn_tries=s.kn_max_tries,
             ))
         elif type(s) is PhotonEmitterStep:
             # sampled energies fuse when the sampler exposes a traced
@@ -703,8 +712,8 @@ def try_build_fused(sim, steps, state: SimState,
             return _no("unsupported-step",
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/ScatterDelete/"
-                       "ScatterIsotropic/ScatterHenyeyGreenstein/ScatterRayleigh/"
-                       "boundaries/"
+                       "ScatterIsotropic/ScatterHenyeyGreenstein/"
+                       "ScatterRayleigh/ScatterCompton/boundaries/"
                        "PhotonEmitter/Sign+Cross+Reduce measures/"
                        "Elementwise/TracePath")
 

@@ -1,0 +1,257 @@
+"""Compton scattering (Klein-Nishina) — TPU extension tests.
+
+The reference has no energy-changing interaction (its photons keep E forever,
+physicl/light.py:262-359); ScatterComptonStep adds exact Klein-Nishina
+angular sampling (Kahn's rejection method below alpha = 1+sqrt(3),
+Koblinger's direct method above) with the physical recoil shift
+E' = E / (1 + alpha (1 - cos theta)). These tests pin:
+
+* the sampled cos(theta) distribution against the bin-integrated analytic
+  KN differential cross-section (chi^2 over 40 bins) in BOTH sampling
+  regimes and at the regime boundary;
+* the exact energy-angle consistency E' = E/(1 + alpha(1-cos)) on both
+  execution paths (the defining kinematic relation);
+* the Compton edge E'/E >= 1/(1+2 alpha);
+* the Thomson limit (alpha -> 0: no energy shift, dipole-free isotropic-ish
+  Thomson angular law with <cos^2> = 2/5);
+* the closed-form sigma_KN/sigma_T total cross-section ratio against a
+  float64 host evaluation (including the series/exact switch);
+* collision-rate scaling under kn_cross_section=True on both paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+from physicl_tpu.light import _kn_cos_eta, _kn_sigma_ratio
+
+
+def _kn_pdf(cos, a):
+    """Unnormalized Klein-Nishina differential cross-section per unit cos."""
+    k = 1.0 + a * (1.0 - cos)
+    return (1.0 / k**2) * (k + 1.0 / k - 1.0 + cos**2)
+
+
+def _kn_bin_probs(a, edges):
+    """Exact bin probabilities by dense trapezoidal integration."""
+    grid = np.linspace(-1.0, 1.0, 200001)
+    pdf = _kn_pdf(grid, a)
+    cdf = np.concatenate([[0.0], np.cumsum((pdf[1:] + pdf[:-1]) * 0.5
+                                           * np.diff(grid))])
+    cdf /= cdf[-1]
+    at = np.interp(edges, grid, cdf)
+    return np.diff(at)
+
+
+def _sample_kn(a, n, tries=16, seed=0):
+    u = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(seed), (3 * tries, n),
+                           jnp.float32))
+    triples = [(jnp.asarray(u[3 * i]), jnp.asarray(u[3 * i + 1]),
+                jnp.asarray(u[3 * i + 2])) for i in range(tries)]
+    cos, eta, ok = _kn_cos_eta(jnp.full((n,), a, jnp.float32), triples,
+                               jnp.float32)
+    return np.asarray(cos), np.asarray(eta), np.asarray(ok)
+
+
+@pytest.mark.parametrize("a", [0.05, 1.0, 2.0, 2.8, 50.0])
+def test_kn_sampler_matches_analytic_distribution(a):
+    """chi^2 of the sampled cos(theta) histogram vs the bin-integrated
+    analytic KN distribution ~ 1 per dof; covers the Kahn regime
+    (a < 1+sqrt(3)), the Koblinger regime, and the switch point."""
+    n = 400000
+    cos, eta, ok = _sample_kn(a, n, seed=int(a * 10))
+    assert ok.mean() > 0.999
+    cos = cos[ok]
+    cnt, edges = np.histogram(cos, bins=40, range=(-1, 1))
+    p = _kn_bin_probs(a, edges)
+    exp = p * len(cos)
+    z = (cnt - exp) / np.sqrt(np.maximum(exp, 1.0))
+    chi2_dof = float((z**2).sum() / len(z))
+    assert chi2_dof < 2.0, (a, chi2_dof, np.abs(z).max())
+    assert np.abs(z).max() < 5.0, (a, np.abs(z).max())
+    # eta is consistent with cos on every accepted lane (f32 rounding)
+    np.testing.assert_allclose(eta[ok], 1.0 + a * (1.0 - cos), atol=3e-5,
+                               rtol=3e-6)
+
+
+def _one_compton(alpha, fuse, n=50000, seed=5, kn=False, A=1.0,
+                 until_t=0.001):
+    s = phys.Simulation(until_t=until_t, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterComptonStep(A=A, n=1.0, mec2=1.0 / alpha,
+                                           kn_cross_section=kn))
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    v = np.asarray(s.sim_state.v)[:, :n]
+    E = np.asarray(s.sim_state.E)[:n]
+    return v, E
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.parametrize("alpha", [0.5, 10.0])
+def test_compton_energy_angle_consistency(fuse, alpha):
+    """E' = E / (1 + alpha (1 - cos theta)) holds exactly (f32 rounding)
+    between the stored energy and the actual outgoing direction — the
+    kinematic relation that ties the sampled eta to the frame rotation."""
+    v, E = _one_compton(alpha, fuse)
+    ct = v[0] / float(light.c)  # incoming beam was +x
+    scat = E != np.float32(1.0)
+    assert scat.mean() > 0.99  # pcoll = c*dt >> 1, Kahn residual ~1e-4
+    pred = 1.0 / (1.0 + alpha * (1.0 - ct[scat]))
+    np.testing.assert_allclose(E[scat], pred, atol=2e-5, rtol=2e-5)
+    # Compton edge: backscatter energy bounded below
+    edge = 1.0 / (1.0 + 2.0 * alpha)
+    assert E.min() >= edge - 1e-6
+    assert E.max() <= 1.0 + 1e-6
+    # photons stay photons: |v| == c through the rotation
+    speed = np.sqrt((v[:, scat] ** 2).sum(axis=0))
+    np.testing.assert_allclose(speed, float(light.c), rtol=2e-5)
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_compton_thomson_limit(fuse):
+    """alpha -> 0: Klein-Nishina reduces to Thomson — the dipole
+    (3/8)(1+cos^2) angular law (<cos^2> = 2/5, <cos> = 0) with no
+    measurable energy shift."""
+    v, E = _one_compton(1e-4, fuse, n=50000)
+    ct = v[0] / float(light.c)
+    scat = np.abs(E - 1.0) >= 0  # all lanes; identify scatter via direction
+    moved = np.abs(ct) < 1.0 - 1e-7
+    assert moved.mean() > 0.99
+    cos = ct[moved]
+    n_s = len(cos)
+    assert abs(cos.mean()) < 5.0 / np.sqrt(n_s) + 0.01
+    assert abs((cos**2).mean() - 0.4) < 5.0 * 0.29 / np.sqrt(n_s) + 0.005
+    np.testing.assert_allclose(E, 1.0, atol=3e-4)
+
+
+def test_kn_sigma_ratio_accuracy():
+    """f32 closed form + small-alpha series vs float64 host evaluation:
+    relative error < 2e-3 across 8 decades, continuous at the switch."""
+    def host(a):
+        a = np.asarray(a, np.float64)
+        b = 1.0 + 2.0 * a
+        l = np.log1p(2.0 * a)
+        return 0.75 * ((1.0 + a) / a**3 * (2.0 * a * (1.0 + a) / b - l)
+                       + l / (2.0 * a) - (1.0 + 3.0 * a) / b**2)
+
+    grid = np.logspace(-4, 4, 300)
+    got = np.asarray(_kn_sigma_ratio(jnp.asarray(grid, jnp.float32),
+                                     jnp.float32), np.float64)
+    rel = np.abs(got - host(grid)) / host(grid)
+    assert rel.max() < 2e-3, rel.max()
+    # continuity across the series/exact switch at alpha = 0.01
+    lo = float(_kn_sigma_ratio(jnp.float32(0.00999), jnp.float32))
+    hi = float(_kn_sigma_ratio(jnp.float32(0.01001), jnp.float32))
+    assert abs(lo - hi) < 1e-4
+    # limits: Thomson at alpha->0, strong suppression at high alpha
+    assert abs(float(_kn_sigma_ratio(jnp.float32(1e-6), jnp.float32)) - 1.0) \
+        < 1e-4
+    assert float(_kn_sigma_ratio(jnp.float32(100.0), jnp.float32)) < 0.04
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_kn_cross_section_scales_collision_rate(fuse):
+    """kn_cross_section=True multiplies pcoll by sigma_KN/sigma_T —
+    at alpha=2 the scatter fraction drops to 0.3141x the Thomson rate."""
+    base = 0.3
+    A = base / (float(light.c) * 0.001)
+    v, E = _one_compton(2.0, fuse, n=100000, kn=True, A=A, seed=9)
+    frac = (E != np.float32(1.0)).mean()
+    expect = base * 0.31411520
+    assert np.isclose(frac, expect, rtol=0.08), (frac, expect)
+
+
+def test_compton_untouched_lanes_bitwise():
+    """A=0: no collisions — E and v come back bitwise identical."""
+    s = phys.Simulation(until_t=0.002, seed=2)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterComptonStep(A=0.0, n=1.0, mec2=0.5))
+    st = light.generate_photon_state(4096, E=1.0)
+    s.add_photons(st)
+    s.start(); s.join()
+    assert s.used_fused
+    E = np.asarray(s.sim_state.E)[:4096]
+    v = np.asarray(s.sim_state.v)[:, :4096]
+    assert (E == np.float32(1.0)).all()
+    assert (v[0] == np.float32(float(light.c))).all()
+    assert (v[1] == 0).all() and (v[2] == 0).all()
+
+
+def test_compton_option_validation():
+    with pytest.raises(ValueError, match="kn_cross_section"):
+        light.ScatterComptonStep(wavelength_dep_scattering=True)
+    with pytest.raises(ValueError, match="kn_max_tries"):
+        light.ScatterComptonStep(kn_max_tries=0)
+    with pytest.raises(ValueError, match="mec2"):
+        light.ScatterComptonStep(mec2=-1.0).setup(None)
+
+
+def test_compton_default_mec2_is_physical():
+    """With no mec2 override, alpha = E / (m_e c^2) in current code units:
+    511 keV photons have alpha == 1."""
+    step = light.ScatterComptonStep()
+    step.setup(None)
+    mec2_si = 9.1093837015e-31 * 299792458.0**2
+    assert np.isclose(1.0 / step._inv_mec2, mec2_si, rtol=1e-9)
+    E_511keV = 511.0e3 * 1.602176634e-19
+    assert np.isclose(E_511keV * step._inv_mec2, 1.0, rtol=1e-3)
+
+
+def test_compton_variable_n_fuses():
+    """The family's variable-density option composes with Compton and
+    stays on the fused path."""
+    s = phys.Simulation(until_t=0.003, seed=1)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterComptonStep(
+        A=1e-3, n=1.0, mec2=1.0, variable_n=True,
+        variable_n_fn="exp(-r0[gid] / 1e9)"))
+    s.add_photons(light.generate_photon_state(4096, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    assert len(s.ts) == 3
+
+
+@pytest.mark.parametrize("alpha", [0.5, 5.0])
+def test_compton_fused_generic_statistical_parity(alpha):
+    """Different PRNG streams, same distribution: mean scattering cosine
+    and mean outgoing energy agree between the Pallas kernel and the
+    generic scan within sampling error."""
+    res = {}
+    for fuse in ("auto", "off"):
+        v, E = _one_compton(alpha, fuse, n=100000, seed=11)
+        ct = v[0] / float(light.c)
+        scat = E != np.float32(1.0)
+        res[fuse] = (ct[scat].mean(), E[scat].mean(), scat.mean())
+    for i, tol in ((0, 0.01), (1, 0.005), (2, 0.002)):
+        assert abs(res["auto"][i] - res["off"][i]) < tol, (i, res)
+
+
+def test_compton_multiple_scatters_degrade_energy():
+    """Over many iterations every photon random-walks DOWN in energy
+    (monotone non-increasing E is the physical signature of Compton
+    cooling on free electrons at rest)."""
+    s = phys.Simulation(until_t=0.050, seed=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    # pcoll ~ 0.5/step at alpha0 = 2
+    s.add_step(2, light.ScatterComptonStep(
+        A=0.5 / (float(light.c) * 0.001), n=1.0, mec2=0.5))
+    s.add_photons(light.generate_photon_state(20000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    E = np.asarray(s.sim_state.E)[:20000]
+    assert (E <= 1.0 + 1e-6).all()
+    # after ~50 steps at ~0.5 collisions/step, essentially everything has
+    # scattered several times; the mean energy must have dropped hard
+    assert E.mean() < 0.35, E.mean()
+    assert (E < 0.999).mean() > 0.999
