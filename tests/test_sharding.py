@@ -228,3 +228,47 @@ def test_mesh_midrun_injection():
     E = np.asarray(jax.device_get(s.sim_state.E))
     alive = np.asarray(jax.device_get(s.sim_state.alive))
     assert (E[alive] == 2.0).sum() == 500 and (E[alive] == 3.0).sum() == 1
+
+
+@pytest.mark.parametrize("kind", ["hg", "rayl", "compton"])
+def test_sharded_fused_anisotropic_families(kind):
+    """The anisotropic / energy-changing scatter ops shard like the rest of
+    the family: fused on the mesh, defining angular moment preserved, and
+    (compton) the recoil shift applied with the Compton edge respected
+    globally across shards."""
+    mesh = make_mesh()
+    n = 8 * 4096
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.001, seed=13, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        if kind == "hg":
+            s.add_step(2, light.ScatterHenyeyGreensteinStep(A=1.0, n=1.0,
+                                                            g=0.6))
+        elif kind == "rayl":
+            s.add_step(2, light.ScatterRayleighStep(A=1.0, n=1.0))
+        else:
+            s.add_step(2, light.ScatterComptonStep(A=1.0, n=1.0, mec2=0.5))
+        s.add_photons(light.generate_photon_state(n, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused
+        v = np.asarray(jax.device_get(s.sim_state.v))[:, :n]
+        E = np.asarray(jax.device_get(s.sim_state.E))[:n]
+        res[m is not None] = (v[0] / float(light.c), E)
+    for ct, E in res.values():
+        if kind == "hg":
+            assert abs(ct.mean() - 0.6) < 0.02        # <cos> == g
+        elif kind == "rayl":
+            assert abs((ct**2).mean() - 0.4) < 0.02   # <cos^2> == 2/5
+        else:
+            alpha = 2.0
+            scat = E != np.float32(1.0)
+            assert scat.mean() > 0.99
+            pred = 1.0 / (1.0 + alpha * (1.0 - ct[scat]))
+            np.testing.assert_allclose(E[scat], pred, atol=3e-5, rtol=3e-5)
+            assert E.min() >= 1.0 / (1.0 + 2 * alpha) - 1e-6
+    # mesh vs single: same distribution, different RNG partitioning
+    a, b = res[True], res[False]
+    assert abs(a[0].mean() - b[0].mean()) < 0.02
+    assert abs(a[1].mean() - b[1].mean()) < 0.01
