@@ -218,6 +218,23 @@ def main():
     emit("wavelength_variable_n_delete_1e7", steady_rate(wl, N),
          "photon-steps/s", 5.5e3)
 
+    # 4b. Compton (Klein-Nishina + recoil, kn_cross_section on) — the
+    # heaviest scatter op in the family (12-try Kahn rejection loop,
+    # ~38 uniforms/photon/iter + the sigma_KN polynomial); tracked so the
+    # gamma-transport rate is a first-class number
+    def compton():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterComptonStep(
+            A=0.001 / (float(light.c) * 1e-3), n=1.0, mec2=1.0,
+            kn_cross_section=True))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("compton_kn_1e7", steady_rate(compton, N), "photon-steps/s", 2.0e4)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()

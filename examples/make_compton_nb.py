@@ -57,8 +57,6 @@ CELL1 = '''\
 # Sampled cos(theta) vs the analytic Klein-Nishina phase function across
 # three decades of alpha: Thomson-like dipole at low energy, increasingly
 # forward-peaked as alpha grows.
-import matplotlib
-matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 def kn_pdf(ct, a):
@@ -81,6 +79,7 @@ for ax, a in zip(axes, (0.05, 1.0, 10.0)):
     ax.legend()
 axes[0].set_ylabel("density")
 plt.tight_layout(); plt.savefig("compton_phase.png", dpi=110)
+plt.show()
 '''
 
 CELL2 = '''\
@@ -94,6 +93,7 @@ plt.axvline(1/3, color="k", ls="--", lw=1.2,
 plt.xlabel(r"$E'/E$"); plt.ylabel("density")
 plt.title(r"Single-scatter energy spectrum, $\\alpha = 1$ (511 keV)")
 plt.legend(); plt.tight_layout(); plt.savefig("compton_spectrum.png", dpi=110)
+plt.show()
 edge_frac = (np.abs(E1[scat] - 1/3) < 0.01).mean()
 print(f"fraction within 0.01 of the edge: {edge_frac:.4f} "
       "(the backscatter pile-up)")
@@ -108,7 +108,6 @@ CELL3 = '''\
 # Thomson limit, so cooling accelerates — the textbook nonlinearity.
 steps, dt = 120, 0.001
 A_half = 0.5 / (float(light.c) * dt)   # ~0.5 Thomson collisions / step
-means = []
 s = phys.Simulation(until_t=steps * dt, seed=11)
 s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(dt)))
 s.add_step(1, phys.newton.NewtonianKinematicsStep())
@@ -116,6 +115,7 @@ s.add_step(2, light.ScatterComptonStep(A=A_half, n=1.0, mec2=1.0 / 20.0,
                                        kn_cross_section=True))
 s.add_step(3, phys.ReduceMeasureStep(None, lambda p: {"E_sum": p.E},
                                      outputs=("E_sum",), measure_n=True))
+s.add_photons(light.generate_photon_state(100_000, E=1.0))
 s.start(); s.join()
 assert s.used_fused
 rows = np.asarray(s.steps[3].data, dtype=np.float64)  # [t, n, E_sum]
@@ -126,9 +126,13 @@ plt.semilogy(ts / dt, hist * 20.0, lw=1.5)
 plt.xlabel("scattering step"); plt.ylabel(r"$\\langle \\alpha \\rangle$")
 plt.title("Compton cooling of a 10 MeV-class photon population")
 plt.tight_layout(); plt.savefig("compton_cooling.png", dpi=110)
+plt.show()
 print(f"<alpha> start {hist[0]*20:.2f} -> end {hist[-1]*20:.3f} "
       f"({steps} steps)")
-assert (np.diff(hist) <= 1e-7).all(), "energy must be non-increasing"
+# per-photon E is exactly non-increasing (eta >= 1); the POPULATION mean
+# is assembled from f32 in-kernel sums, so allow f32 accumulation noise
+assert (np.diff(hist) <= 1e-6 * hist[:-1]).all(), \\
+    "energy must be non-increasing"
 '''
 
 

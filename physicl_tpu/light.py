@@ -567,15 +567,48 @@ class ScatterDeleteStep(Step):
     """Absorption: photon deleted with probability ``pcoll = A*n*|dr|``
     (reference kernel ``light_scatter_step_del``, physicl/light.py:146-158 and
     the CLProgram twin at physicl/light.py:225-260). Deletion = alive-mask
-    clear; the exit predicate sees the updated count the same iteration."""
+    clear; the exit predicate sees the updated count the same iteration.
 
-    def __init__(self, n, A):
+    TPU extensions (the reference's absorption is constant-coefficient):
+
+    * ``A_fn`` — energy-dependent cross-section: ``pcoll`` is multiplied by
+      ``A_fn(E)`` per photon (so ``A`` becomes the scale and ``A_fn`` the
+      dimensionless spectral shape, or pass ``A=1`` and let ``A_fn`` return
+      the absolute cross-section). A jnp callable over the photon-energy
+      array, or a C-expression string over ``E[gid]`` in the reference's
+      ``variable_n_fn`` grammar. E.g. photoelectric ``(E0/E)**3``.
+    * ``variable_n`` / ``variable_n_fn`` — spatially varying number density
+      ``n(r)``, same option pair as :class:`ScatterIsotropicStep`
+      (physicl/light.py:295-299 grammar, or a callable).
+
+    Both run fused and on the generic scan; together they give the full
+    attenuation model ``pcoll = A * A_fn(E) * n(r) * |dr|``."""
+
+    def __init__(self, n, A, A_fn=None, variable_n=False,
+                 variable_n_fn=None):
         self.n = _as_code(n)
         self.A = _as_code(A)
+        self._a_fn = (None if A_fn is None else
+                      _compile_field_expr(A_fn, ("E",), "A_fn"))
+        if variable_n and variable_n_fn is None:
+            raise ValueError("variable_n=True requires variable_n_fn")
+        self._n_fn = (_compile_variable_n(variable_n_fn) if variable_n
+                      else None)
+
+    @property
+    def _coef(self):
+        # family convention: variable_n REPLACES the constant n
+        # (physicl/light.py:295-299; matches ScatterIsotropicStep.setup)
+        return self.A * (1.0 if self._n_fn is not None else self.n)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         norm = _dr_norm(state)
-        pcoll = jnp.asarray(self.A * self.n, norm.dtype) * norm
+        pcoll = jnp.asarray(self._coef, norm.dtype) * norm
+        if self._a_fn is not None:
+            pcoll = pcoll * jnp.asarray(self._a_fn(state.E), norm.dtype)
+        if self._n_fn is not None:
+            pcoll = pcoll * jnp.asarray(
+                self._n_fn(state.r[0], state.r[1], state.r[2]), norm.dtype)
         u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
         hit = (pcoll >= u) & (state.otype == OBJ_PHOTON) & state.alive
         return state.replace(alive=state.alive & jnp.logical_not(hit))
@@ -589,32 +622,41 @@ ScatterDeleteStepReference = ScatterDeleteStep
 _GID_RE = re.compile(r"\[\s*gid\s*\]")
 
 
-def _compile_variable_n(fn_or_expr):
-    """Turn the user's number-density field into a jnp callable over (r0,r1,r2).
+_EXPR_NS = {
+    "exp": jnp.exp, "pow": jnp.power, "sqrt": jnp.sqrt, "fabs": jnp.abs,
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "log": jnp.log,
+    "log10": jnp.log10, "floor": jnp.floor, "ceil": jnp.ceil,
+    "fmin": jnp.minimum, "fmax": jnp.maximum, "M_PI": np.pi, "M_E": np.e,
+}
+
+
+def _compile_field_expr(fn_or_expr, varnames, label):
+    """Turn a user field into a jnp callable over ``varnames``.
 
     Accepts a Python callable (preferred: strictly more general than the
-    reference) or a C-expression string over ``r0[gid]/r1[gid]/r2[gid]``
-    exactly as the reference splices into its kernel (physicl/light.py:295-299)
-    — evaluated with jnp math, no string codegen.
+    reference) or a C-expression string over ``<var>[gid]`` exactly as the
+    reference splices into its kernel (physicl/light.py:295-299) — evaluated
+    with jnp math, no string codegen.
     """
     if callable(fn_or_expr):
         return fn_or_expr
     expr = _GID_RE.sub("", str(fn_or_expr))
-    ns = {
-        "exp": jnp.exp, "pow": jnp.power, "sqrt": jnp.sqrt, "fabs": jnp.abs,
-        "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "log": jnp.log,
-        "log10": jnp.log10, "floor": jnp.floor, "ceil": jnp.ceil,
-        "fmin": jnp.minimum, "fmax": jnp.maximum, "M_PI": np.pi, "M_E": np.e,
-    }
-    code = compile(expr, "<variable_n_fn>", "eval")
+    code = compile(expr, f"<{label}>", "eval")
     for name in code.co_names:
-        if name not in ns and name not in ("r0", "r1", "r2"):
-            raise ValueError(f"variable_n_fn: unknown symbol {name!r}")
+        if name not in _EXPR_NS and name not in varnames:
+            raise ValueError(f"{label}: unknown symbol {name!r}")
 
-    def fn(r0, r1, r2):
-        return eval(code, {"__builtins__": {}}, {**ns, "r0": r0, "r1": r1, "r2": r2})
+    def fn(*args):
+        return eval(code, {"__builtins__": {}},
+                    {**_EXPR_NS, **dict(zip(varnames, args))})
 
     return fn
+
+
+def _compile_variable_n(fn_or_expr):
+    """Number-density field n(r) as a jnp callable over (r0, r1, r2)."""
+    return _compile_field_expr(fn_or_expr, ("r0", "r1", "r2"),
+                               "variable_n_fn")
 
 
 class ScatterIsotropicStep(Step):

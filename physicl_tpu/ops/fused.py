@@ -134,7 +134,8 @@ class _Op:
     after_update: bool = True  # custom op sees t after/before UpdateTimeStep
     reduce_outputs: tuple = ()
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso/hg)
-    n_fn: Optional[Callable] = None  # variable n(r) (iso/hg)
+    n_fn: Optional[Callable] = None  # variable n(r) (iso/hg/del)
+    a_fn: Optional[Callable] = None  # energy-dependent sigma(E) (del)
     c_val: float = 0.0              # |v| for resampled photons (iso/hg)
     g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
     inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
@@ -269,6 +270,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_RX + d] = f[_RX + d] + dr
         elif op.kind == "del":
             pcoll = jnp.float32(op.coef) * dr_norm()
+            if op.a_fn is not None:  # energy-dependent cross-section
+                pcoll = pcoll * op.a_fn(f[_E]).astype(jnp.float32)
+            if op.n_fn is not None:  # variable number density n(r)
+                pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
+                    jnp.float32)
             u = rng.uniform(shape)
             hit = (pcoll >= u) & alive_b
             alive_b = alive_b & jnp.logical_not(hit)
@@ -835,7 +841,7 @@ def clear_kernel_cache():
     _chunk_cache.clear()
 
 
-_OP_FN_FIELDS = frozenset({"custom_fn", "n_fn", "emit_E_fn"})
+_OP_FN_FIELDS = frozenset({"custom_fn", "n_fn", "a_fn", "emit_E_fn"})
 
 
 def _plan_cache_key(plan: FusedPlan, capacity: int):

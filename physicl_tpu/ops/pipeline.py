@@ -588,7 +588,8 @@ def try_build_fused(sim, steps, state: SimState,
             kin_seen = True
             ops.append(F._Op("kin"))
         elif type(s) is ScatterDeleteStep:
-            ops.append(F._Op("del", coef=s.A * s.n))
+            ops.append(F._Op("del", coef=s._coef, a_fn=s._a_fn,
+                             n_fn=s._n_fn))
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("absorb", bounds=_static_bounds(s, sim)))
@@ -734,7 +735,8 @@ def try_build_fused(sim, steps, state: SimState,
     const_speed = None
     kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
     scatter_positions = [i for i, op in enumerate(ops)
-                         if op.kind in ("del", "iso", "hg", "rayl")]
+                         if op.kind in ("del", "iso", "hg", "rayl",
+                                        "compton")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     reflect_positions = [i for i, op in enumerate(ops)
                          if op.kind == "reflect"]
@@ -778,7 +780,7 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if (op.kind in ("iso", "hg", "rayl")
+                if (op.kind in ("iso", "hg", "rayl", "compton")
                         and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:

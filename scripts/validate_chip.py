@@ -206,6 +206,32 @@ def main():
     check("Rayleigh speed preserved", np.abs(spd - 1).max() < 3e-5,
           f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
 
+    # 10 (round 3, late): Compton — exact Klein-Nishina kinematics at
+    # alpha = 1 (511 keV): the stored E' must satisfy the recoil relation
+    # against the ACTUAL outgoing direction, the Compton edge must bound
+    # the spectrum at 1/(1+2a), and speed stays c
+    s = phys.Simulation(until_t=0.001, seed=6)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterComptonStep(A=1.0, n=1.0, mec2=1.0))
+    s.add_photons(light.generate_photon_state(100_000, E=1.0))
+    s.start(); s.join()
+    check("Compton pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    v = np.asarray(s.sim_state.v)[:, :100_000]
+    E = np.asarray(s.sim_state.E)[:100_000]
+    cos_t = v[0] / float(light.c)
+    scat = E != np.float32(1.0)
+    pred = 1.0 / (1.0 + (1.0 - cos_t[scat]))
+    kerr = np.abs(E[scat] - pred).max()
+    check("Compton E'-angle relation exact", kerr < 3e-5,
+          f"max |E' - 1/(1+a(1-cos))| {kerr:.2e} over {int(scat.sum())}")
+    check("Compton edge respected",
+          E.min() >= 1.0 / 3.0 - 1e-6 and E.max() <= 1.0 + 1e-6,
+          f"min E'/E {E.min():.4f} (edge 1/3)")
+    spd = np.sqrt((v[:, scat] ** 2).sum(axis=0)) / float(light.c)
+    check("Compton speed preserved", np.abs(spd - 1).max() < 3e-5,
+          f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
