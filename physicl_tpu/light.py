@@ -797,6 +797,27 @@ class ScatterHenyeyGreensteinStep(Step):
         ct = (1.0 + g * g - s * s) / (2.0 * g)
         return jnp.clip(ct, -1.0, 1.0)
 
+    def _rotated_velocity(self, state, scatter, cos_t, u_phi, dtype):
+        """Rotate each scattering particle's velocity by ``cos_t`` (polar,
+        relative to the incoming direction) and a uniform azimuth drawn
+        from ``u_phi``; returns the blended ``(v, dv)`` with ``|v|``
+        renormalized to exactly the family speed. Shared by every
+        relative-frame scatter step (HG/Rayleigh/Compton)."""
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = u_phi * (2 * np.pi)
+        cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
+        inv_v = jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
+        d = tuple(state.v[i] * inv_v for i in range(3))
+        n_new = _hg_direction(d, cos_t, sin_t, cos_p, sin_p)
+        # renormalize so |v| stays exactly the particle speed
+        inv_n = jax.lax.rsqrt(sum(x * x for x in n_new))
+        c_val = jnp.asarray(self._c, dtype) * inv_n
+        v_new = jnp.stack([x * c_val for x in n_new])
+        v = jnp.where(scatter, v_new, state.v)
+        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+        return v, dv
+
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         if self._c is None:
             self.setup(None)
@@ -816,21 +837,7 @@ class ScatterHenyeyGreensteinStep(Step):
         scatter = (pcoll >= u3[0]) & (state.otype == OBJ_PHOTON) & state.alive
 
         cos_t = self._cos_theta(u3[1], dtype)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        phi = u3[2] * (2 * np.pi)
-        cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
-
-        inv_v = jax.lax.rsqrt(jnp.maximum(
-            jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
-        d = tuple(state.v[i] * inv_v for i in range(3))
-        n_new = _hg_direction(d, cos_t, sin_t, cos_p, sin_p)
-        # renormalize so |v| stays exactly the particle speed
-        inv_n = jax.lax.rsqrt(sum(x * x for x in n_new))
-        c_val = jnp.asarray(self._c, dtype) * inv_n
-        v_new = jnp.stack([x * c_val for x in n_new])
-
-        v = jnp.where(scatter, v_new, state.v)
-        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+        v, dv = self._rotated_velocity(state, scatter, cos_t, u3[2], dtype)
         return state.replace(v=v, dv=dv)
 
 
@@ -962,13 +969,13 @@ def _kn_cos_eta(alpha, triples, dtype):
     p_branch_a = b / (b + 8.0)
     for r1, r2, r3 in triples:
         br_a = r1 <= p_branch_a
+        # 1 + 2a*r2 doubles as branch A's eta AND branch B's denominator
         eta_a = one + two_a * r2
         inv_a = one / eta_a
         ok_a = r3 <= 4.0 * (inv_a - inv_a * inv_a)
-        denom = one + two_a * r2
-        eta_b = b / denom
-        cos_b = one - 2.0 * (one - r2) / denom
-        ok_b = r3 <= 0.5 * (cos_b * cos_b + denom / b)
+        eta_b = b * inv_a
+        cos_b = one - 2.0 * (one - r2) * inv_a
+        ok_b = r3 <= 0.5 * (cos_b * cos_b + eta_a / b)
         # logical blend, not jnp.where: Mosaic cannot lower a select
         # between i1 vectors (i8->i1 trunci)
         not_a = jnp.logical_not(br_a)
@@ -992,8 +999,12 @@ def _kn_cos_eta(alpha, triples, dtype):
     t = u_pick * (w1 + w2 + w3 + w4)
     x1 = jnp.exp(u_inv * log_b)                      # 1/x piece
     x2 = b / (b - two_a * u_inv)                     # 1/x^2 piece
-    x3 = jax.lax.rsqrt(jnp.maximum(one - u_inv * (one - inv_b2),
-                                   jnp.asarray(1e-30, dtype)))  # 1/x^3
+    # 1/x^3 piece: 1 - u*(1 - 1/b^2) loses the 1/b^2 term to f32 rounding
+    # once b > ~4096 (the sampled tail then caps at eta ~ 4096 instead of
+    # b); the algebraically equal (1-u) + u/b^2 is cancellation-free at
+    # any alpha
+    x3 = jax.lax.rsqrt(jnp.maximum((one - u_inv) + u_inv * inv_b2,
+                                   jnp.asarray(1e-30, dtype)))
     x4 = one + two_a * u_inv                         # constant piece
     x = jnp.where(t < w1, x1,
                   jnp.where(t < w1 + w2, x2,
@@ -1033,18 +1044,32 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
     scan with statistically identical distributions.
     """
 
+    _ALLOWED_KW = frozenset({"A", "n", "variable_n", "variable_n_fn"})
+
     def __init__(self, **kwargs):
         if kwargs.pop("wavelength_dep_scattering", False):
             raise ValueError(
                 "ScatterComptonStep has no lambda^-4 option; use "
                 "kn_cross_section=True for the physical Klein-Nishina "
                 "energy dependence")
-        kwargs.pop("g", None)
+        if "g" in kwargs:
+            raise ValueError(
+                "ScatterComptonStep has no anisotropy parameter g: the "
+                "angular law IS the Klein-Nishina distribution")
         self.kn_cross_section = bool(kwargs.pop("kn_cross_section", False))
         self.mec2 = kwargs.pop("mec2", None)
         self.kn_max_tries = int(kwargs.pop("kn_max_tries", 12))
         if self.kn_max_tries < 1:
             raise ValueError("kn_max_tries must be >= 1")
+        # the HG family reads options with kwargs.get(), which would
+        # silently swallow a typo (e.g. kn_cross_sectionS=True) and run
+        # wrong physics — reject anything unknown loudly instead
+        unknown = set(kwargs) - self._ALLOWED_KW
+        if unknown:
+            raise ValueError(
+                f"ScatterComptonStep: unknown option(s) {sorted(unknown)}; "
+                f"supported: {sorted(self._ALLOWED_KW)} + kn_cross_section/"
+                "mec2/kn_max_tries")
         super().__init__(**kwargs)
         self._inv_mec2 = None
 
@@ -1078,20 +1103,7 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
         scatter = ((pcoll >= u[0]) & (state.otype == OBJ_PHOTON)
                    & state.alive & accepted)
 
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        phi = u[1] * (2 * np.pi)
-        cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
-
-        inv_v = jax.lax.rsqrt(jnp.maximum(
-            jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
-        d = tuple(state.v[i] * inv_v for i in range(3))
-        n_new = _hg_direction(d, cos_t, sin_t, cos_p, sin_p)
-        inv_n = jax.lax.rsqrt(sum(x * x for x in n_new))
-        c_val = jnp.asarray(self._c, dtype) * inv_n
-        v_new = jnp.stack([x * c_val for x in n_new])
-
-        v = jnp.where(scatter, v_new, state.v)
-        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+        v, dv = self._rotated_velocity(state, scatter, cos_t, u[1], dtype)
         E = jnp.where(scatter, state.E / eta, state.E)
         return state.replace(v=v, dv=dv, E=E)
 

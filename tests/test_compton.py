@@ -122,8 +122,7 @@ def test_compton_thomson_limit(fuse):
     measurable energy shift."""
     v, E = _one_compton(1e-4, fuse, n=50000)
     ct = v[0] / float(light.c)
-    scat = np.abs(E - 1.0) >= 0  # all lanes; identify scatter via direction
-    moved = np.abs(ct) < 1.0 - 1e-7
+    moved = np.abs(ct) < 1.0 - 1e-7  # scatter identified via direction
     assert moved.mean() > 0.99
     cos = ct[moved]
     n_s = len(cos)
@@ -193,6 +192,41 @@ def test_compton_option_validation():
         light.ScatterComptonStep(kn_max_tries=0)
     with pytest.raises(ValueError, match="mec2"):
         light.ScatterComptonStep(mec2=-1.0).setup(None)
+    # typos / unsupported family options must fail loudly, not silently
+    # run wrong physics (the HG family's kwargs.get() would swallow them)
+    with pytest.raises(ValueError, match="kn_cross_sections"):
+        light.ScatterComptonStep(kn_cross_sections=True)
+    with pytest.raises(ValueError, match="A_fn"):
+        light.ScatterComptonStep(A_fn=lambda E: E)
+    with pytest.raises(ValueError, match="anisotropy"):
+        light.ScatterComptonStep(g=0.5)
+
+
+def test_koblinger_x3_piece_cancellation_free():
+    """The 1/x^3 inverse CDF must track the f64 value for u near 1 at
+    large alpha: the naive 1 - u*(1 - 1/b^2) loses the 1/b^2 term to f32
+    rounding for b > ~4096 and caps the sampled tail at eta ~ 4096."""
+    a = 5000.0
+    b = 1.0 + 2.0 * a
+    # f64 mirror of the Koblinger weights to aim u_pick at the w3 window
+    inv_a1 = 1.0 / a
+    log_b = np.log(b)
+    w1 = (1.0 - 2.0 * inv_a1 - 2.0 * inv_a1**2) * log_b
+    w2 = (2.0 * inv_a1 + inv_a1**2) * (2.0 * a / b)
+    w3 = 0.5 * (1.0 - 1.0 / b**2)
+    w4 = inv_a1**2 * 2.0 * a
+    u_pick = (w1 + w2 + 0.5 * w3) / (w1 + w2 + w3 + w4)
+    for u in (1.0 - 2.0**-23, 1.0 - 2.0**-22, 1.0 - 2.0**-20):
+        triples = [(jnp.full((8,), u_pick, jnp.float32),
+                    jnp.full((8,), u, jnp.float32),
+                    jnp.zeros((8,), jnp.float32))]
+        cos, eta, ok = _kn_cos_eta(jnp.full((8,), a, jnp.float32), triples,
+                                   jnp.float32)
+        expect = 1.0 / np.sqrt((1.0 - u) + u / b**2)
+        np.testing.assert_allclose(np.asarray(eta), expect, rtol=5e-3)
+        assert np.asarray(ok).all()
+        # the kinematic ceiling is still respected
+        assert (np.asarray(eta) <= b * (1 + 1e-4)).all()
 
 
 def test_compton_default_mec2_is_physical():
