@@ -27,13 +27,18 @@ def _random_pipeline(rng, fuse, seed):
     s.add_step(idx, phys.newton.NewtonianKinematicsStep()); idx += 1
     if rng.random() < 0.7:
         pick = rng.random()
-        if pick < 0.25:  # round 3: anisotropic (HG) scatter
+        if pick < 0.2:  # round 3: anisotropic (HG) scatter
             s.add_step(idx, light.ScatterHenyeyGreensteinStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
                 g=float(rng.uniform(-0.8, 0.9))))
-        elif pick < 0.45:  # round 3 late: Rayleigh dipole phase
+        elif pick < 0.4:  # round 3 late: Rayleigh dipole phase
             s.add_step(idx, light.ScatterRayleighStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001))
+        elif pick < 0.6:  # round 3 late: Compton (energy-changing)
+            s.add_step(idx, light.ScatterComptonStep(
+                A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
+                mec2=float(rng.uniform(0.3, 3.0)),
+                kn_cross_section=bool(rng.random() < 0.5)))
         else:
             s.add_step(idx, light.ScatterIsotropicStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
@@ -41,8 +46,20 @@ def _random_pipeline(rng, fuse, seed):
         idx += 1
     if rng.random() < 0.6:
         meta["deaths"] = True
-        s.add_step(idx, light.ScatterDeleteStep(
-            np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001))); idx += 1
+        pick = rng.random()
+        if pick < 0.25:  # round 3 late: energy-dependent cross-section
+            s.add_step(idx, light.ScatterDeleteStep(
+                n=0.001, A=np.double(rng.uniform(2e-4, 1e-3)),
+                A_fn="pow(fmax(E[gid], 1e-6), -1.0)"))
+        elif pick < 0.5:  # round 3 late: variable density absorption
+            s.add_step(idx, light.ScatterDeleteStep(
+                n=0.001, A=np.double(rng.uniform(2e-4, 1e-3)),
+                variable_n=True,
+                variable_n_fn="0.001 * exp(-fabs(r0[gid]) / 1e9)"))
+        else:
+            s.add_step(idx, light.ScatterDeleteStep(
+                np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001)))
+        idx += 1
     if rng.random() < 0.4:  # round 2: fused box boundaries
         L = float(light.c) * 0.001 * rng.uniform(2.0, 25.0)
         box = np.array([[-L, L], [-L, L], [-L, L]])
