@@ -1017,6 +1017,94 @@ def _kn_cos_eta(alpha, triples, dtype):
     return cos_t, eta, accepted
 
 
+def _gauss3_from_uniform(u4, dtype):
+    """Three standard normals from four uniforms via Box-Muller (the fourth
+    normal is discarded). ``u4`` is a stack of 4 uniform arrays in [0, 1);
+    all elementwise VPU ops, Pallas-safe."""
+    tiny = jnp.asarray(1e-12, dtype)
+    r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u4[0], tiny)))
+    r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u4[2], tiny)))
+    a1 = u4[1] * (2 * np.pi)
+    a2 = u4[3] * (2 * np.pi)
+    return (r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2))
+
+
+def _aberrate(n, beta, bn, b2, gamma, sign, dtype):
+    """Relativistic aberration of a unit direction ``n`` under a boost of
+    velocity ``beta`` (tuple of components, ``bn = beta.n``, ``b2 =
+    |beta|^2``): photon 4-momentum transform p' = Lambda p. ``sign`` = -1
+    boosts lab -> electron frame, +1 boosts back. Returns (n', doppler)
+    with ``E' = E * gamma * (1 + sign * bn) = E * doppler``; n' is NOT
+    renormalized (caller divides, or uses the closed form)."""
+    one = jnp.asarray(1.0, dtype)
+    # beta_hat * ((gamma-1) * mu -/+ gamma*b) written over the beta VECTOR:
+    # coef = (gamma-1) * bn / b2 + sign * gamma  (finite at b2 -> 0 via max)
+    coef = (gamma - one) * bn / jnp.maximum(b2, jnp.asarray(1e-20, dtype)) \
+        + sign * gamma
+    doppler = gamma * (one + sign * bn)
+    inv = one / doppler
+    n_out = tuple((n[i] + beta[i] * coef) * inv for i in range(3))
+    return n_out, doppler
+
+
+def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, triples, u_phi, dtype):
+    """One inverse-Compton scatter off a thermal electron, exact in the
+    electron rest frame.
+
+    ``n`` is the unit photon direction (3-tuple of arrays); ``u4`` a stack
+    of 4 uniforms (Box-Muller electron draw); ``triples``/``u_phi`` the
+    Klein-Nishina draws as in :func:`_kn_cos_eta`. Electron velocities are
+    per-axis Gaussian (non-relativistic Maxwell, sigma^2 = theta_e =
+    kT_e / m_e c^2 per axis, |beta| clipped at 0.9) — accurate for
+    theta_e <~ 0.05 (kT_e <~ 25 keV: SZ clusters, warm coronae). The
+    photon is boosted into the electron frame (exact Lorentz), scattered
+    with the exact KN distribution at the BOOSTED energy alpha_1, and
+    boosted back; energies and directions are exact for any clipped beta.
+
+    Returns ``(E_new, n_new, alpha1, flux, accepted)``: ``flux`` is the
+    relativistic relative-rate factor ``(1 - beta.n)`` the caller folds
+    into pcoll (its Maxwell average is 1, so ``A`` keeps its mean-rate
+    meaning; this head-on weighting is what produces the Kompaneets
+    ``<dE/E> = 4 theta_e - alpha`` drift), and ``alpha1`` the
+    electron-frame KN parameter for optional sigma_KN weighting."""
+    one = jnp.asarray(1.0, dtype)
+    sq = jnp.sqrt(jnp.asarray(float(theta_e), dtype))
+    g3 = _gauss3_from_uniform(u4, dtype)
+    beta = tuple(g * sq for g in g3)
+    b2 = sum(b * b for b in beta)
+    b = jnp.sqrt(b2)
+    scale = jnp.minimum(one, jnp.asarray(0.9, dtype)
+                        / jnp.maximum(b, jnp.asarray(1e-12, dtype)))
+    beta = tuple(bc * scale for bc in beta)
+    b2 = b2 * (scale * scale)
+    gamma = jax.lax.rsqrt(jnp.maximum(one - b2, jnp.asarray(1e-4, dtype)))
+
+    bn = sum(beta[i] * n[i] for i in range(3))
+    flux = one - bn
+    n1, dop1 = _aberrate(n, beta, bn, b2, gamma, -one, dtype)
+    inv_n1 = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in n1),
+                                       jnp.asarray(1e-30, dtype)))
+    n1 = tuple(x * inv_n1 for x in n1)
+    E1 = E * dop1
+
+    alpha1 = E1 * jnp.asarray(inv_mec2, dtype)
+    cos_t, eta, accepted = _kn_cos_eta(alpha1, triples, dtype)
+    E1p = E1 / eta
+    sin_t = jnp.sqrt(jnp.maximum(one - cos_t * cos_t, 0.0))
+    phi = u_phi * (2 * np.pi)
+    n1p = _hg_direction(n1, cos_t, sin_t, jnp.cos(phi), jnp.sin(phi))
+    inv_n1p = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in n1p),
+                                        jnp.asarray(1e-30, dtype)))
+    n1p = tuple(x * inv_n1p for x in n1p)
+
+    bnp = sum(beta[i] * n1p[i] for i in range(3))
+    n_new, dop2 = _aberrate(n1p, beta, bnp, b2, gamma, one, dtype)
+    inv_nn = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in n_new),
+                                       jnp.asarray(1e-30, dtype)))
+    n_new = tuple(x * inv_nn for x in n_new)
+    return E1p * dop2, n_new, alpha1, flux, accepted
+
+
 class ScatterComptonStep(ScatterHenyeyGreensteinStep):
     """Compton scattering off free electrons at rest — exact Klein-Nishina
     angular distribution with the physical energy shift
@@ -1042,6 +1130,20 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
     loop (default 12; residual suppressed-scatter probability <= ~1e-4, only
     in the Kahn regime). Runs fused (op kind "compton") and on the generic
     scan with statistically identical distributions.
+
+    **Thermal electrons (Comptonization)**: pass ``theta_e`` (dimensionless
+    ``kT_e / m_e c^2``) or ``T_e`` (Kelvin, float or Measurement) to scatter
+    off a thermal electron population instead of electrons at rest. Each
+    candidate collision draws an electron from a non-relativistic Maxwell
+    distribution (|beta| clipped at 0.9; validity theta_e <= 0.2), weights
+    the collision rate by the exact relativistic flux factor
+    ``(1 - beta.n)``, boosts the photon into the electron frame, applies
+    the exact Klein-Nishina scatter at the boosted energy, and boosts
+    back. This reproduces the Kompaneets energy drift ``<dE/E> = 4 theta_e
+    - alpha`` per scatter: photons below ``4 theta_e m_e c^2`` GAIN energy
+    (inverse Compton / the Sunyaev-Zel'dovich effect), photons above it
+    cool. ``kn_cross_section`` weights by sigma_KN at the electron-frame
+    energy.
     """
 
     _ALLOWED_KW = frozenset({"A", "n", "variable_n", "variable_n_fn"})
@@ -1061,6 +1163,17 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
         self.kn_max_tries = int(kwargs.pop("kn_max_tries", 12))
         if self.kn_max_tries < 1:
             raise ValueError("kn_max_tries must be >= 1")
+        theta_e = kwargs.pop("theta_e", None)
+        T_e = kwargs.pop("T_e", None)
+        if theta_e is not None and T_e is not None:
+            raise ValueError("pass theta_e (= kT_e / m_e c^2) OR T_e "
+                             "(Kelvin), not both")
+        self.theta_e = None if theta_e is None else float(theta_e)
+        self.T_e = T_e
+        if self.theta_e is not None and not 0.0 <= self.theta_e <= 0.2:
+            raise ValueError(
+                f"theta_e must be in [0, 0.2] (Maxwell electron sampling "
+                f"validity; ~100 keV), got {self.theta_e}")
         # the HG family reads options with kwargs.get(), which would
         # silently swallow a typo (e.g. kn_cross_sectionS=True) and run
         # wrong physics — reject anything unknown loudly instead
@@ -1080,6 +1193,15 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
         if mec2 <= 0:
             raise ValueError("mec2 must be positive")
         self._inv_mec2 = 1.0 / float(mec2)
+        if self.T_e is not None:
+            kT = _as_code(self.T_e) * float(raw_code_value(kB))
+            self._theta_e = float(kT * self._inv_mec2)
+            if not 0.0 <= self._theta_e <= 0.2:
+                raise ValueError(
+                    f"T_e gives theta_e = {self._theta_e:.3g}; Maxwell "
+                    "electron sampling is valid for theta_e <= 0.2")
+        else:
+            self._theta_e = self.theta_e
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         if self._c is None or self._inv_mec2 is None:
@@ -1090,15 +1212,39 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
         if self._n_fn is not None:
             pcoll = pcoll * jnp.asarray(
                 self._n_fn(state.r[0], state.r[1], state.r[2]), dtype)
-        alpha = state.E * jnp.asarray(self._inv_mec2, dtype)
-        if self.kn_cross_section:
-            pcoll = pcoll * _kn_sigma_ratio(alpha, dtype)
 
         k = ctx.next_key()
         T = self.kn_max_tries
-        u = jax.random.uniform(k, (2 + 3 * T,) + norm.shape, dtype)
-        triples = [(u[2 + 3 * i], u[3 + 3 * i], u[4 + 3 * i])
-                   for i in range(T)]
+        thermal = self._theta_e is not None and self._theta_e > 0.0
+        n_extra = 4 if thermal else 0
+        u = jax.random.uniform(k, (2 + n_extra + 3 * T,) + norm.shape, dtype)
+        triples = [(u[2 + n_extra + 3 * i], u[3 + n_extra + 3 * i],
+                    u[4 + n_extra + 3 * i]) for i in range(T)]
+
+        if thermal:
+            inv_v = jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(state.v * state.v, axis=0),
+                jnp.asarray(1e-30, dtype)))
+            nhat = tuple(state.v[i] * inv_v for i in range(3))
+            E_new, n_new, alpha1, flux, accepted = _ic_thermal_scatter(
+                state.E, nhat, self._inv_mec2, self._theta_e, u[2:6],
+                triples, u[1], dtype)
+            pcoll = pcoll * flux
+            if self.kn_cross_section:
+                pcoll = pcoll * _kn_sigma_ratio(alpha1, dtype)
+            scatter = ((pcoll >= u[0]) & (state.otype == OBJ_PHOTON)
+                       & state.alive & accepted)
+            c_val = jnp.asarray(self._c, dtype)
+            v_new = jnp.stack([x * c_val for x in n_new])
+            v = jnp.where(scatter, v_new, state.v)
+            dv = jnp.where(scatter, v_new - state.v,
+                           jnp.zeros_like(state.v))
+            E = jnp.where(scatter, E_new, state.E)
+            return state.replace(v=v, dv=dv, E=E)
+
+        alpha = state.E * jnp.asarray(self._inv_mec2, dtype)
+        if self.kn_cross_section:
+            pcoll = pcoll * _kn_sigma_ratio(alpha, dtype)
         cos_t, eta, accepted = _kn_cos_eta(alpha, triples, dtype)
         scatter = ((pcoll >= u[0]) & (state.otype == OBJ_PHOTON)
                    & state.alive & accepted)

@@ -141,6 +141,7 @@ class _Op:
     inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
     kn_xsec: bool = False           # scale pcoll by sigma_KN/sigma_T (compton)
     kn_tries: int = 12              # Kahn rejection loop bound (compton)
+    theta_e: float = 0.0            # kT_e / m_e c^2 thermal electrons (compton)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
     # emit: photons appear in slots [emit_starts[k], +n) each iteration —
@@ -315,6 +316,53 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_VX + d] = jnp.where(scatter, vnew[d], old)
                 f[_DVX + d] = jnp.where(scatter, vnew[d] - old,
                                         jnp.float32(0.0))
+        elif op.kind == "compton" and op.theta_e > 0.0:
+            # Thermal Comptonization: Maxwell electron draw, relativistic
+            # flux-weighted collision rate, exact KN in the electron frame
+            # (light._ic_thermal_scatter does the boosts + rotation; the
+            # Kompaneets drift <dE/E> = 4 theta_e - alpha emerges)
+            from physicl_tpu.light import _ic_thermal_scatter, \
+                _kn_sigma_ratio
+
+            pcoll = jnp.float32(op.coef) * dr_norm()
+            if op.n_fn is not None:
+                pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
+                    jnp.float32)
+            u = rng.uniform(shape)
+            pu = rng.uniform(shape)
+            if plan.packed_angles:
+                u4a = rng.uniform_pair(shape)
+                u4b = rng.uniform_pair(shape)
+                u4 = (u4a[0], u4a[1], u4b[0], u4b[1])
+            else:
+                u4 = tuple(rng.uniform(shape) for _ in range(4))
+            triples = []
+            for _ in range(op.kn_tries):
+                if plan.packed_angles:
+                    r1 = rng.uniform(shape)
+                    r2, r3 = rng.uniform_pair(shape)
+                else:
+                    r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
+                                  rng.uniform(shape))
+                triples.append((r1, r2, r3))
+            inv_v = jax.lax.rsqrt(jnp.maximum(
+                f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
+                jnp.float32(1e-30)))
+            nhat = (f[_VX] * inv_v, f[_VY] * inv_v, f[_VZ] * inv_v)
+            E_new, n_new, alpha1, flux, kn_ok = _ic_thermal_scatter(
+                f[_E], nhat, op.inv_mec2, op.theta_e, u4, triples, pu,
+                jnp.float32)
+            pcoll = pcoll * flux
+            if op.kn_xsec:
+                pcoll = pcoll * _kn_sigma_ratio(alpha1, jnp.float32)
+            scatter = (pcoll >= u) & alive_b & kn_ok
+            cval = jnp.float32(op.c_val)
+            for d in range(3):
+                old = f[_VX + d]
+                f[_VX + d] = jnp.where(scatter, n_new[d] * cval, old)
+                f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
+                                        jnp.float32(0.0))
+            f[_E] = jnp.where(scatter, E_new, f[_E])
         elif op.kind in ("hg", "rayl", "compton"):
             # Anisotropic scatter: same collision model as "iso", outgoing
             # direction drawn RELATIVE to the incoming one. "hg": exact
@@ -933,6 +981,11 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # temporaries) stacks on top of the rotation: unroll 2 keeps the
         # Mosaic scoped-vmem stack under the 16M limit at 256-row tiles
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
+    if any(op.kind == "compton" and op.theta_e > 0.0 for op in plan.ops):
+        # thermal Comptonization adds the electron draw + two Lorentz
+        # boosts (~20 more live temporaries) on top of the Kahn loop:
+        # no unrolling headroom left
+        plan = dataclasses.replace(plan, unroll=1)
 
     out_specs = [
         pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),

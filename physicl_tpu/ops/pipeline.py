@@ -619,7 +619,7 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op(
                 "compton", coef=s._coef, n_fn=s._n_fn, c_val=s._c,
                 inv_mec2=s._inv_mec2, kn_xsec=s.kn_cross_section,
-                kn_tries=s.kn_max_tries,
+                kn_tries=s.kn_max_tries, theta_e=float(s._theta_e or 0.0),
             ))
         elif type(s) is PhotonEmitterStep:
             # sampled energies fuse when the sampler exposes a traced

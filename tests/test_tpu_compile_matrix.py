@@ -75,6 +75,13 @@ def _ops(kind):
                            inv_mec2=1.0 / (8.187e-14 * _EPS), kn_xsec=True,
                            kn_tries=12),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "compton_thermal":
+        # thermal Comptonization stacks the Maxwell electron draw + two
+        # Lorentz boosts on the Kahn loop (unroll forced to 1)
+        return [kin, F._Op("compton", coef=1e-6 * _EPS, c_val=c,
+                           inv_mec2=1.0 / (8.187e-14 * _EPS), kn_xsec=True,
+                           kn_tries=12, theta_e=0.02 * _EPS),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "trace":
         return [kin, iso, F._Op("trace", stream0=0, stream_scat=True)], 5, 4
     if kind == "trace_bf16":
@@ -108,9 +115,9 @@ def _ops(kind):
 
 
 @pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf", "hg",
-                                  "rayl", "compton", "trace",
-                                  "trace_strided", "trace_bf16", "ecap",
-                                  "custom", "reduce"])
+                                  "rayl", "compton", "compton_thermal",
+                                  "trace", "trace_strided", "trace_bf16",
+                                  "ecap", "custom", "reduce"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
