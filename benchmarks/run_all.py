@@ -235,6 +235,22 @@ def main():
 
     emit("compton_kn_1e7", steady_rate(compton, N), "photon-steps/s", 2.0e4)
 
+    # 4c. thermal Comptonization (Maxwell electron draw + 2 Lorentz boosts
+    # on top of the Kahn loop; fused unroll forced to 1)
+    def comptonization():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterComptonStep(
+            A=0.001 / (float(light.c) * 1e-3), n=1.0, mec2=1e9,
+            theta_e=0.01))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("comptonization_thermal_1e7", steady_rate(comptonization, N),
+         "photon-steps/s", 2.0e4)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()

@@ -38,7 +38,9 @@ def _random_pipeline(rng, fuse, seed):
             s.add_step(idx, light.ScatterComptonStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
                 mec2=float(rng.uniform(0.3, 3.0)),
-                kn_cross_section=bool(rng.random() < 0.5)))
+                kn_cross_section=bool(rng.random() < 0.5),
+                theta_e=(float(rng.uniform(0.001, 0.05))
+                         if rng.random() < 0.5 else None)))
         else:
             s.add_step(idx, light.ScatterIsotropicStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
