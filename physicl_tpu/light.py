@@ -1135,15 +1135,24 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
     ``kT_e / m_e c^2``) or ``T_e`` (Kelvin, float or Measurement) to scatter
     off a thermal electron population instead of electrons at rest. Each
     candidate collision draws an electron from a non-relativistic Maxwell
-    distribution (|beta| clipped at 0.9; validity theta_e <= 0.2), weights
-    the collision rate by the exact relativistic flux factor
-    ``(1 - beta.n)``, boosts the photon into the electron frame, applies
-    the exact Klein-Nishina scatter at the boosted energy, and boosts
-    back. This reproduces the Kompaneets energy drift ``<dE/E> = 4 theta_e
-    - alpha`` per scatter: photons below ``4 theta_e m_e c^2`` GAIN energy
-    (inverse Compton / the Sunyaev-Zel'dovich effect), photons above it
-    cool. ``kn_cross_section`` weights by sigma_KN at the electron-frame
-    energy.
+    distribution (accurate for ``theta_e <= ~0.05``, i.e. kT_e <= ~25 keV:
+    SZ clusters, warm coronae; accepted with a RuntimeWarning up to 0.2,
+    where the |beta| <= 0.9 clip and missing Maxwell-Juttner corrections
+    bias the Doppler kernel by O(theta_e)), weights the collision rate by
+    the exact relativistic flux factor ``(1 - beta.n)``, boosts the photon
+    into the electron frame, applies the exact Klein-Nishina scatter at
+    the boosted energy, and boosts back. This reproduces the Kompaneets
+    energy drift ``<dE/E> = 4 theta_e - alpha`` per scatter: photons below
+    ``4 theta_e m_e c^2`` GAIN energy (inverse Compton / the
+    Sunyaev-Zel'dovich effect), photons above it cool.
+    ``kn_cross_section`` weights by sigma_KN at the electron-frame energy.
+
+    .. warning:: keep the per-step collision probability UNSATURATED
+       (``A * n * |dr| <= ~0.5``): the flux factor reaches 1.9 for
+       head-on electrons, and once ``pcoll * flux`` clips at 1 the rate
+       weighting stops selecting head-on collisions — the Kompaneets
+       drift then biases from ``4 theta_e`` down to ``~3 theta_e``.
+       Model optically-thick media with more, thinner steps.
     """
 
     _ALLOWED_KW = frozenset({"A", "n", "variable_n", "variable_n_fn"})
@@ -1170,10 +1179,21 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
                              "(Kelvin), not both")
         self.theta_e = None if theta_e is None else float(theta_e)
         self.T_e = T_e
-        if self.theta_e is not None and not 0.0 <= self.theta_e <= 0.2:
-            raise ValueError(
-                f"theta_e must be in [0, 0.2] (Maxwell electron sampling "
-                f"validity; ~100 keV), got {self.theta_e}")
+        if self.theta_e is not None:
+            if not 0.0 <= self.theta_e <= 0.2:
+                raise ValueError(
+                    f"theta_e must be in [0, 0.2] (Maxwell electron "
+                    f"sampling validity; ~100 keV), got {self.theta_e}")
+            if self.theta_e > 0.05:
+                import warnings
+
+                warnings.warn(
+                    f"theta_e = {self.theta_e}: above ~0.05 the "
+                    "non-relativistic Maxwell electron draw degrades — "
+                    "P(|beta| > 0.9) grows to O(10%) and the hard clip "
+                    "plus missing Maxwell-Juttner corrections bias the "
+                    "Doppler kernel by O(theta_e)", RuntimeWarning,
+                    stacklevel=2)
         # the HG family reads options with kwargs.get(), which would
         # silently swallow a typo (e.g. kn_cross_sectionS=True) and run
         # wrong physics — reject anything unknown loudly instead
@@ -1182,7 +1202,7 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
             raise ValueError(
                 f"ScatterComptonStep: unknown option(s) {sorted(unknown)}; "
                 f"supported: {sorted(self._ALLOWED_KW)} + kn_cross_section/"
-                "mec2/kn_max_tries")
+                "mec2/kn_max_tries/theta_e/T_e")
         super().__init__(**kwargs)
         self._inv_mec2 = None
 

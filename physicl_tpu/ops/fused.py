@@ -230,6 +230,31 @@ def _fast_angles(tu, pu):
     return sin_t, cos_t, sin_p, cos_p
 
 
+def _kn_triples(rng, plan, shape, tries):
+    """Draw the Klein-Nishina Kahn-loop uniforms — one layout for every
+    compton variant (cold and thermal) so the samplers can never
+    desynchronize. Under packed_angles the (r2, r3) pair shares one
+    hardware draw (16-bit halves; acceptance tests, not tail-sensitive)."""
+    triples = []
+    for _ in range(tries):
+        if plan.packed_angles:
+            r1 = rng.uniform(shape)
+            r2, r3 = rng.uniform_pair(shape)
+        else:
+            r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
+                          rng.uniform(shape))
+        triples.append((r1, r2, r3))
+    return triples
+
+
+def _unit_dir(f):
+    """Unit velocity direction from the packed field planes."""
+    inv_v = jax.lax.rsqrt(jnp.maximum(
+        f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
+        jnp.float32(1e-30)))
+    return f[_VX] * inv_v, f[_VY] * inv_v, f[_VZ] * inv_v
+
+
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     emit_starts_ref=None, gidx=None, t=None):
     """Run one simulation iteration on VMEM-resident field values.
@@ -330,25 +355,17 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     jnp.float32)
             u = rng.uniform(shape)
             pu = rng.uniform(shape)
+            # Box-Muller RADIUS uniforms (u4[0], u4[2]) need full-precision
+            # draws: 16-bit pair halves truncate the Maxwell speed tail at
+            # 4.7 sigma (with a clamp atom at 7.4) where the generic path
+            # reaches 5.8 — angles (u4[1], u4[3]) are tail-insensitive
             if plan.packed_angles:
-                u4a = rng.uniform_pair(shape)
-                u4b = rng.uniform_pair(shape)
-                u4 = (u4a[0], u4a[1], u4b[0], u4b[1])
+                a1, a2 = rng.uniform_pair(shape)
+                u4 = (rng.uniform(shape), a1, rng.uniform(shape), a2)
             else:
                 u4 = tuple(rng.uniform(shape) for _ in range(4))
-            triples = []
-            for _ in range(op.kn_tries):
-                if plan.packed_angles:
-                    r1 = rng.uniform(shape)
-                    r2, r3 = rng.uniform_pair(shape)
-                else:
-                    r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
-                                  rng.uniform(shape))
-                triples.append((r1, r2, r3))
-            inv_v = jax.lax.rsqrt(jnp.maximum(
-                f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
-                jnp.float32(1e-30)))
-            nhat = (f[_VX] * inv_v, f[_VY] * inv_v, f[_VZ] * inv_v)
+            triples = _kn_triples(rng, plan, shape, op.kn_tries)
+            nhat = _unit_dir(f)
             E_new, n_new, alpha1, flux, kn_ok = _ic_thermal_scatter(
                 f[_E], nhat, op.inv_mec2, op.theta_e, u4, triples, pu,
                 jnp.float32)
@@ -389,15 +406,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
-                triples = []
-                for _ in range(op.kn_tries):
-                    if plan.packed_angles:
-                        r1 = rng.uniform(shape)
-                        r2, r3 = rng.uniform_pair(shape)
-                    else:
-                        r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
-                                      rng.uniform(shape))
-                    triples.append((r1, r2, r3))
+                triples = _kn_triples(rng, plan, shape, op.kn_tries)
                 cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples, jnp.float32)
                 scatter = (pcoll >= u) & alive_b & kn_ok
             else:

@@ -139,6 +139,9 @@ def test_thermal_option_validation():
         light.ScatterComptonStep(theta_e=0.5)
     with pytest.raises(ValueError, match="theta_e"):
         light.ScatterComptonStep(T_e=2.0e9).setup(None)
+    # accepted-but-degraded range [0.05, 0.2] warns about the Maxwell clip
+    with pytest.warns(RuntimeWarning, match="Maxwell"):
+        light.ScatterComptonStep(theta_e=0.1)
 
 
 def test_comptonization_y_parameter():
