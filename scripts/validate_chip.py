@@ -232,6 +232,31 @@ def main():
     check("Compton speed preserved", np.abs(spd - 1).max() < 3e-5,
           f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
 
+    # 11 (round 3, late): thermal Comptonization — the Kompaneets drift
+    # <dE/E> = 4 theta_e for soft photons through hot Maxwell electrons
+    # (collision probability UNSATURATED so the flux factor can reweight)
+    theta_e, p = 0.01, 0.3
+    s = phys.Simulation(until_t=0.001, seed=8)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterComptonStep(
+        A=p / (float(light.c) * 0.001), n=1.0, mec2=1e9, theta_e=theta_e))
+    s.add_photons(light.generate_photon_state(300_000, E=1.0))
+    s.start(); s.join()
+    check("thermal Compton pipeline stays fused", s.used_fused,
+          f"{s.used_fused}")
+    E = np.asarray(s.sim_state.E)[:300_000]
+    scat = E != np.float32(1.0)
+    gain = float(E[scat].mean()) - 1.0
+    check("Kompaneets drift == 4 theta_e",
+          abs(gain - 4 * theta_e) < 0.005,
+          f"<dE/E> {gain:+.5f} vs 4 theta_e {4 * theta_e:+.5f} over "
+          f"{int(scat.sum())} scatters")
+    v = np.asarray(s.sim_state.v)[:, :300_000]
+    spd = np.sqrt((v[:, scat] ** 2).sum(axis=0)) / float(light.c)
+    check("thermal Compton speed preserved", np.abs(spd - 1).max() < 3e-5,
+          f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
