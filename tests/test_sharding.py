@@ -230,7 +230,8 @@ def test_mesh_midrun_injection():
     assert (E[alive] == 2.0).sum() == 500 and (E[alive] == 3.0).sum() == 1
 
 
-@pytest.mark.parametrize("kind", ["hg", "rayl", "compton"])
+@pytest.mark.parametrize("kind", ["hg", "rayl", "compton",
+                                  "compton_thermal"])
 def test_sharded_fused_anisotropic_families(kind):
     """The anisotropic / energy-changing scatter ops shard like the rest of
     the family: fused on the mesh, defining angular moment preserved, and
@@ -248,6 +249,10 @@ def test_sharded_fused_anisotropic_families(kind):
                                                             g=0.6))
         elif kind == "rayl":
             s.add_step(2, light.ScatterRayleighStep(A=1.0, n=1.0))
+        elif kind == "compton_thermal":
+            s.add_step(2, light.ScatterComptonStep(
+                A=0.3 / (float(light.c) * 0.001), n=1.0, mec2=1e9,
+                theta_e=0.01))
         else:
             s.add_step(2, light.ScatterComptonStep(A=1.0, n=1.0, mec2=0.5))
         s.add_photons(light.generate_photon_state(n, E=1.0))
@@ -261,6 +266,11 @@ def test_sharded_fused_anisotropic_families(kind):
             assert abs(ct.mean() - 0.6) < 0.02        # <cos> == g
         elif kind == "rayl":
             assert abs((ct**2).mean() - 0.4) < 0.02   # <cos^2> == 2/5
+        elif kind == "compton_thermal":
+            scat = E != np.float32(1.0)
+            assert 0.2 < scat.mean() < 0.4            # unsaturated pcoll
+            gain = E[scat].mean() - 1.0               # Kompaneets 4theta_e
+            assert abs(gain - 0.04) < 0.01, gain
         else:
             alpha = 2.0
             scat = E != np.float32(1.0)
