@@ -33,6 +33,7 @@ import numpy as np
 from physicl_tpu.engine import (
     MeasureStep,
     Object,
+    ReduceMeasureStep,
     Simulation,
     Step,
     StepContext,
@@ -52,7 +53,8 @@ __all__ = [
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
     "ScatterComptonStep", "m_e",
-    "ScatterMeasureStep", "ScatterSignMeasureStep", "TracePathMeasureStep",
+    "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
+    "TracePathMeasureStep",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1358,6 +1360,63 @@ class PhotonEmitterStep(Step):
 # ---------------------------------------------------------------------------
 # Measurement steps
 # ---------------------------------------------------------------------------
+
+
+class SpectrumMeasureStep(ReduceMeasureStep):
+    """Per-iteration energy histogram over alive photons, accumulated
+    ON-DEVICE inside the fused kernel (TPU extension; no reference
+    counterpart — at 10^7+ photons streaming every E to the host is the
+    alternative, see ScatterMeasureStep(measure_E=True)).
+
+    ``edges`` is a static increasing 1-D array of bin edges (reference
+    lower-edge convention: bin i counts ``edges[i] <= E < edges[i+1]``).
+    ``weight="count"`` tallies photons; ``weight="energy"`` accumulates
+    their energies (spectral flux). ``underflow``/``overflow`` add capture
+    bins outside the range. ``data`` rows are ``[t(, n), bin_0, ...,
+    (underflow,) (overflow,)]`` with CSV via ``out_fn`` like every
+    MeasureStep; counts cross shards as one psum on mesh runs.
+
+    The fused kernel's record row is 128 channels wide, so at most ~120
+    bins stay on the fast path (the prover falls back to the generic scan
+    beyond that, with a warning naming the limit).
+    """
+
+    def __init__(self, out_fn=None, edges=None, measure_n: bool = False,
+                 weight: str = "count", underflow: bool = False,
+                 overflow: bool = False):
+        edges = np.asarray(edges, dtype=np.float64)
+        if edges.ndim != 1 or edges.size < 2:
+            raise ValueError("edges must be a 1-D array of >= 2 bin edges")
+        if not (np.diff(edges) > 0).all():
+            raise ValueError("edges must be strictly increasing")
+        if weight not in ("count", "energy"):
+            raise ValueError(f"weight must be 'count' or 'energy', "
+                             f"got {weight!r}")
+        self.edges = edges
+        self.weight = weight
+        names = tuple(f"bin{i}" for i in range(edges.size - 1))
+        if underflow:
+            names += ("underflow",)
+        if overflow:
+            names += ("overflow",)
+        e = tuple(float(v) for v in edges)
+
+        def contributions(p):
+            w = p.E if weight == "energy" else None
+            out = {}
+            for i in range(len(e) - 1):
+                m = (p.E >= e[i]) & (p.E < e[i + 1])
+                out[f"bin{i}"] = m if w is None else jnp.where(m, w, 0.0)
+            if underflow:
+                m = p.E < e[0]
+                out["underflow"] = m if w is None else jnp.where(m, w, 0.0)
+            if overflow:
+                m = p.E >= e[-1]
+                out["overflow"] = m if w is None else jnp.where(m, w, 0.0)
+            return out
+
+        super().__init__(out_fn, contributions, outputs=names,
+                         measure_n=measure_n)
 
 
 class ScatterMeasureStep(MeasureStep):

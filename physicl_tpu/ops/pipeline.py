@@ -688,9 +688,16 @@ def try_build_fused(sim, steps, state: SimState,
             # into the kernel; t row chosen by position vs UpdateTimeStep
             ops.append(F._Op("custom", custom_fn=s.fn,
                              after_update=update_seen))
-        elif type(s) is ReduceMeasureStep:
+        elif isinstance(s, ReduceMeasureStep) and (
+                type(s).apply is ReduceMeasureStep.apply
+                and type(s)._contributions is ReduceMeasureStep._contributions):
             # user per-particle measurement: one float record channel per
-            # declared output, summed over alive particles in-kernel
+            # declared output, summed over alive particles in-kernel.
+            # Subclasses that only configure the constructor (e.g. light.
+            # SpectrumMeasureStep) stay fused: the kernel traces s.fn, which
+            # fully determines their semantics; a subclass overriding apply
+            # or _contributions falls through to unsupported-step instead of
+            # being silently fused with base behavior.
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
             f0 = next_fcol

@@ -495,3 +495,118 @@ def test_trace_dtype_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bfloat16"):
         light.TracePathMeasureStep(None, trace_dtype="float16")
+
+
+# ---------------------------------------------------------------------------
+# SpectrumMeasureStep: fused on-device energy histograms
+# ---------------------------------------------------------------------------
+
+
+def test_spectrum_measure_fused_matches_generic_and_numpy():
+    """Count-weighted histogram: fused == generic == np.histogram with the
+    reference lower-edge bin convention, incl. under/overflow capture."""
+    edges = np.linspace(1.0, 3.0, 9)  # 8 bins
+    Es = np.linspace(0.5, 3.5, 512)   # spills both sides
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        spec = light.SpectrumMeasureStep(None, edges=edges, measure_n=True,
+                                         underflow=True, overflow=True)
+        s.add_step(2, spec)
+        s.add_photons(light.generate_photon_state(512, E=Es))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = np.array(spec.data, dtype=float)
+    a, g = out["auto"], out["off"]
+    assert a.shape == g.shape == (3, 12)  # [t, n, 8 bins, under, over] x 3
+    np.testing.assert_allclose(a, g, rtol=1e-6)
+    hist = np.array([((Es >= edges[i]) & (Es < edges[i + 1])).sum()
+                     for i in range(8)])
+    expect = np.concatenate([[512.0], hist,
+                             [(Es < edges[0]).sum(), (Es >= edges[-1]).sum()]])
+    for row in a:  # nothing scatters: spectrum constant over iterations
+        np.testing.assert_allclose(row[1:], expect, rtol=1e-6)
+
+
+def test_spectrum_measure_energy_weighted():
+    """weight='energy' accumulates per-bin energy sums, not counts."""
+    edges = np.array([1.0, 2.0, 3.0])
+    Es = np.array([1.25, 1.75, 2.5, 2.5, 0.5, 3.5])
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.001, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        spec = light.SpectrumMeasureStep(None, edges=edges, weight="energy")
+        s.add_step(2, spec)
+        s.add_photons(light.generate_photon_state(Es.size, E=Es))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        row = np.array(spec.data, dtype=float)[0]
+        # [t, bin0=1.25+1.75, bin1=2.5+2.5]; no under/overflow bins declared
+        np.testing.assert_allclose(row[1:], [3.0, 5.0], rtol=1e-5)
+
+
+def test_spectrum_measure_tracks_deletion():
+    """Bins shrink as photons die; histogram counts only ALIVE photons."""
+    edges = np.array([0.0, 2.0, 4.0])
+    s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=3)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(1.0), np.double(1.0)))
+    spec = light.SpectrumMeasureStep(None, edges=edges, measure_n=True)
+    s.add_step(3, spec)
+    s.add_photons(light.generate_photon_state(
+        256, E=np.concatenate([np.full(128, 1.0), np.full(128, 3.0)])))
+    s.start(); s.join()
+    assert s.used_fused
+    rows = np.array(spec.data, dtype=float)
+    # pcoll = A*n*|dr| >> 1: everything absorbed at the first scatter
+    assert (rows[:, 1] == 0).all()
+    assert (rows[:, 2:] == 0).all()
+
+
+def test_spectrum_measure_validation():
+    with pytest.raises(ValueError, match="increasing"):
+        light.SpectrumMeasureStep(None, edges=[1.0, 1.0, 2.0])
+    with pytest.raises(ValueError, match="1-D"):
+        light.SpectrumMeasureStep(None, edges=[[1.0, 2.0]])
+    with pytest.raises(ValueError, match=">= 2"):
+        light.SpectrumMeasureStep(None, edges=[1.0])
+    with pytest.raises(ValueError, match="weight"):
+        light.SpectrumMeasureStep(None, edges=[1.0, 2.0], weight="flux")
+
+
+def test_spectrum_measure_too_many_bins_falls_back_with_reason():
+    """Past the 128-channel record row the prover refuses with a structured
+    'record-columns' reason and the sim still runs on the generic scan."""
+    edges = np.linspace(0.0, 1.0, 140)  # 139 bins > _MAX_REC_COLS
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    spec = light.SpectrumMeasureStep(None, edges=edges)
+    s.add_step(2, spec)
+    s.add_photons(light.generate_photon_state(64, E=0.5))
+    with pytest.warns(RuntimeWarning, match="record-columns"):
+        s.start(); s.join()
+    assert not s.used_fused
+    assert s.plan_report.refusals and any(
+        code == "record-columns" for code, _ in s.plan_report.refusals)
+    assert len(spec.data[0]) == 1 + 139
+
+
+def test_spectrum_measure_csv(tmp_path):
+    out = tmp_path / "spec.csv"
+    edges = np.array([1.0, 2.0, 3.0])
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    spec = light.SpectrumMeasureStep(str(out), edges=edges, measure_n=True)
+    s.add_step(2, spec)
+    s.add_photons(light.generate_photon_state(32, E=1.5))
+    s.start(); s.join()
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    first = [float(v) for v in lines[0].split(",")]
+    assert first[1] == 32 and first[2] == 32.0 and first[3] == 0.0

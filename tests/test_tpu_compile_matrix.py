@@ -111,13 +111,30 @@ def _ops(kind):
         return [kin, iso,
                 F._Op("reduce", custom_fn=moments,
                       reduce_outputs=("E_total", "r2"), cols=(1, 0))], 3, 0
+    if kind == "spectrum_wide":
+        # light.SpectrumMeasureStep near the 120-bin fast-path ceiling: 100
+        # float record channels stress the rec_f row at fresh compile
+        import jax.numpy as jnp
+
+        edges = tuple(np.linspace(0.0, 2.0, 101) * _EPS)
+        names = tuple(f"bin{i}" for i in range(100))
+
+        def hist(p):
+            return {f"bin{i}": (p.E >= jnp.float32(edges[i]))
+                    & (p.E < jnp.float32(edges[i + 1]))
+                    for i in range(100)}
+
+        return [kin, iso,
+                F._Op("reduce", custom_fn=hist,
+                      reduce_outputs=names, cols=(1, 0))], 2, 0
     raise AssertionError(kind)
 
 
 @pytest.mark.parametrize("kind", ["iso", "varn", "emit", "emit_icdf", "hg",
                                   "rayl", "compton", "compton_thermal",
                                   "trace", "trace_strided", "trace_bf16",
-                                  "ecap", "custom", "reduce"])
+                                  "ecap", "custom", "reduce",
+                                  "spectrum_wide"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
