@@ -251,6 +251,29 @@ def main():
     emit("comptonization_thermal_1e7", steady_rate(comptonization, N),
          "photon-steps/s", 2.0e4)
 
+    # 4d. on-device spectra: two 56-bin SpectrumMeasureSteps (counts +
+    # energy sums, 116 float record channels — near the 128-wide record-row
+    # ceiling) tallied in-kernel every iteration at 1e7 photons
+    def spectrum():
+        edges = np.exp(np.linspace(-3.0, 4.0, 57))
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterComptonStep(
+            A=0.001 / (float(light.c) * 1e-3), n=1.0, mec2=1e9,
+            theta_e=0.01))
+        s.add_step(3, light.SpectrumMeasureStep(
+            None, edges=edges, measure_n=True, underflow=True,
+            overflow=True))
+        s.add_step(4, light.SpectrumMeasureStep(
+            None, edges=edges, weight="energy", underflow=True,
+            overflow=True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("spectrum_56bin_x2_thermal_1e7", steady_rate(spectrum, N),
+         "photon-steps/s", 2.0e4)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()

@@ -1,0 +1,159 @@
+"""Build + execute examples/spectrum_evolution.ipynb (time-resolved spectra).
+
+A monochromatic photon line Comptonizing off hot thermal electrons, with the
+per-iteration spectrum captured ON-DEVICE by SpectrumMeasureStep (no photon
+energies ever stream to the host). Validates the two Kompaneets signatures:
+mean-energy amplification <E>/E0 = e^{4 theta_e tau} and diffusive line
+broadening var(ln E) ~= 2 theta_e tau.
+
+Run: python examples/make_spectrum_nb.py  (executes on the current backend;
+set PHYSICL_NB_SMALL=1 for a fast small-population smoke run).
+"""
+
+import os
+import sys
+
+import nbformat as nbf
+from nbconvert.preprocessors import ExecutePreprocessor
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SMALL = os.environ.get("PHYSICL_NB_SMALL") == "1"
+
+N_PHOT = 100_000 if SMALL else 2_000_000
+
+CELL0 = f'''\
+# Time-resolved Comptonization of a spectral line, measured on-device.
+#
+# A delta-function line at E0 injected into a theta_e-hot thermal electron
+# bath random-walks in energy: each scatter shifts ln E by ~4 theta_e on
+# average (inverse-Compton gain) with per-scatter variance ~2 theta_e
+# (thermal Doppler). The Kompaneets equation integrates this to
+#     <E>(tau) / E0   = e^(4 theta_e tau)        (mean amplification)
+#     var(ln E)(tau) ~= 2 theta_e tau             (diffusive broadening)
+# where tau = n sigma c t is the mean number of scatters.
+#
+# The spectrum is tallied every iteration INSIDE the fused transport
+# kernel by two SpectrumMeasureSteps sharing one record row — counts and
+# energy sums per log-E bin — so at 10^6-10^7 photons nothing but
+# ~100 floats/iteration ever leaves the device. With weight="energy" and
+# underflow/overflow capture the per-iteration TOTAL energy is exact
+# (capture bins accumulate the actual out-of-range energies), so the
+# drift check below is binning-free.
+import sys, os
+sys.path.insert(0, os.path.dirname(os.getcwd()))
+if os.environ.get("PHYSICL_NB_SMALL") == "1":   # CPU smoke mode
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+theta_e = 0.01        # kT_e / m_e c^2 = 5.1 keV electrons
+p_step = 0.3          # mean scatters per photon per iteration (UNSATURATED:
+                      # pcoll*flux ~ 0.3 < 1 keeps the relativistic
+                      # flux-weighting active — saturated configs bias the
+                      # drift from 4 theta to 3 theta)
+iters = 40
+n_phot = {N_PHOT}
+dt = 0.001
+E0 = 1.0              # line energy; mec2 = 1e9 => alpha ~ 1e-9: recoil-free
+                      # inverse-Compton regime (pure Kompaneets drift)
+
+edges = np.exp(np.linspace(-3.0, 4.0, 57))   # 56 log-E bins + capture bins
+
+s = phys.Simulation(until_t=iters * dt, seed=11)
+s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(dt)))
+s.add_step(1, phys.newton.NewtonianKinematicsStep())
+s.add_step(2, light.ScatterComptonStep(A=p_step / (float(light.c) * dt),
+                                       n=1.0, mec2=1e9, theta_e=theta_e))
+counts = light.SpectrumMeasureStep(None, edges=edges, measure_n=True,
+                                   underflow=True, overflow=True)
+esums = light.SpectrumMeasureStep(None, edges=edges, weight="energy",
+                                  underflow=True, overflow=True)
+s.add_step(3, counts)
+s.add_step(4, esums)
+s.add_photons(light.generate_photon_state(n_phot, E=E0))
+s.start(); s.join()
+assert s.used_fused, s.explain_plan()
+
+C = np.array(counts.data, dtype=float)   # [t, n, 56 bins, under, over]
+S = np.array(esums.data, dtype=float)    # [t, 56 bins, under, over]
+ts = C[:, 0]
+tau = p_step * np.arange(1, iters + 1)   # scatters after each iteration
+mean_E = S[:, 1:].sum(axis=1) / C[:, 1]  # exact: capture bins carry real E
+print(f"iterations recorded: {{len(ts)}}  photons: {{int(C[0, 1])}}")
+print(f"final <E>/E0 = {{mean_E[-1] / E0:.3f}}  "
+      f"(Kompaneets e^(4*theta*tau) = {{np.exp(4 * theta_e * tau[-1]):.3f}})")
+'''
+
+CELL1 = '''\
+# The evolving line: on-device spectra at selected optical depths, plus the
+# two Kompaneets signatures vs the transport measurement.
+import matplotlib.pyplot as plt
+
+xc = np.sqrt(edges[1:] * edges[:-1])          # geometric bin centers
+w = np.diff(np.log(edges))                    # d(lnE) per bin
+
+fig, axes = plt.subplots(1, 3, figsize=(13, 3.8))
+
+ax = axes[0]
+for k, color in zip((0, 9, 19, 39), plt.cm.viridis(np.linspace(0, 0.9, 4))):
+    dN = C[k, 2:-2] / (C[k, 1] * w)           # dN/dlnE, normalized
+    ax.plot(xc, dN, color=color, lw=1.4,
+            label=rf"$\\tau={tau[k]:.0f}$" if k else r"$\\tau=0.3$")
+ax.axvline(E0, color="0.6", lw=0.8, ls=":")
+ax.set_xscale("log"); ax.set_xlabel(r"$E / E_0$")
+ax.set_ylabel(r"$dN/d\\ln E$ (normalized)")
+ax.set_title("line broadening + drift")
+ax.legend(fontsize=8)
+
+# mean amplification: exact (binning-free) vs e^{4 theta tau}
+ax = axes[1]
+ax.plot(tau, mean_E / E0, "o", ms=3.5, mfc="none", label="transport")
+ax.plot(tau, np.exp(4 * theta_e * tau), "k-", lw=1.2,
+        label=r"$e^{4\\theta_e\\tau}$")
+ax.set_xlabel(r"$\\tau$ (mean scatters)"); ax.set_ylabel(r"$\\langle E\\rangle / E_0$")
+ax.set_title("Kompaneets drift"); ax.legend(fontsize=8)
+
+# broadening: var(ln E) from the count histogram vs 2 theta tau
+lnx = np.log(xc)
+frac = C[:, 2:-2] / C[:, 2:-2].sum(axis=1, keepdims=True)
+mu = (frac * lnx).sum(axis=1)
+var = (frac * (lnx - mu[:, None]) ** 2).sum(axis=1) - w.mean() ** 2 / 12.0
+ax = axes[2]
+ax.plot(tau, var, "o", ms=3.5, mfc="none", label="transport")
+ax.plot(tau, 2 * theta_e * tau, "k-", lw=1.2, label=r"$2\\theta_e\\tau$")
+ax.set_xlabel(r"$\\tau$ (mean scatters)"); ax.set_ylabel(r"var$(\\ln E)$")
+ax.set_title("diffusive broadening"); ax.legend(fontsize=8)
+
+plt.tight_layout(); plt.savefig("spectrum_evolution.png", dpi=110)
+plt.show()
+
+# quantitative: drift within 3% at tau=12 (second-order-in-theta effects
+# and the finite p_step=0.3 discretization are ~1-2%); broadening slope
+# within 15% (leading-order Doppler variance; higher moments add O(theta))
+drift_err = abs(mean_E[-1] / E0 / np.exp(4 * theta_e * tau[-1]) - 1)
+slope = np.polyfit(tau, var, 1)[0]
+print(f"drift error at tau={tau[-1]:.0f}: {drift_err * 100:.2f}%")
+print(f"var(lnE) slope: {slope:.4f}  (2 theta_e = {2 * theta_e:.4f})")
+assert drift_err < 0.03
+assert abs(slope / (2 * theta_e) - 1) < 0.15
+# photon count is conserved (capture bins catch every out-of-range photon)
+assert (C[:, 1] == n_phot).all()
+'''
+
+
+def main():
+    nb = nbf.v4.new_notebook()
+    nb.cells = [nbf.v4.new_code_cell(c) for c in (CELL0, CELL1)]
+    ep = ExecutePreprocessor(timeout=3600)
+    ep.preprocess(nb, {"metadata": {"path": HERE}})
+    out = os.path.join(HERE, "spectrum_evolution.ipynb")
+    with open(out, "w") as f:
+        nbf.write(nb, f)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
