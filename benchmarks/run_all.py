@@ -274,6 +274,23 @@ def main():
     emit("spectrum_56bin_x2_thermal_1e7", steady_rate(spectrum, N),
          "photon-steps/s", 2.0e4)
 
+    # 4e. weighted transport: implicit capture + roulette + weighted
+    # transmission tally (the non-analog deep-penetration workload)
+    def weighted():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(0.05 / (float(light.c) * 1e-3)),
+            implicit_capture=True, roulette=(1e-4, 2e-4)))
+        s.add_step(3, phys.ReduceMeasureStep(
+            None, lambda p: {"W": p.w}, outputs=("W",), measure_n=True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("implicit_capture_roulette_1e7", steady_rate(weighted, N),
+         "photon-steps/s", 1.4e5)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()

@@ -149,13 +149,14 @@ class UpdateTimeStep(Step):
 class ParticleView:
     """Per-particle elementwise view handed to :class:`ElementwiseStep`
     functions: component arrays ``rx..rz, drx..drz, vx..vz, dvx..dvz, E``,
-    the boolean ``alive`` mask, scalars ``t``/``dt``, and ``uniform()`` for
-    per-particle U[0,1) draws. Shapes are opaque (the generic path passes
-    ``(C,)`` vectors, the fused kernel ``(rows, 128)`` tiles) — write
-    elementwise jnp code and it runs identically on both."""
+    the statistical weight ``w``, the boolean ``alive`` mask, scalars
+    ``t``/``dt``, and ``uniform()`` for per-particle U[0,1) draws. Shapes
+    are opaque (the generic path passes ``(C,)`` vectors, the fused kernel
+    ``(rows, 128)`` tiles) — write elementwise jnp code and it runs
+    identically on both."""
 
     _FIELDS = ("rx", "ry", "rz", "drx", "dry", "drz",
-               "vx", "vy", "vz", "dvx", "dvy", "dvz", "E", "alive")
+               "vx", "vy", "vz", "dvx", "dvy", "dvz", "E", "alive", "w")
 
     def __init__(self, fields: Dict[str, Any], t, dt, uniform):
         for k, v in fields.items():
@@ -175,6 +176,8 @@ def _state_particle_view(state: "SimState", ctx: "StepContext") -> ParticleView:
             fields[name] = state.E
         elif name == "alive":
             fields[name] = state.alive
+        elif name == "w":
+            fields[name] = state.w
         else:
             base = {"r": "r", "dr": "dr", "v": "v", "dv": "dv"}[name[:-1]]
             fields[name] = getattr(state, base)[comp["r" + name[-1]]]
@@ -240,6 +243,8 @@ class ElementwiseStep(Step):
                             dv=vec("dv"))
         if "E" in upd:
             out = out.replace(E=jnp.asarray(upd["E"], state.E.dtype))
+        if "w" in upd:
+            out = out.replace(w=jnp.asarray(upd["w"], state.w.dtype))
         if "alive" in upd:
             out = out.replace(alive=state.alive & jnp.asarray(upd["alive"],
                                                               jnp.bool_))
@@ -436,6 +441,8 @@ class _PendingPopulation:
                 o.dv = Measurement.from_code([0.0] * 3, "m**1 s**-1")
                 o.a = Measurement.from_code([0.0] * 3, "m**1 s**-2")
                 o.E = Measurement.from_code(float(E[i]), "J**1")
+                if "w" in b:
+                    o.w = float(np.asarray(b["w"])[i])
                 out.append(o)
         return out
 
@@ -883,7 +890,7 @@ class Simulation(threading.Thread):
             host = jax.device_get(
                 {"r": st.r, "dr": st.dr, "v": st.v, "dv": st.dv, "a": st.a,
                  "E": st.E, "alive": st.alive, "otype": st.otype,
-                 "extras": dict(st.extras)}
+                 "w": st.w, "extras": dict(st.extras)}
             )
         out: List[Object] = []
         from physicl_tpu.light import PhotonObject  # local import, avoids cycle
@@ -900,6 +907,7 @@ class Simulation(threading.Thread):
             o.dv = Measurement.from_code(host["dv"][:, i], "m**1 s**-1")
             o.a = Measurement.from_code(host["a"][:, i], "m**1 s**-2")
             o.E = Measurement.from_code(float(host["E"][i]), "J**1")
+            o.w = float(host["w"][i])
             for name, arr in host["extras"].items():
                 setattr(o, name,
                         arr[..., i] if arr.ndim == 2 else float(arr[i]))
@@ -959,6 +967,7 @@ class Simulation(threading.Thread):
                 r=grow(state.r), dr=grow(state.dr), v=grow(state.v),
                 dv=grow(state.dv), a=grow(state.a), E=grow(state.E),
                 alive=grow(state.alive), otype=grow(state.otype),
+                w=grow(state.w),
                 extras={n: grow(x) for n, x in state.extras.items()},
             )
             cap = new_cap
@@ -986,7 +995,8 @@ class Simulation(threading.Thread):
             v=put(state.v, sub.v), dv=put(state.dv, sub.dv),
             a=put(state.a, sub.a), E=put(state.E, sub.E),
             alive=put(state.alive, sub.alive),
-            otype=put(state.otype, sub.otype), extras=extras,
+            otype=put(state.otype, sub.otype), w=put(state.w, sub.w),
+            extras=extras,
             n_spawned=jnp.asarray(hwm + k, jnp.int32),
         )
         if self.mesh is not None:

@@ -494,12 +494,14 @@ def generate_photons(n, fn=None, min=0, max=0, bins=-1) -> List[PhotonObject]:
     return out
 
 
-def generate_photon_state(n, E, v=None, r=None, device=False) -> dict:
+def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
     """Bulk SoA photon population — the fast path for large N (no per-photon
     Python objects). Returns a dict for ``Simulation.add_photons``.
 
     ``E``: scalar or (n,) energies [code units]; ``v``: (3,) or (3,n) velocities
-    (default +x at c); ``r``: (3,) or (3,n) positions (default origin).
+    (default +x at c); ``r``: (3,) or (3,n) positions (default origin);
+    ``w``: scalar or (n,) statistical weights (default 1.0 — analog transport;
+    set for source biasing with weighted measurements).
 
     ``device=True`` builds the arrays with jnp on the accelerator (zero host
     staging — the right path at 1e7+ photons); ``E`` may then be a jax array
@@ -522,8 +524,12 @@ def generate_photon_state(n, E, v=None, r=None, device=False) -> dict:
         else:
             r_arr = jnp.broadcast_to(jnp.asarray(
                 raw_code_value(r), jnp.float32).reshape(3, -1), (3, n))
-        return {"n": n, "E": E_arr, "v": v_arr, "r": r_arr,
-                "otype": OBJ_PHOTON}
+        out = {"n": n, "E": E_arr, "v": v_arr, "r": r_arr,
+               "otype": OBJ_PHOTON}
+        if w is not None:
+            out["w"] = jnp.broadcast_to(
+                jnp.asarray(w, jnp.float32).reshape(-1), (n,))
+        return out
     E_flat = np.asarray(raw_code_value(E), np.float64).reshape(-1)
     if E_flat.size not in (1, n):
         raise ValueError(f"E must be scalar or length {n}")
@@ -538,7 +544,13 @@ def generate_photon_state(n, E, v=None, r=None, device=False) -> dict:
     else:
         r_arr = np.broadcast_to(
             np.asarray(raw_code_value(r), np.float64).reshape(3, -1), (3, n)).copy()
-    return {"n": n, "E": E_arr, "v": v_arr, "r": r_arr, "otype": OBJ_PHOTON}
+    out = {"n": n, "E": E_arr, "v": v_arr, "r": r_arr, "otype": OBJ_PHOTON}
+    if w is not None:
+        w_flat = np.asarray(raw_code_value(w), np.float64).reshape(-1)
+        if w_flat.size not in (1, n):
+            raise ValueError(f"w must be scalar or length {n}")
+        out["w"] = np.broadcast_to(w_flat, (n,)).copy()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -584,10 +596,29 @@ class ScatterDeleteStep(Step):
       (physicl/light.py:295-299 grammar, or a callable).
 
     Both run fused and on the generic scan; together they give the full
-    attenuation model ``pcoll = A * A_fn(E) * n(r) * |dr|``."""
+    attenuation model ``pcoll = A * A_fn(E) * n(r) * |dr|``.
+
+    Variance reduction (TPU extension — standard Monte Carlo transport
+    techniques the reference lacks):
+
+    * ``implicit_capture=True`` — survival biasing: instead of killing a
+      photon with probability ``pcoll``, its statistical weight is
+      deterministically multiplied by ``1 - min(pcoll, 1)`` every iteration
+      (NO random draw). Every photon survives to contribute to weighted
+      tallies, so deep-penetration observables lose the e^tau blow-up of
+      analog survival statistics. Measurements must then sum ``p.w``
+      (``SpectrumMeasureStep(weighted=True)``, or ``p.w`` in a
+      ReduceMeasureStep) — unweighted counts stop being physical.
+    * ``roulette=(w_min, w_survive)`` — Russian roulette keeps implicit
+      capture unbiased AND bounded: a photon whose weight falls below
+      ``w_min`` survives with probability ``w / w_survive`` (weight reset
+      to ``w_survive``) and is killed otherwise — expected weight is
+      exactly conserved. Without roulette nothing ever dies, so
+      ``exit="extinction"`` never fires; prefer ``until_t=``.
+    """
 
     def __init__(self, n, A, A_fn=None, variable_n=False,
-                 variable_n_fn=None):
+                 variable_n_fn=None, implicit_capture=False, roulette=None):
         self.n = _as_code(n)
         self.A = _as_code(A)
         self._a_fn = (None if A_fn is None else
@@ -596,6 +627,17 @@ class ScatterDeleteStep(Step):
             raise ValueError("variable_n=True requires variable_n_fn")
         self._n_fn = (_compile_variable_n(variable_n_fn) if variable_n
                       else None)
+        self.implicit_capture = bool(implicit_capture)
+        if roulette is not None:
+            if not self.implicit_capture:
+                raise ValueError("roulette requires implicit_capture=True "
+                                 "(analog transport kills outright)")
+            w_min, w_survive = (float(roulette[0]), float(roulette[1]))
+            if not (0.0 < w_min <= w_survive):
+                raise ValueError("roulette=(w_min, w_survive) needs "
+                                 "0 < w_min <= w_survive")
+            roulette = (w_min, w_survive)
+        self.roulette = roulette
 
     @property
     def _coef(self):
@@ -611,8 +653,22 @@ class ScatterDeleteStep(Step):
         if self._n_fn is not None:
             pcoll = pcoll * jnp.asarray(
                 self._n_fn(state.r[0], state.r[1], state.r[2]), norm.dtype)
+        sel = (state.otype == OBJ_PHOTON) & state.alive
+        if self.implicit_capture:
+            p = jnp.clip(pcoll, 0.0, 1.0)
+            w = jnp.where(sel, state.w * (1.0 - p), state.w)
+            if self.roulette is None:
+                return state.replace(w=w)
+            w_min, w_sur = self.roulette
+            u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+            low = sel & (w < w_min)
+            # survive with probability w / w_survive at weight w_survive:
+            # expected weight is conserved exactly
+            kill = low & (u * w_sur >= w)
+            w = jnp.where(low & ~kill, jnp.asarray(w_sur, w.dtype), w)
+            return state.replace(w=w, alive=state.alive & ~kill)
         u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
-        hit = (pcoll >= u) & (state.otype == OBJ_PHOTON) & state.alive
+        hit = (pcoll >= u) & sel
         return state.replace(alive=state.alive & jnp.logical_not(hit))
 
 
@@ -1372,9 +1428,12 @@ class SpectrumMeasureStep(ReduceMeasureStep):
     lower-edge convention: bin i counts ``edges[i] <= E < edges[i+1]``).
     ``weight="count"`` tallies photons; ``weight="energy"`` accumulates
     their energies (spectral flux). ``underflow``/``overflow`` add capture
-    bins outside the range. ``data`` rows are ``[t(, n), bin_0, ...,
-    (underflow,) (overflow,)]`` with CSV via ``out_fn`` like every
-    MeasureStep; counts cross shards as one psum on mesh runs.
+    bins outside the range. ``weighted=True`` multiplies every contribution
+    by the photon's statistical weight ``w`` — required for physical
+    spectra under ``ScatterDeleteStep(implicit_capture=True)`` transport.
+    ``data`` rows are ``[t(, n), bin_0, ..., (underflow,) (overflow,)]``
+    with CSV via ``out_fn`` like every MeasureStep; counts cross shards as
+    one psum on mesh runs.
 
     The fused kernel's record row is 128 channels wide, so at most ~120
     bins stay on the fast path (the prover falls back to the generic scan
@@ -1383,7 +1442,7 @@ class SpectrumMeasureStep(ReduceMeasureStep):
 
     def __init__(self, out_fn=None, edges=None, measure_n: bool = False,
                  weight: str = "count", underflow: bool = False,
-                 overflow: bool = False):
+                 overflow: bool = False, weighted: bool = False):
         edges = np.asarray(edges, dtype=np.float64)
         if edges.ndim != 1 or edges.size < 2:
             raise ValueError("edges must be a 1-D array of >= 2 bin edges")
@@ -1402,17 +1461,21 @@ class SpectrumMeasureStep(ReduceMeasureStep):
         e = tuple(float(v) for v in edges)
 
         def contributions(p):
-            w = p.E if weight == "energy" else None
+            val = p.E if weight == "energy" else None
+            if weighted:
+                val = p.w if val is None else val * p.w
             out = {}
             for i in range(len(e) - 1):
                 m = (p.E >= e[i]) & (p.E < e[i + 1])
-                out[f"bin{i}"] = m if w is None else jnp.where(m, w, 0.0)
+                out[f"bin{i}"] = m if val is None else jnp.where(m, val, 0.0)
             if underflow:
                 m = p.E < e[0]
-                out["underflow"] = m if w is None else jnp.where(m, w, 0.0)
+                out["underflow"] = (m if val is None
+                                    else jnp.where(m, val, 0.0))
             if overflow:
                 m = p.E >= e[-1]
-                out["overflow"] = m if w is None else jnp.where(m, w, 0.0)
+                out["overflow"] = (m if val is None
+                                   else jnp.where(m, val, 0.0))
             return out
 
         super().__init__(out_fn, contributions, outputs=names,

@@ -38,6 +38,7 @@ def compact(state: SimState) -> SimState:
         v=scatter_last(state.v), dv=scatter_last(state.dv),
         a=scatter_last(state.a), E=scatter_last(state.E),
         alive=scatter_last(state.alive), otype=scatter_last(state.otype),
+        w=scatter_last(state.w),
         n_spawned=n_alive,  # survivors packed to front; next slot = count
         extras={k: scatter_last(v) for k, v in state.extras.items()},
     )
@@ -63,5 +64,6 @@ def compact_shrink(state: SimState, n_alive: int) -> SimState:
         r=cut(packed.r), dr=cut(packed.dr), v=cut(packed.v),
         dv=cut(packed.dv), a=cut(packed.a), E=cut(packed.E),
         alive=cut(packed.alive), otype=cut(packed.otype),
+        w=cut(packed.w),
         extras={k: cut(v) for k, v in packed.extras.items()},
     )

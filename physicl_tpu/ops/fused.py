@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from physicl_tpu.state import OBJ_PHOTON, SimState
 
 # Field planes in the packed (NF, C) state array.
-_RX, _RY, _RZ, _DRX, _DRY, _DRZ, _VX, _VY, _VZ, _DVX, _DVY, _DVZ, _E, _ALIVE = range(14)
-_NF = 14
+(_RX, _RY, _RZ, _DRX, _DRY, _DRZ, _VX, _VY, _VZ, _DVX, _DVY, _DVZ, _E,
+ _ALIVE, _W) = range(15)
+_NF = 15
 
 _LANE = 128
 _MAX_REC_COLS = 128
@@ -136,6 +137,8 @@ class _Op:
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso/hg)
     n_fn: Optional[Callable] = None  # variable n(r) (iso/hg/del)
     a_fn: Optional[Callable] = None  # energy-dependent sigma(E) (del)
+    implicit_capture: bool = False  # del: w *= 1-p instead of killing
+    roulette: tuple = ()            # del: (w_min, w_survive) or empty
     c_val: float = 0.0              # |v| for resampled photons (iso/hg)
     g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
     inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
@@ -259,7 +262,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     emit_starts_ref=None, gidx=None, t=None):
     """Run one simulation iteration on VMEM-resident field values.
 
-    ``fields`` is a list of 14 (tile_rows, 128) f32 arrays; returns
+    ``fields`` is a list of 15 (tile_rows, 128) f32 arrays; returns
     (updated fields, record row (1, 128) int32). Ops execute in the plan's
     order == step insertion order (reference semantics,
     physicl/__init__.py:514). ``emit_starts_ref[(op_idx, k)]`` gives emitter
@@ -301,10 +304,26 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             if op.n_fn is not None:  # variable number density n(r)
                 pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
                     jnp.float32)
-            u = rng.uniform(shape)
-            hit = (pcoll >= u) & alive_b
-            alive_b = alive_b & jnp.logical_not(hit)
-            f[_ALIVE] = alive_b.astype(jnp.float32)
+            if op.implicit_capture:
+                # survival biasing: deterministic weight decay, no draw
+                p = jnp.clip(pcoll, jnp.float32(0.0), jnp.float32(1.0))
+                f[_W] = jnp.where(alive_b, f[_W] * (jnp.float32(1.0) - p),
+                                  f[_W])
+                if op.roulette:
+                    w_min = jnp.float32(op.roulette[0])
+                    w_sur = jnp.float32(op.roulette[1])
+                    u = rng.uniform(shape)
+                    low = alive_b & (f[_W] < w_min)
+                    kill = low & (u * w_sur >= f[_W])
+                    f[_W] = jnp.where(low & jnp.logical_not(kill), w_sur,
+                                      f[_W])
+                    alive_b = alive_b & jnp.logical_not(kill)
+                    f[_ALIVE] = alive_b.astype(jnp.float32)
+            else:
+                u = rng.uniform(shape)
+                hit = (pcoll >= u) & alive_b
+                alive_b = alive_b & jnp.logical_not(hit)
+                f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "iso":
             pcoll = jnp.float32(op.coef) * dr_norm()
             if op.n_fn is not None:
@@ -498,6 +517,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 cval = jnp.float32(op.c_val) * inv
                 for d, comp in enumerate((nx, ny, nz)):
                     f[_VX + d] = jnp.where(mask, cval * comp, f[_VX + d])
+            # recycled slots may carry a stale roulette/capture weight
+            f[_W] = jnp.where(mask, jnp.float32(1.0), f[_W])
             alive_b = alive_b | mask
             f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "absorb":
@@ -929,7 +950,7 @@ _CHUNK_CACHE_MAX = 64
 def build_fused_chunk(plan: FusedPlan, capacity: int):
     """Compile the fused chunk: (packed_state, dts, seed, k_act) -> (state, rec).
 
-    ``packed_state`` is (14, C) f32; rec is (chunk, 128) int32 with col 0 the
+    ``packed_state`` is (15, C) f32; rec is (chunk, 128) int32 with col 0 the
     global alive count per iteration and measure channels per the plan.
 
     Structurally identical (plan, capacity) pairs return the SAME jitted
@@ -1066,11 +1087,12 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
 
 
 def pack_state(state: SimState) -> jax.Array:
-    """SimState -> packed (14, C) f32 (one concat; slices come back out)."""
+    """SimState -> packed (15, C) f32 (one concat; slices come back out)."""
     return jnp.concatenate(
         [state.r, state.dr, state.v, state.dv,
          state.E[None].astype(jnp.float32),
-         state.alive[None].astype(jnp.float32)],
+         state.alive[None].astype(jnp.float32),
+         state.w[None].astype(jnp.float32)],
         axis=0,
     )
 
@@ -1081,4 +1103,5 @@ def unpack_state(packed: jax.Array, template: SimState) -> SimState:
         v=packed[_VX:_VX + 3], dv=packed[_DVX:_DVX + 3],
         E=packed[_E].astype(template.E.dtype),
         alive=packed[_ALIVE] > 0,
+        w=packed[_W].astype(template.w.dtype),
     )

@@ -589,7 +589,10 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op("kin"))
         elif type(s) is ScatterDeleteStep:
             ops.append(F._Op("del", coef=s._coef, a_fn=s._a_fn,
-                             n_fn=s._n_fn))
+                             n_fn=s._n_fn,
+                             implicit_capture=s.implicit_capture,
+                             roulette=(tuple(s.roulette)
+                                       if s.roulette else ())))
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("absorb", bounds=_static_bounds(s, sim)))

@@ -160,6 +160,7 @@ def shard_state_multiprocess(state, mesh):
         r=place(state.r), dr=place(state.dr), v=place(state.v),
         dv=place(state.dv), a=place(state.a), E=place(state.E),
         alive=place(state.alive), otype=place(state.otype),
+        w=place(state.w),
         t=place(state.t), dt=place(state.dt), key=place(state.key),
         n_spawned=place(state.n_spawned), t_comp=place(state.t_comp),
         extras={k: place(v) for k, v in state.extras.items()},

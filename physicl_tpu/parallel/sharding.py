@@ -69,6 +69,7 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         r=place(state.r, 2), dr=place(state.dr, 2), v=place(state.v, 2),
         dv=place(state.dv, 2), a=place(state.a, 2), E=place(state.E, 1),
         alive=place(state.alive, 1), otype=place(state.otype, 1),
+        w=place(state.w, 1),
         t=jax.device_put(state.t, rep), dt=jax.device_put(state.dt, rep),
         key=jax.device_put(state.key, rep),
         n_spawned=jax.device_put(state.n_spawned, rep),
@@ -80,7 +81,7 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
     """Fused transport chunk under shard_map: each shard advances its local
     photons K iterations in VMEM; record rows cross chips as one psum.
 
-    Matches build_fused_chunk's signature: (packed (14,C), dts, emit_starts, seed, k_act)
+    Matches build_fused_chunk's signature: (packed (15,C), dts, emit_starts, seed, k_act)
     -> (packed, rec). Seeds are decorrelated per shard via axis_index.
     """
     from jax import shard_map
@@ -94,7 +95,7 @@ def build_sharded_fused(plan, capacity: int, mesh: Mesh):
     local_cap = capacity // n_shards
     # Under shard_map the kernel's operand/result buffers count against the
     # ~16MB scoped-VMEM budget (unlike plain jit, where they live in HBM):
-    # 512-row tiles overflow it (14-plane in+out windows alone are 14.7MB),
+    # 512-row tiles overflow it (15-plane in+out windows alone are 15.7MB),
     # so cap sharded kernels at 256 rows.
     if plan.tile_rows > 256:
         plan = dataclasses.replace(plan, tile_rows=256)

@@ -106,12 +106,18 @@ class PopulationManager:
                 for f in ("r", "v", "E"):
                     arr = np.asarray(jax.device_get(payload[f]), np.float64)
                     h.update(np.ascontiguousarray(arr).tobytes())
+                if "w" in payload:  # statistical weights (presence hashes too)
+                    arr = np.asarray(jax.device_get(payload["w"]), np.float64)
+                    h.update(b"w" + np.ascontiguousarray(arr).tobytes())
             else:  # "obj"
                 h.update(np.int64(getattr(payload, "_obj_type_code",
                                           0)).tobytes())
                 for f in ("r", "v", "E"):
                     val = raw_code_value(getattr(payload, f, 0.0))
                     h.update(np.asarray(val, np.float64).tobytes())
+                h.update(np.asarray(
+                    raw_code_value(getattr(payload, "w", 1.0)),
+                    np.float64).tobytes())
         h.update(np.asarray(sorted(removes), np.int64).tobytes())
 
     def _note_applied(self, items, removes) -> None:

@@ -60,6 +60,9 @@ class SimState:
     E: jax.Array            # (C,)  energy (photons)
     alive: jax.Array        # (C,)  bool
     otype: jax.Array        # (C,)  int32 object type code
+    w: jax.Array            # (C,)  statistical weight (Monte Carlo variance
+                            #       reduction: implicit capture / roulette
+                            #       rescale it; 1.0 for analog transport)
     t: jax.Array            # ()    simulation time
     dt: jax.Array           # ()    last time increment
     key: jax.Array          # PRNG key
@@ -97,6 +100,7 @@ class SimState:
             dv=f(3, capacity), a=f(3, capacity), E=f(capacity),
             alive=jnp.zeros((capacity,), jnp.bool_),
             otype=jnp.zeros((capacity,), jnp.int32),
+            w=jnp.ones((capacity,), dtype),
             t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
             key=jax.random.PRNGKey(seed),
         )
@@ -147,6 +151,11 @@ class SimState:
 
             zeros3 = jnp.zeros((3, cap), dtype)
             idx = jnp.arange(cap)
+            if "w" in b:
+                w = jnp.pad(jnp.asarray(b["w"], dtype), (0, cap - k),
+                            constant_values=1.0)
+            else:
+                w = jnp.ones((cap,), dtype)
             return SimState(
                 r=pad_vec(b["r"]), dr=zeros3, v=pad_vec(b["v"]),
                 dv=zeros3, a=zeros3,
@@ -154,6 +163,7 @@ class SimState:
                 alive=idx < k,
                 otype=jnp.where(idx < k, jnp.int32(b["otype"]),
                                 jnp.int32(0)),
+                w=w,
                 t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
                 key=SimState.make_key(seed, prng_impl),
                 n_spawned=jnp.asarray(k, jnp.int32),
@@ -165,11 +175,13 @@ class SimState:
                ("r", "dr", "v", "dv", "a")}
         E = np.zeros((cap,), np_dtype)
         otype = np.zeros((cap,), np.int32)
+        w = np.ones((cap,), np_dtype)
 
         # Arbitrary extra numeric attributes (reference Objects accept any
         # kwargs, physicl/__init__.py:395-396): scalars -> (C,), 3-vectors
-        # -> (3, C), exposed as state.extras[name].
-        core = {"r", "dr", "v", "dv", "a", "E"}
+        # -> (3, C), exposed as state.extras[name]. ``w`` is the statistical
+        # weight and routes to its first-class plane instead.
+        core = {"r", "dr", "v", "dv", "a", "E", "w"}
         extras_spec: Dict[str, int] = {}
         for o in objects:
             for name, val in vars(o).items():
@@ -189,6 +201,7 @@ class SimState:
             for name in vec:
                 vec[name][:, i] = raw_code_value(getattr(o, name)).reshape(3)
             E[i] = float(raw_code_value(getattr(o, "E", 0.0)))
+            w[i] = float(raw_code_value(getattr(o, "w", 1.0)))
             otype[i] = getattr(o, "_obj_type_code", OBJ_GENERIC)
             for name, dim in extras_spec.items():
                 if hasattr(o, name):
@@ -204,6 +217,8 @@ class SimState:
             vec["r"][:, sl] = b["r"]
             vec["v"][:, sl] = b["v"]
             E[sl] = b["E"]
+            if "w" in b:
+                w[sl] = b["w"]
             otype[sl] = int(b["otype"])
             off += k
         alive = np.zeros((cap,), bool)
@@ -214,6 +229,7 @@ class SimState:
             v=jnp.asarray(vec["v"]), dv=jnp.asarray(vec["dv"]),
             a=jnp.asarray(vec["a"]), E=jnp.asarray(E),
             alive=jnp.asarray(alive), otype=jnp.asarray(otype),
+            w=jnp.asarray(w),
             t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
             key=SimState.make_key(seed, prng_impl),
             n_spawned=jnp.asarray(n, jnp.int32),

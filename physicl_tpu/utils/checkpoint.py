@@ -19,7 +19,7 @@ from physicl_tpu.state import SimState
 
 __all__ = ["save_checkpoint", "load_checkpoint", "state_from_checkpoint"]
 
-_FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "t", "dt",
+_FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "w", "t", "dt",
            "key", "n_spawned", "t_comp")
 
 
@@ -49,6 +49,8 @@ def load_checkpoint(path: str):
         # t_comp (Kahan clock compensation) is absent in pre-r3 checkpoints;
         # default to zero rather than failing the load
         kw = {f: jnp.asarray(z[f]) for f in _FIELDS if f in z.files}
+        if "w" not in kw:  # statistical weights absent pre-weighted-transport
+            kw["w"] = jnp.ones(kw["E"].shape, kw["E"].dtype)
         kw["extras"] = {
             k[len("extra."):]: jnp.asarray(z[k])
             for k in z.files if k.startswith("extra.")

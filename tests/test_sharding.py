@@ -282,3 +282,32 @@ def test_sharded_fused_anisotropic_families(kind):
     a, b = res[True], res[False]
     assert abs(a[0].mean() - b[0].mean()) < 0.02
     assert abs(a[1].mean() - b[1].mean()) < 0.01
+
+
+def test_sharded_weighted_transport_psum():
+    """Implicit-capture weight sums cross the 8-device mesh as one psum and
+    stay deterministic-exact (N*(1-p)^k), shard-independent."""
+    mesh = make_mesh()
+    n = 8 * 16384
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.005, seed=0, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        c = float(light.c)
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(0.25 / (c * 1e-3)),
+            implicit_capture=True))
+        red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w},
+                                     outputs=("W",), measure_n=True)
+        s.add_step(3, red)
+        s.add_photons(light.generate_photon_state(n, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused
+        res[m is not None] = np.array(red.data, dtype=float)
+    for rows in res.values():
+        assert (rows[:, 1] == n).all()
+        expect = n * 0.75 ** np.arange(1, rows.shape[0] + 1)
+        np.testing.assert_allclose(rows[:, 2], expect, rtol=1e-4)
+    # capture is draw-free, so mesh and single-device agree to roundoff
+    np.testing.assert_allclose(res[True][:, 2], res[False][:, 2], rtol=1e-5)

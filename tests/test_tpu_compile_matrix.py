@@ -111,6 +111,12 @@ def _ops(kind):
         return [kin, iso,
                 F._Op("reduce", custom_fn=moments,
                       reduce_outputs=("E_total", "r2"), cols=(1, 0))], 3, 0
+    if kind == "implicit_capture":
+        # weighted transport: deterministic weight decay + Russian roulette
+        # exercises the _W plane read-modify-write in the unrolled loop
+        return [kin, F._Op("del", coef=0.1 * _EPS, implicit_capture=True,
+                           roulette=(1e-3, 2e-3)),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "spectrum_wide":
         # light.SpectrumMeasureStep near the 120-bin fast-path ceiling: 100
         # float record channels stress the rec_f row at fresh compile
@@ -134,7 +140,7 @@ def _ops(kind):
                                   "rayl", "compton", "compton_thermal",
                                   "trace", "trace_strided", "trace_bf16",
                                   "ecap", "custom", "reduce",
-                                  "spectrum_wide"])
+                                  "spectrum_wide", "implicit_capture"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -158,7 +164,7 @@ def test_fused_kernel_fresh_compiles(kind, rows):
         jnp.zeros((6, cap), jnp.float32),                      # r, dr
         jnp.ones((1, cap), jnp.float32) * jnp.float32(3e8),    # vx
         jnp.zeros((5, cap), jnp.float32),                      # vy..dvz
-        jnp.ones((2, cap), jnp.float32),                       # E, alive
+        jnp.ones((3, cap), jnp.float32),                       # E, alive, w
     ])
     sched = np.tile(np.float32(1e-3), (5, chunk))
     sched[1] = np.cumsum(sched[0])                             # t after

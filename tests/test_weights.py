@@ -1,0 +1,201 @@
+"""Weighted (non-analog) Monte Carlo transport: the statistical-weight plane,
+implicit capture (survival biasing), Russian roulette, and weighted tallies.
+
+The reference is purely analog (a photon either survives or is deleted,
+physicl/light.py:146-158); weights are a TPU extension. Key invariants:
+
+* implicit capture is DETERMINISTIC: a monoenergetic beam in a uniform
+  absorber has total weight exactly N*(1-p)^k after k iterations — both
+  execution paths must hit it to f32 roundoff, no statistical tolerance;
+* roulette conserves expected weight (unbiased) while bounding the alive
+  population's minimum weight away from zero;
+* weighted tallies (SpectrumMeasureStep(weighted=True), p.w in
+  ReduceMeasureStep) replace counts as the physical observable.
+"""
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+
+def _absorber(fuse, n_phot=4096, p_step=0.1, t_end=0.02, seed=0, **del_kw):
+    s = phys.Simulation(until_t=t_end, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    c = float(light.c)
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(p_step / (c * 1e-3)), **del_kw))
+    s.add_photons(light.generate_photon_state(n_phot, E=1.0))
+    return s
+
+
+def test_weight_plane_defaults_and_particle_view():
+    """w defaults to 1.0; ParticleView exposes it on both paths; an
+    ElementwiseStep can read AND write it."""
+    import jax.numpy as jnp
+
+    halve = phys.ElementwiseStep(lambda p: {"w": p.w * jnp.float32(0.5)})
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.003, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, halve)
+        red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w},
+                                     outputs=("W",))
+        s.add_step(3, red)
+        s.add_photons(light.generate_photon_state(256, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = np.array(red.data, dtype=float)[:, 1]
+    for rows in out.values():
+        np.testing.assert_allclose(
+            rows, 256 * 0.5 ** np.arange(1, rows.size + 1), rtol=1e-6)
+
+
+def test_implicit_capture_exact_deterministic_attenuation():
+    """Uniform absorber: total weight is N*(1-p)^k EXACTLY (no draw is
+    made), photons never die, and fused == generic to f32 roundoff."""
+    out = {}
+    for fuse in ("auto", "off"):
+        s = _absorber(fuse, implicit_capture=True)
+        red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w},
+                                     outputs=("W",), measure_n=True)
+        s.add_step(3, red)
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        rows = np.array(red.data, dtype=float)
+        assert (rows[:, 1] == 4096).all()   # nothing is ever killed
+        out[fuse] = rows[:, 2]
+    for rows in out.values():
+        expect = 4096 * (1.0 - 0.1) ** np.arange(1, rows.size + 1)
+        # f32 per-photon multiplies compound ~1 ulp/iteration: 1e-4 is
+        # pure roundoff, there is NO statistical term in this number
+        np.testing.assert_allclose(rows, expect, rtol=1e-4)
+
+
+def test_implicit_capture_beats_analog_at_depth():
+    """tau = 9: the weighted estimate of the survival fraction is
+    deterministic-exact where the analog estimate carries ~9% relative
+    shot noise (the variance-reduction point of the technique)."""
+    k = 90
+    s = _absorber("auto", t_end=k * 1e-3, implicit_capture=True)
+    red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w}, outputs=("W",))
+    s.add_step(3, red)
+    s.start(); s.join()
+    rows = np.array(red.data, dtype=float)
+    expect = (1.0 - 0.1) ** rows.shape[0]   # ~7.6e-5 per photon at k=90
+    weighted = rows[-1, 1] / 4096
+    assert abs(weighted / expect - 1) < 1e-3
+
+    s = _absorber("auto", t_end=k * 1e-3)   # analog twin
+    s.start(); s.join()
+    analog = len(s.objects) / 4096
+    expect_a = (1.0 - 0.1) ** len(s.ts)
+    # deterministic bound: analog is integer-quantized at 1/4096 = 3.2x the
+    # expected survival, so its relative error CANNOT resolve below ~50%
+    # unless the draw lands exactly on 0 or 1 survivors by luck
+    assert abs(weighted - expect) < abs(analog - expect_a) or analog == 0
+
+
+def test_roulette_unbiased_and_bounded():
+    """Roulette keeps E[total weight] = N*(1-p)^k while killing most of the
+    low-weight population and never leaves an alive weight below w_min*(1-p)."""
+    k = 90
+    w_min, w_sur = 1e-3, 2e-3
+    s = _absorber("auto", n_phot=65536, t_end=k * 1e-3 + 1e-6, seed=3,
+                  implicit_capture=True, roulette=(w_min, w_sur))
+    red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w}, outputs=("W",),
+                                 measure_n=True)
+    s.add_step(3, red)
+    s.start(); s.join()
+    rows = np.array(red.data, dtype=float)
+    expect = 65536 * (1.0 - 0.1) ** rows.shape[0]
+    # unbiased: Sigma w within statistical tolerance of the exact value
+    # (roulette survival draws are the only noise source)
+    assert abs(rows[-1, 2] / expect - 1) < 0.25
+    # roulette actually culls: far fewer alive than the 65536 implicit
+    # capture would keep
+    assert rows[-1, 1] < 65536 * 0.2
+    # alive weights stay bounded: w >= w_min*(1-p) or reset to w_survive
+    ws = np.array([float(o.w) for o in s.objects])
+    if ws.size:
+        assert ws.min() >= w_min * (1 - 0.1) * 0.999
+
+
+def test_weighted_spectrum_under_implicit_capture():
+    """SpectrumMeasureStep(weighted=True) bins Sigma w; unweighted counts
+    stay at N (nothing dies under pure implicit capture)."""
+    for fuse in ("auto", "off"):
+        s = _absorber(fuse, n_phot=512, t_end=0.005,
+                      implicit_capture=True)
+        spec_w = light.SpectrumMeasureStep(
+            None, edges=np.array([0.5, 1.5, 2.5]), weighted=True)
+        spec_c = light.SpectrumMeasureStep(
+            None, edges=np.array([0.5, 1.5, 2.5]))
+        s.add_step(3, spec_w)
+        s.add_step(4, spec_c)
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        w_rows = np.array(spec_w.data, dtype=float)
+        c_rows = np.array(spec_c.data, dtype=float)
+        np.testing.assert_allclose(
+            w_rows[:, 1],
+            512 * 0.9 ** np.arange(1, w_rows.shape[0] + 1), rtol=1e-5)
+        np.testing.assert_allclose(c_rows[:, 1], 512.0)
+        assert (w_rows[:, 2] == 0).all() and (c_rows[:, 2] == 0).all()
+
+
+def test_source_biasing_weights_accepted():
+    """generate_photon_state(w=...) and PhotonObject(w=...) seed the plane."""
+    s = phys.Simulation(until_t=0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    red = phys.ReduceMeasureStep(None, lambda p: {"W": p.w}, outputs=("W",))
+    s.add_step(2, red)
+    s.add_photons(light.generate_photon_state(
+        100, E=1.0, w=np.full(100, 0.25)))
+    o = light.PhotonObject(
+        E=np.double(1.0),
+        v=np.array([float(light.c), 0, 0], dtype=np.double), w=3.0)
+    s.add_obj(o)
+    s.start(); s.join()
+    rows = np.array(red.data, dtype=float)
+    np.testing.assert_allclose(rows[:, 1], 100 * 0.25 + 3.0, rtol=1e-6)
+    # readback view exposes the weight
+    ws = sorted(float(x.w) for x in s.objects)[-1]
+    assert ws == pytest.approx(3.0)
+
+
+def test_weight_checkpoint_roundtrip(tmp_path):
+    """Weights survive save/restore (and old checkpoints default to 1.0)."""
+    from physicl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    s = _absorber("auto", n_phot=256, t_end=0.003, implicit_capture=True)
+    s.start(); s.join()
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(s, path)
+    state, meta = load_checkpoint(path)
+    w = np.asarray(state.w)[np.asarray(state.alive)]
+    np.testing.assert_allclose(w, 0.9 ** len(s.ts), rtol=1e-5)
+    # back-compat: a checkpoint without w loads with unit weights
+    import numpy as _np
+    with _np.load(path, allow_pickle=False) as z:
+        stripped = {k: z[k] for k in z.files if k != "w"}
+    _np.savez_compressed(str(tmp_path / "old.npz"), **stripped)
+    state2, _ = load_checkpoint(str(tmp_path / "old.npz"))
+    assert (np.asarray(state2.w) == 1.0).all()
+
+
+def test_roulette_validation():
+    with pytest.raises(ValueError, match="implicit_capture"):
+        light.ScatterDeleteStep(1.0, 1.0, roulette=(1e-3, 2e-3))
+    with pytest.raises(ValueError, match="0 < w_min"):
+        light.ScatterDeleteStep(1.0, 1.0, implicit_capture=True,
+                                roulette=(2e-3, 1e-3))
+    with pytest.raises(ValueError, match="0 < w_min"):
+        light.ScatterDeleteStep(1.0, 1.0, implicit_capture=True,
+                                roulette=(0.0, 1e-3))
