@@ -527,8 +527,10 @@ def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
         out = {"n": n, "E": E_arr, "v": v_arr, "r": r_arr,
                "otype": OBJ_PHOTON}
         if w is not None:
-            out["w"] = jnp.broadcast_to(
-                jnp.asarray(w, jnp.float32).reshape(-1), (n,))
+            w_arr = jnp.asarray(raw_code_value(w), jnp.float32).reshape(-1)
+            if w_arr.shape[0] not in (1, n):
+                raise ValueError(f"w must be scalar or length {n}")
+            out["w"] = jnp.broadcast_to(w_arr, (n,))
         return out
     E_flat = np.asarray(raw_code_value(E), np.float64).reshape(-1)
     if E_flat.size not in (1, n):
@@ -1406,6 +1408,9 @@ class PhotonEmitterStep(Step):
                 E=put1(state.E, E_new),
                 alive=put1(state.alive, jnp.ones((k,), jnp.bool_)),
                 otype=put1(state.otype, jnp.full((k,), OBJ_PHOTON, jnp.int32)),
+                # recycled slots may carry a stale roulette/capture weight
+                # (the fused kernel resets it the same way, ops/fused.py)
+                w=put1(state.w, jnp.ones((k,), dtype)),
                 n_spawned=start + k,
             )
 
@@ -1419,10 +1424,13 @@ class PhotonEmitterStep(Step):
 
 
 class SpectrumMeasureStep(ReduceMeasureStep):
-    """Per-iteration energy histogram over alive photons, accumulated
+    """Per-iteration energy histogram over ALIVE particles, accumulated
     ON-DEVICE inside the fused kernel (TPU extension; no reference
     counterpart — at 10^7+ photons streaming every E to the host is the
-    alternative, see ScatterMeasureStep(measure_E=True)).
+    alternative, see ScatterMeasureStep(measure_E=True)). Fused pipelines
+    are photon-only by construction; a mixed population runs the generic
+    scan and tallies every alive particle's ``E`` — filter species with a
+    custom :class:`~physicl_tpu.engine.ReduceMeasureStep` if needed.
 
     ``edges`` is a static increasing 1-D array of bin edges (reference
     lower-edge convention: bin i counts ``edges[i] <= E < edges[i+1]``).
@@ -1433,7 +1441,10 @@ class SpectrumMeasureStep(ReduceMeasureStep):
     spectra under ``ScatterDeleteStep(implicit_capture=True)`` transport.
     ``data`` rows are ``[t(, n), bin_0, ..., (underflow,) (overflow,)]``
     with CSV via ``out_fn`` like every MeasureStep; counts cross shards as
-    one psum on mesh runs.
+    one psum on mesh runs. Tallies accumulate in float32 record channels:
+    per-bin counts are integer-exact up to 2**24 (~1.7e7) per iteration
+    and lose ulp-level exactness beyond — spread hotter populations over
+    more bins (or accept ~1e-7 relative rounding).
 
     The fused kernel's record row is 128 channels wide, so at most ~120
     bins stay on the fast path (the prover falls back to the generic scan

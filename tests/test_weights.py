@@ -199,3 +199,30 @@ def test_roulette_validation():
     with pytest.raises(ValueError, match="0 < w_min"):
         light.ScatterDeleteStep(1.0, 1.0, implicit_capture=True,
                                 roulette=(0.0, 1e-3))
+
+
+def test_emitter_resets_weight_on_recycled_slots():
+    """Photons emitted into recycled (previously dead, possibly compacted)
+    slots must spawn at w=1.0 on BOTH paths, even when the initial
+    population was source-biased or weight-decayed (regression: the generic
+    emitter forgot the reset the fused kernel does)."""
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.006, seed=5, fuse=fuse, capacity=640)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        c = float(light.c)
+        # kill ~90% of the seeded photons per iteration -> slots recycle
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(2.3 / (c * 1e-3))))
+        s.add_step(3, light.PhotonEmitterStep(
+            100, E=np.double(7.0), v=np.array([c, 0.0, 0.0])))
+        s.add_photons(light.generate_photon_state(
+            500, E=1.0, w=np.full(500, 0.25)))
+        s.start(); s.join()
+        ws = np.array([float(o.w) for o in s.objects])
+        Es = np.array([float(o.E.value()) for o in s.objects])
+        emitted = np.abs(Es - 7.0) < 1e-3
+        assert emitted.any(), "emitter produced no survivors"
+        np.testing.assert_allclose(ws[emitted], 1.0)
+        if (~emitted).any():   # seeded survivors keep their biased weight
+            np.testing.assert_allclose(ws[~emitted], 0.25)
