@@ -1,0 +1,147 @@
+"""Build + execute examples/deep_shield.ipynb (weighted-transport demo).
+
+Transmission through an absorbing shield measured two ways in one figure:
+analog transport (the reference's only mode — survivors counted) vs
+implicit capture + Russian roulette (statistical weights). The analog
+estimate dies into shot noise at optical depth tau ~ ln(N); the weighted
+estimate tracks the analytic e^-tau for as deep as you care to run.
+
+Run: python examples/make_shield_nb.py  (executes on the current backend;
+set PHYSICL_NB_SMALL=1 for a fast small-population smoke run).
+"""
+
+import os
+import sys
+
+import nbformat as nbf
+from nbconvert.preprocessors import ExecutePreprocessor
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SMALL = os.environ.get("PHYSICL_NB_SMALL") == "1"
+
+N_ANALOG = 200_000 if SMALL else 4_000_000
+N_WEIGHTED = 20_000 if SMALL else 400_000
+
+CELL0 = f'''\
+# Deep-shield transmission: analog vs weighted Monte Carlo.
+#
+# A photon beam enters a uniform absorber (optical depth tau = n sigma c t
+# grows linearly with time). Analytic transmission: T(tau) = e^-tau.
+#
+# Analog transport (the reference's only mode) kills photons outright:
+# at depth tau the expected survivor count is N e^-tau, so the estimate
+# carries relative shot noise ~ 1/sqrt(N e^-tau) — past tau ~ ln(N) there
+# are NO survivors and the measured curve is zero (minus infinity on a log
+# plot). Implicit capture replaces the kill with a deterministic weight
+# decay w *= (1 - p) per step: the per-photon weight IS e^-tau exactly, so
+# the transmission estimate is draw-free at any depth. Russian roulette
+# culls the dead-weight population unbiasedly to keep the alive count (and
+# the compute) bounded. Both run inside the same fused TPU kernel; the
+# weighted run uses 10x FEWER photons.
+import sys, os
+sys.path.insert(0, os.path.dirname(os.getcwd()))
+if os.environ.get("PHYSICL_NB_SMALL") == "1":   # CPU smoke mode
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import time
+import numpy as np
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+p_step = 0.2          # tau per iteration
+iters = 120           # tau_max = 24  (analog can resolve only ~ln(N) ~ 15)
+dt = 0.001
+c = float(light.c)
+A = p_step / (c * dt)
+
+def run(n_phot, **del_kw):
+    s = phys.Simulation(until_t=iters * dt, seed=17)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(dt)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(1.0), np.double(A),
+                                          **del_kw))
+    red = phys.ReduceMeasureStep(None, lambda p: {{"W": p.w}},
+                                 outputs=("W",), measure_n=True)
+    s.add_step(3, red)
+    s.add_photons(light.generate_photon_state(n_phot, E=1.0))
+    t0 = time.perf_counter()
+    s.start(); s.join()
+    wall = time.perf_counter() - t0
+    rows = np.array(red.data, dtype=float)
+    return rows, wall, s
+
+n_analog, n_weighted = {N_ANALOG}, {N_WEIGHTED}
+rows_a, wall_a, sim_a = run(n_analog)                       # analog
+rows_w, wall_w, sim_w = run(n_weighted, implicit_capture=True,
+                            roulette=(1e-9, 2e-9))          # weighted
+assert sim_a.used_fused and sim_w.used_fused
+k = min(rows_a.shape[0], rows_w.shape[0])
+# exact DISCRETE optical depth: each iteration is a Bernoulli(p_step)
+# absorption trial, so analytic transmission after k steps is
+# (1-p)^k = e^-tau with tau = -k ln(1-p). (tau = p*k only as p -> 0.)
+tau = -np.log(1.0 - p_step) * np.arange(1, k + 1)
+T_analog = rows_a[:k, 1] / n_analog        # survivor count (w=1 each)
+T_weighted = rows_w[:k, 2] / n_weighted    # Sigma w
+print(f"analog:   N={{n_analog:.0e}}  wall {{wall_a:.1f}} s  "
+      f"survivors at tau={{tau[-1]:.1f}}: {{int(rows_a[k - 1, 1])}}")
+print(f"weighted: N={{n_weighted:.0e}}  wall {{wall_w:.1f}} s  "
+      f"alive at tau={{tau[-1]:.1f}}: {{int(rows_w[k - 1, 1])}}  "
+      f"T={{T_weighted[-1]:.3e}} (e^-tau = {{np.exp(-tau[-1]):.3e}})")
+'''
+
+CELL1 = '''\
+# The money plot: both estimators against e^-tau on a log scale.
+import matplotlib.pyplot as plt
+
+fig, (ax, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+
+ax.semilogy(tau, np.exp(-tau), "k-", lw=1.2, label=r"analytic $e^{-\\tau}$")
+ok = T_analog > 0
+ax.semilogy(tau[ok], T_analog[ok], "o", ms=3.5, mfc="none",
+            label=f"analog, N={n_analog:.0e}")
+ax.semilogy(tau, T_weighted, "s", ms=3, mfc="none",
+            label=f"implicit capture + roulette, N={n_weighted:.0e}")
+ax.axvline(np.log(n_analog), color="0.6", lw=0.8, ls=":",
+           label=r"analog wall $\\tau = \\ln N$")
+ax.set_xlabel(r"optical depth $\\tau$"); ax.set_ylabel("transmission")
+ax.set_title("deep-shield transmission"); ax.legend(fontsize=8)
+
+# relative error of each estimator vs the analytic curve
+ax2.semilogy(tau[ok], np.abs(T_analog[ok] / np.exp(-tau[ok]) - 1), "o",
+             ms=3.5, mfc="none", label="analog")
+ax2.semilogy(tau, np.abs(T_weighted / np.exp(-tau) - 1), "s", ms=3,
+             mfc="none", label="weighted")
+ax2.set_xlabel(r"optical depth $\\tau$")
+ax2.set_ylabel("relative error vs analytic")
+ax2.set_title("estimator error"); ax2.legend(fontsize=8)
+plt.tight_layout(); plt.savefig("deep_shield.png", dpi=110)
+plt.show()
+
+# quantitative: the weighted estimate is deterministic-exact until roulette
+# engages (w falls below w_min = 1e-9 near tau ~ 20.7), then statistical;
+# the analog estimate loses every photon around tau ~ ln N.
+pre_roulette = tau <= 20
+err_w = np.abs(T_weighted[pre_roulette] / np.exp(-tau[pre_roulette]) - 1)
+print(f"weighted max relative error, tau <= 20 (draw-free regime): "
+      f"{err_w.max() * 100:.3f}%")
+assert err_w.max() < 0.005
+deep = tau >= np.log(n_analog) + 4     # expected survivors < e^-4 = 0.02
+assert rows_a[:k, 1][deep].sum() <= 2, "analog should be extinct this deep"
+assert np.abs(T_weighted[-1] / np.exp(-tau[-1]) - 1) < 0.5  # roulette noise
+'''
+
+
+def main():
+    nb = nbf.v4.new_notebook()
+    nb.cells = [nbf.v4.new_code_cell(c) for c in (CELL0, CELL1)]
+    ep = ExecutePreprocessor(timeout=3600)
+    ep.preprocess(nb, {"metadata": {"path": HERE}})
+    out = os.path.join(HERE, "deep_shield.ipynb")
+    with open(out, "w") as f:
+        nbf.write(nb, f)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
