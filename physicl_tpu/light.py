@@ -1498,14 +1498,22 @@ class ScatterMeasureStep(MeasureStep):
     (reference: physicl/light.py:361-404). Plane = 3-vector with the non-axis
     coordinates NaN; crossing test: ``r - dr <= loc <= r`` in either direction.
     Counting is an on-device masked reduction; with ``measure_E`` the crossing
-    photons' energies are captured (fetched per chunk, assembled on host)."""
+    photons' energies are captured (fetched per chunk, assembled on host).
+
+    ``weighted=True`` (TPU extension) reports each plane's statistical-weight
+    sum over crossing photons instead of the count (a surface-current
+    estimator), and energy flux as ``sum(w*E)`` — the physical tallies under
+    ``ScatterDeleteStep(implicit_capture=True)`` transport. ``n`` stays the
+    structural alive count; per-photon E capture (list mode) is unaffected."""
 
     def __init__(self, out_fn=None, measure_n: bool = True, measure_locs=(),
-                 measure_E: bool = False, measure_E_mode: str = "list"):
+                 measure_E: bool = False, measure_E_mode: str = "list",
+                 weighted: bool = False):
         super().__init__(out_fn)
         self.measure_locs = list(measure_locs)
         self.measure_n = measure_n
         self.measure_E = measure_E
+        self.weighted = bool(weighted)
         # "list": per-crossing energies, reference row format
         # (physicl/light.py:388-402); "sum": per-plane energy flux — scalar
         # per iteration, fusable and cheap at any N
@@ -1533,10 +1541,16 @@ class ScatterMeasureStep(MeasureStep):
             Lv = jnp.asarray(L, hi.dtype)
             crossed = (((lo <= Lv) & (Lv <= hi)) | ((lo >= Lv) & (Lv >= hi)))
             crossed = crossed & state.alive
-            ctx.record(self, f"count{j}", jnp.sum(crossed.astype(jnp.int32)))
+            if self.weighted:
+                ctx.record(self, f"count{j}",
+                           jnp.sum(jnp.where(crossed, state.w, 0.0)))
+            else:
+                ctx.record(self, f"count{j}",
+                           jnp.sum(crossed.astype(jnp.int32)))
             if self.measure_E and self.measure_E_mode == "sum":
+                flux = state.w * state.E if self.weighted else state.E
                 ctx.record(self, f"Esum{j}",
-                           jnp.sum(jnp.where(crossed, state.E, 0.0)))
+                           jnp.sum(jnp.where(crossed, flux, 0.0)))
             elif self.measure_E:
                 ctx.record(self, f"E{j}",
                            jnp.where(crossed, state.E, jnp.nan))
@@ -1563,18 +1577,26 @@ class ScatterMeasureStep(MeasureStep):
 
 class ScatterSignMeasureStep(MeasureStep):
     """Counts objects with strictly positive vx/vy/vz each iteration — the
-    isotropy diagnostic (reference: physicl/light.py:406-431)."""
+    isotropy diagnostic (reference: physicl/light.py:406-431).
+    ``weighted=True`` (TPU extension) sums statistical weights instead of
+    counting (the physical tally under implicit-capture transport)."""
 
-    def __init__(self, out_fn=None, measure_n: bool = True):
+    def __init__(self, out_fn=None, measure_n: bool = True,
+                 weighted: bool = False):
         super().__init__(out_fn)
         self.measure_n = measure_n
+        self.weighted = bool(weighted)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         ctx.record(self, "t", state.t)
         if self.measure_n:
             ctx.record(self, "n", state.n_alive)
         pos = (state.v > 0) & state.alive[None, :]
-        ctx.record(self, "signs", jnp.sum(pos.astype(jnp.int32), axis=1))
+        if self.weighted:
+            ctx.record(self, "signs",
+                       jnp.sum(jnp.where(pos, state.w[None, :], 0.0), axis=1))
+        else:
+            ctx.record(self, "signs", jnp.sum(pos.astype(jnp.int32), axis=1))
         return state
 
     def collect(self, sim: Simulation, records) -> None:

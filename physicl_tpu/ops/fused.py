@@ -147,6 +147,9 @@ class _Op:
     theta_e: float = 0.0            # kT_e / m_e c^2 thermal electrons (compton)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
+    # sign/cross: tallies are statistical-weight sums into FLOAT record
+    # channels (cols/axes then index rec_f) instead of int counts
+    weighted: bool = False
     # emit: photons appear in slots [emit_starts[k], +n) each iteration —
     # the schedule is host-precomputed (slot allocation is contiguous from
     # the spawn mark), so in-kernel emission is one masked write per tile.
@@ -623,7 +626,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
             for d in range(3):
                 pos = (f[_VX + d] > 0) & alive_b
-                row = put(row, sx_col + d, jnp.sum(pos, dtype=jnp.int32))
+                if op.weighted:  # Sigma w over positive-velocity photons
+                    row_f = put_f(row_f, sx_col + d,
+                                  jnp.sum(jnp.where(pos, f[_W], 0.0)))
+                else:
+                    row = put(row, sx_col + d, jnp.sum(pos, dtype=jnp.int32))
         elif op.kind == "cross":
             (n_col,) = op.cols
             if n_col >= 0:
@@ -634,10 +641,15 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 Lv = jnp.float32(L)
                 crossed = (((lo <= Lv) & (Lv <= hi))
                            | ((lo >= Lv) & (Lv >= hi))) & alive_b
-                row = put(row, col, jnp.sum(crossed, dtype=jnp.int32))
+                if op.weighted:  # surface current: Sigma w over crossers
+                    row_f = put_f(row_f, col,
+                                  jnp.sum(jnp.where(crossed, f[_W], 0.0)))
+                else:
+                    row = put(row, col, jnp.sum(crossed, dtype=jnp.int32))
                 if e_col >= 0:  # energy flux: sum of crossing photons' E
+                    flux = f[_W] * f[_E] if op.weighted else f[_E]
                     row_f = put_f(row_f, e_col,
-                                  jnp.sum(jnp.where(crossed, f[_E], 0.0)))
+                                  jnp.sum(jnp.where(crossed, flux, 0.0)))
                 if ecap >= 0:  # per-photon E capture (reference list mode,
                     # physicl/light.py:388-402): E where crossed, NaN else
                     stream[ecap] = jnp.where(crossed, f[_E], _nan)

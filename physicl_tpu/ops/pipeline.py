@@ -452,13 +452,15 @@ class FusedProvider:
                 records[f"{uid}/t"] = t_arr
                 if m["n_col"] >= 0:
                     records[f"{uid}/n"] = rec_np[:, m["n_col"]]
-                records[f"{uid}/signs"] = rec_np[:, m["sx_col"]:m["sx_col"] + 3]
+                src = recf_np if m.get("weighted") else rec_np
+                records[f"{uid}/signs"] = src[:, m["sx_col"]:m["sx_col"] + 3]
             elif kind == "cross":
                 records[f"{uid}/t"] = t_arr
                 if m["n_col"] >= 0:
                     records[f"{uid}/n"] = rec_np[:, m["n_col"]]
+                src = recf_np if m.get("weighted") else rec_np
                 for j, col in enumerate(m["cnt_cols"]):
-                    records[f"{uid}/count{j}"] = rec_np[:, col]
+                    records[f"{uid}/count{j}"] = src[:, col]
                 for j, col in enumerate(m.get("e_cols", [])):
                     if col >= 0:
                         records[f"{uid}/Esum{j}"] = recf_np[:, col]
@@ -655,17 +657,23 @@ def try_build_fused(sim, steps, state: SimState,
         elif type(s) is ScatterSignMeasureStep:
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
-            sx = next_col
-            next_col += 3
-            ops.append(F._Op("sign", cols=(n_col, sx)))
+            weighted = getattr(s, "weighted", False)
+            if weighted:   # weight sums live in float record channels
+                sx = next_fcol
+                next_fcol += 3
+            else:
+                sx = next_col
+                next_col += 3
+            ops.append(F._Op("sign", cols=(n_col, sx), weighted=weighted))
             rec_map.append({"uid": uid, "kind": "sign", "n_col": n_col,
-                            "sx_col": sx})
+                            "sx_col": sx, "weighted": weighted})
             measure_after_update[uid] = update_seen
         elif type(s) is ScatterMeasureStep:
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
             want_sum = s.measure_E and s.measure_E_mode == "sum"
             want_list = s.measure_E and s.measure_E_mode == "list"
+            weighted = getattr(s, "weighted", False)
             axes, cnt_cols, e_cols, ecap_planes = [], [], [], []
             for axis, L in s._axes:
                 e_col = -1
@@ -676,15 +684,22 @@ def try_build_fused(sim, steps, state: SimState,
                 elif want_list:  # per-photon E capture: one stream plane
                     ecap = next_plane
                     next_plane += 1
-                axes.append((axis, L, next_col, e_col, ecap))
-                cnt_cols.append(next_col)
+                if weighted:   # weight sums live in float record channels
+                    cnt = next_fcol
+                    next_fcol += 1
+                else:
+                    cnt = next_col
+                    next_col += 1
+                axes.append((axis, L, cnt, e_col, ecap))
+                cnt_cols.append(cnt)
                 e_cols.append(e_col)
                 ecap_planes.append(ecap)
-                next_col += 1
-            ops.append(F._Op("cross", cols=(n_col,), axes=tuple(axes)))
+            ops.append(F._Op("cross", cols=(n_col,), axes=tuple(axes),
+                             weighted=weighted))
             rec_map.append({"uid": uid, "kind": "cross", "n_col": n_col,
                             "cnt_cols": cnt_cols, "e_cols": e_cols,
-                            "ecap_planes": ecap_planes})
+                            "ecap_planes": ecap_planes,
+                            "weighted": weighted})
             measure_after_update[uid] = update_seen
         elif type(s) is ElementwiseStep:
             # user physics under the elementwise contract traces straight

@@ -226,3 +226,46 @@ def test_emitter_resets_weight_on_recycled_slots():
         np.testing.assert_allclose(ws[emitted], 1.0)
         if (~emitted).any():   # seeded survivors keep their biased weight
             np.testing.assert_allclose(ws[~emitted], 0.25)
+
+
+def test_weighted_plane_crossing_and_sign_tallies():
+    """ScatterMeasureStep(weighted=True) reports the surface current
+    (Sigma w over crossers) and weighted energy flux; SignMeasure(weighted)
+    reports Sigma w per positive-velocity axis. Deterministic under pure
+    implicit capture, exact on both paths."""
+    c = float(light.c)
+    L = 3.5 * c * 1e-3   # beam crosses the plane between iterations 3 and 4
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.008, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(0.2 / (c * 1e-3)),
+            implicit_capture=True))
+        cross = light.ScatterMeasureStep(
+            None, True, [[L, np.nan, np.nan]], measure_E=True,
+            measure_E_mode="sum", weighted=True)
+        s.add_step(3, cross)
+        sign = light.ScatterSignMeasureStep(None, measure_n=False,
+                                            weighted=True)
+        s.add_step(4, sign)
+        s.add_photons(light.generate_photon_state(1000, E=2.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = (np.array(cross.data, dtype=float),
+                     np.array(sign.data, dtype=float))
+    for rows, signs in out.values():
+        k = rows.shape[0]
+        # crossing fires exactly once (iteration 4: lo=3c*dt <= L <= 4c*dt)
+        counts, fluxes = rows[:, 2], rows[:, 3]
+        hits = counts > 0
+        assert hits.sum() == 1 and int(np.argmax(hits)) == 3
+        expect_w = 1000 * 0.8 ** 4    # weight after 4 capture decays
+        np.testing.assert_allclose(counts[3], expect_w, rtol=1e-4)
+        np.testing.assert_allclose(fluxes[3], expect_w * 2.0, rtol=1e-4)
+        # +x beam: sign x channel is the running total weight, y/z zero
+        expect_run = 1000 * 0.8 ** np.arange(1, k + 1)
+        np.testing.assert_allclose(signs[:, 1], expect_run, rtol=1e-4)
+        assert (signs[:, 2:] == 0).all()
+    np.testing.assert_allclose(out["auto"][0], out["off"][0], rtol=1e-5)
