@@ -16,7 +16,7 @@ from physicl_tpu.state import SimState
 from physicl_tpu.units import raw_code_value
 
 __all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
-           "ReflectingBoundaryStep"]
+           "ReflectingBoundaryStep", "PeriodicBoundaryStep"]
 
 
 class NewtonianKinematicsStep(Step):
@@ -121,3 +121,30 @@ class ReflectingBoundaryStep(Step):
         # straight old->folded segment approximates the multi-leg bounce path
         dr = r - (state.r - state.dr)
         return state.replace(r=r, dr=dr, v=v)
+
+
+class PeriodicBoundaryStep(Step):
+    """Periodic (wrap-around) box: a particle leaving through one face
+    re-enters through the opposite one, velocity unchanged — the standard
+    infinite-medium idealization (no reference counterpart; its ``sim.bounds``
+    is stored unused, physicl/__init__.py:412). ``bounds=None`` uses
+    ``sim.bounds``. Handles overshoots of any number of box lengths in one
+    dt. ``dr`` is left unchanged: the wrapped segment ``[r - dr, r]`` is the
+    translated image of the true path, so same-iteration plane-crossing
+    tests remain valid away from the wrap seam. Fused-path op."""
+
+    def __init__(self, bounds=None):
+        self.bounds = bounds
+        self._sim_bounds = None
+
+    def setup(self, sim) -> None:
+        if self.bounds is None:
+            self._sim_bounds = sim.bounds
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        b = self.bounds if self.bounds is not None else self._sim_bounds
+        lo, hi = _bounds_arrays(b, state.r.dtype)
+        lo, hi = lo[:, None], hi[:, None]
+        L = hi - lo
+        r = lo + jnp.mod(state.r - lo, L)
+        return state.replace(r=r)

@@ -533,6 +533,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 inside = ok if inside is None else (inside & ok)
             alive_b = alive_b & inside
             f[_ALIVE] = alive_b.astype(jnp.float32)
+        elif op.kind == "periodic":
+            # wrap-around box (newton.PeriodicBoundaryStep): r folds into
+            # [lo, hi) by modulo; velocity and dr untouched
+            for d, (lo, hi) in enumerate(op.bounds):
+                lo_f = jnp.float32(lo)
+                L = jnp.float32(hi) - lo_f
+                f[_RX + d] = lo_f + jnp.mod(f[_RX + d] - lo_f, L)
         elif op.kind == "reflect":
             # triangle-wave fold per axis (newton.ReflectingBoundaryStep):
             # handles arbitrary overshoot; odd fold parity flips the velocity

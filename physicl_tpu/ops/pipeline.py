@@ -517,6 +517,7 @@ def try_build_fused(sim, steps, state: SimState,
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
         NewtonianKinematicsStep,
+        PeriodicBoundaryStep,
         ReflectingBoundaryStep,
         _static_bounds,
     )
@@ -601,6 +602,9 @@ def try_build_fused(sim, steps, state: SimState,
         elif type(s) is ReflectingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("reflect", bounds=_static_bounds(s, sim)))
+        elif type(s) is PeriodicBoundaryStep:
+            s.setup(sim)
+            ops.append(F._Op("periodic", bounds=_static_bounds(s, sim)))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
             ops.append(F._Op(

@@ -166,3 +166,41 @@ def test_reflect_before_scatter_disables_const_norm_but_fuses():
     n_g = np.array([r[1] for r in m_g.data], float)
     assert n_f.shape == n_g.shape
     assert np.all(np.abs(n_f - n_g) <= 0.03 * 4096 + 8)
+
+
+def test_periodic_boundary_wraps_exactly():
+    """Wrap-around box: position re-enters through the opposite face with
+    velocity unchanged; exact modulo arithmetic incl. multi-box overshoot."""
+    s = _beam_sim(newton.PeriodicBoundaryStep(
+        np.array([[0.0, 0.025], [-1, 1], [-1, 1]])), t_end=0.012)
+    s.start(); s.join()
+    o = s.objects[0]
+    k = len(s.ts)
+    # x = mod(v * k * dt, 0.025), velocity unchanged
+    expect = (10.0 * k * 1e-3) % 0.025
+    np.testing.assert_allclose(float(np.asarray(o.r)[0]), expect, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o.v), [10.0, 0.0, 0.0], rtol=1e-6)
+
+
+def test_periodic_boundary_fuses_and_matches_generic():
+    """Photon beam in a periodic box: fused == generic positions; the
+    pipeline stays fused (periodic preserves |dr| so const-norm holds)."""
+    c = float(light.c)
+    box = np.array([[0.0, 2.5 * c * 1e-3], [-1e9, 1e9], [-1e9, 1e9]])
+    res = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.01, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, newton.PeriodicBoundaryStep(box))
+        s.add_step(3, light.ScatterDeleteStep(np.double(1.0),
+                                              np.double(1e-12)))
+        s.add_photons(light.generate_photon_state(512, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        import jax
+        res[fuse] = np.asarray(jax.device_get(s.sim_state.r))[:, :512]
+    np.testing.assert_allclose(res["auto"], res["off"], rtol=1e-5, atol=1e-4)
+    # every x position wrapped into the box
+    assert (res["auto"][0] >= 0).all()
+    assert (res["auto"][0] <= 2.5 * c * 1e-3 * (1 + 1e-6)).all()
