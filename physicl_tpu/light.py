@@ -579,7 +579,7 @@ def _require_single_process_mesh(sim, what: str) -> None:
             "measurements (counts, Esum mode) on multi-host runs.")
 
 
-class ScatterDeleteStep(Step):
+class ScatterDeleteStep(MeasureStep):
     """Absorption: photon deleted with probability ``pcoll = A*n*|dr|``
     (reference kernel ``light_scatter_step_del``, physicl/light.py:146-158 and
     the CLProgram twin at physicl/light.py:225-260). Deletion = alive-mask
@@ -617,10 +617,21 @@ class ScatterDeleteStep(Step):
       to ``w_survive``) and is killed otherwise — expected weight is
       exactly conserved. Without roulette nothing ever dies, so
       ``exit="extinction"`` never fires; prefer ``until_t=``.
+    * ``measure_deposition=True`` — records the energy DEPOSITED in the
+      medium each iteration (``data`` rows ``[t, E_dep]``, CSV via
+      ``out_fn`` like any MeasureStep; psum across mesh shards). Analog:
+      ``sum(w*E)`` over killed photons; implicit capture: the exact
+      expected value ``sum(w*min(pcoll,1)*E)`` — a draw-free dose/heating
+      curve. Roulette weight games are variance bookkeeping, not physics,
+      and do not contribute. Energy is conserved exactly:
+      ``initial = sum(deposited) + in-flight sum(w*E)``.
     """
 
     def __init__(self, n, A, A_fn=None, variable_n=False,
-                 variable_n_fn=None, implicit_capture=False, roulette=None):
+                 variable_n_fn=None, implicit_capture=False, roulette=None,
+                 measure_deposition=False, out_fn=None):
+        super().__init__(out_fn)
+        self.measure_deposition = bool(measure_deposition)
         self.n = _as_code(n)
         self.A = _as_code(A)
         self._a_fn = (None if A_fn is None else
@@ -659,6 +670,10 @@ class ScatterDeleteStep(Step):
         if self.implicit_capture:
             p = jnp.clip(pcoll, 0.0, 1.0)
             w = jnp.where(sel, state.w * (1.0 - p), state.w)
+            if self.measure_deposition:  # exact expected deposition w*p*E
+                ctx.record(self, "t", state.t)
+                ctx.record(self, "dep", jnp.sum(jnp.where(
+                    sel, state.w * p * state.E, 0.0)))
             if self.roulette is None:
                 return state.replace(w=w)
             w_min, w_sur = self.roulette
@@ -671,7 +686,18 @@ class ScatterDeleteStep(Step):
             return state.replace(w=w, alive=state.alive & ~kill)
         u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
         hit = (pcoll >= u) & sel
+        if self.measure_deposition:  # analog: killed photons dump w*E
+            ctx.record(self, "t", state.t)
+            ctx.record(self, "dep", jnp.sum(jnp.where(
+                hit, state.w * state.E, 0.0)))
         return state.replace(alive=state.alive & jnp.logical_not(hit))
+
+    def collect(self, sim, records) -> None:
+        if not self.measure_deposition:
+            return
+        for i in range(len(records["t"])):
+            self.data.append([float(records["t"][i]),
+                              float(records["dep"][i])])
 
 
 # The reference ships a hand-written pipeline and a CLProgram rewrite with

@@ -310,6 +310,9 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             if op.implicit_capture:
                 # survival biasing: deterministic weight decay, no draw
                 p = jnp.clip(pcoll, jnp.float32(0.0), jnp.float32(1.0))
+                if op.cols:  # deposited energy: exact expectation w*p*E
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(
+                        jnp.where(alive_b, f[_W] * p * f[_E], 0.0)))
                 f[_W] = jnp.where(alive_b, f[_W] * (jnp.float32(1.0) - p),
                                   f[_W])
                 if op.roulette:
@@ -325,6 +328,9 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             else:
                 u = rng.uniform(shape)
                 hit = (pcoll >= u) & alive_b
+                if op.cols:  # deposited energy: killed photons dump w*E
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(
+                        jnp.where(hit, f[_W] * f[_E], 0.0)))
                 alive_b = alive_b & jnp.logical_not(hit)
                 f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "iso":

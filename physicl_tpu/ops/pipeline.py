@@ -195,9 +195,12 @@ class FusedProvider:
         self.update_first = dt_before_kin
         self.emit_ops = [op for op in plan.ops if op.kind == "emit"]
         self.has_f_cols = any(
-            e_col >= 0 for op in plan.ops if op.kind == "cross"
-            for (_, _, _, e_col, _ecap) in op.axes) or any(
-            op.kind == "reduce" for op in plan.ops)
+            (op.kind == "cross" and (op.weighted or any(
+                e_col >= 0 for (_, _, _, e_col, _ecap) in op.axes)))
+            or op.kind == "reduce"
+            or (op.kind == "sign" and op.weighted)
+            or (op.kind == "del" and bool(op.cols))   # deposition channel
+            for op in plan.ops)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
         # (saves a 14-plane concat + slice round trip per chunk)
@@ -448,6 +451,9 @@ class FusedProvider:
             t_arr = ts if self.measure_after_update.get(uid, True) else ts_before
             if kind == "ts":
                 records[f"{uid}/ts"] = ts
+            elif kind == "dep":
+                records[f"{uid}/t"] = t_arr
+                records[f"{uid}/dep"] = recf_np[:, m["col"]]
             elif kind == "sign":
                 records[f"{uid}/t"] = t_arr
                 if m["n_col"] >= 0:
@@ -591,11 +597,19 @@ def try_build_fused(sim, steps, state: SimState,
             kin_seen = True
             ops.append(F._Op("kin"))
         elif type(s) is ScatterDeleteStep:
+            dep_cols = ()
+            if getattr(s, "measure_deposition", False):
+                dep_cols = (next_fcol,)   # per-iteration deposited energy
+                next_fcol += 1
+                rec_map.append({"uid": uid, "kind": "dep",
+                                "col": dep_cols[0]})
+                measure_after_update[uid] = update_seen
             ops.append(F._Op("del", coef=s._coef, a_fn=s._a_fn,
                              n_fn=s._n_fn,
                              implicit_capture=s.implicit_capture,
                              roulette=(tuple(s.roulette)
-                                       if s.roulette else ())))
+                                       if s.roulette else ()),
+                             cols=dep_cols))
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("absorb", bounds=_static_bounds(s, sim)))

@@ -269,3 +269,58 @@ def test_weighted_plane_crossing_and_sign_tallies():
         np.testing.assert_allclose(signs[:, 1], expect_run, rtol=1e-4)
         assert (signs[:, 2:] == 0).all()
     np.testing.assert_allclose(out["auto"][0], out["off"][0], rtol=1e-5)
+
+
+def test_energy_deposition_conservation():
+    """measure_deposition: per-iteration deposited energy satisfies exact
+    conservation  initial = cumsum(deposited) + in-flight sum(w*E)  on both
+    paths — deterministic under implicit capture, per-realization exact
+    under analog transport."""
+    import jax
+
+    for implicit in (True, False):
+        out = {}
+        for fuse in ("auto", "off"):
+            s = phys.Simulation(until_t=0.01, seed=2, fuse=fuse)
+            s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+            s.add_step(1, phys.newton.NewtonianKinematicsStep())
+            c = float(light.c)
+            dele = light.ScatterDeleteStep(
+                np.double(1.0), np.double(0.15 / (c * 1e-3)),
+                implicit_capture=implicit, measure_deposition=True)
+            s.add_step(2, dele)
+            red = phys.ReduceMeasureStep(
+                None, lambda p: {"WE": p.w * p.E}, outputs=("WE",))
+            s.add_step(3, red)
+            Es = np.linspace(1.0, 3.0, 2048)
+            s.add_photons(light.generate_photon_state(2048, E=Es))
+            s.start(); s.join()
+            assert s.used_fused == (fuse == "auto")
+            dep = np.array(dele.data, dtype=float)
+            inflight = np.array(red.data, dtype=float)[:, 1]
+            assert dep.shape[1] == 2
+            total = np.cumsum(dep[:, 1]) + inflight
+            np.testing.assert_allclose(total, Es.sum(), rtol=2e-4)
+            out[fuse] = dep[:, 1]
+        if implicit:  # draw-free: identical across paths to roundoff
+            np.testing.assert_allclose(out["auto"], out["off"], rtol=1e-4)
+            # exact expected dose: dep_k = sum_E E * p * (1-p)^(k-1)
+            k = np.arange(1, out["auto"].size + 1)
+            expect = Es.sum() * 0.15 * 0.85 ** (k - 1)
+            np.testing.assert_allclose(out["auto"], expect, rtol=1e-3)
+
+
+def test_deposition_csv(tmp_path):
+    out = tmp_path / "dose.csv"
+    s = phys.Simulation(until_t=0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(0.5 / (float(light.c) * 1e-3)),
+        implicit_capture=True, measure_deposition=True, out_fn=str(out)))
+    s.add_photons(light.generate_photon_state(64, E=2.0))
+    s.start(); s.join()
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 3
+    first = [float(v) for v in lines[0].split(",")]
+    np.testing.assert_allclose(first[1], 64 * 2.0 * 0.5, rtol=1e-4)
