@@ -59,8 +59,9 @@ def run(n_phot, **del_kw):
     s = phys.Simulation(until_t=iters * dt, seed=17)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(dt)))
     s.add_step(1, phys.newton.NewtonianKinematicsStep())
-    s.add_step(2, light.ScatterDeleteStep(np.double(1.0), np.double(A),
-                                          **del_kw))
+    dele = light.ScatterDeleteStep(np.double(1.0), np.double(A),
+                                   measure_deposition=True, **del_kw)
+    s.add_step(2, dele)
     red = phys.ReduceMeasureStep(None, lambda p: {{"W": p.w}},
                                  outputs=("W",), measure_n=True)
     s.add_step(3, red)
@@ -69,12 +70,13 @@ def run(n_phot, **del_kw):
     s.start(); s.join()
     wall = time.perf_counter() - t0
     rows = np.array(red.data, dtype=float)
-    return rows, wall, s
+    dep = np.array(dele.data, dtype=float)
+    return rows, wall, s, dep
 
 n_analog, n_weighted = {N_ANALOG}, {N_WEIGHTED}
-rows_a, wall_a, sim_a = run(n_analog)                       # analog
-rows_w, wall_w, sim_w = run(n_weighted, implicit_capture=True,
-                            roulette=(1e-9, 2e-9))          # weighted
+rows_a, wall_a, sim_a, dep_a = run(n_analog)                # analog
+rows_w, wall_w, sim_w, dep_w = run(n_weighted, implicit_capture=True,
+                                   roulette=(1e-9, 2e-9))   # weighted
 assert sim_a.used_fused and sim_w.used_fused
 k = min(rows_a.shape[0], rows_w.shape[0])
 # exact DISCRETE optical depth: each iteration is a Bernoulli(p_step)
@@ -91,10 +93,12 @@ print(f"weighted: N={{n_weighted:.0e}}  wall {{wall_w:.1f}} s  "
 '''
 
 CELL1 = '''\
-# The money plot: both estimators against e^-tau on a log scale.
+# The money plot: both estimators against e^-tau on a log scale, plus the
+# dose curve from the deposition tally (cumulative absorbed energy
+# fraction = 1 - e^-tau; energy conservation is exact on both paths).
 import matplotlib.pyplot as plt
 
-fig, (ax, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+fig, (ax, ax2, ax3) = plt.subplots(1, 3, figsize=(14.5, 4))
 
 ax.semilogy(tau, np.exp(-tau), "k-", lw=1.2, label=r"analytic $e^{-\\tau}$")
 ok = T_analog > 0
@@ -115,8 +119,32 @@ ax2.semilogy(tau, np.abs(T_weighted / np.exp(-tau) - 1), "s", ms=3,
 ax2.set_xlabel(r"optical depth $\\tau$")
 ax2.set_ylabel("relative error vs analytic")
 ax2.set_title("estimator error"); ax2.legend(fontsize=8)
+
+# dose curve: cumulative deposited-energy fraction vs depth
+dose_a = np.cumsum(dep_a[:k, 1]) / n_analog
+dose_w = np.cumsum(dep_w[:k, 1]) / n_weighted
+ax3.plot(tau, 1 - np.exp(-tau), "k-", lw=1.2,
+         label=r"analytic $1 - e^{-\\tau}$")
+ax3.plot(tau[::4], dose_a[::4], "o", ms=3.5, mfc="none", label="analog")
+ax3.plot(tau[::4], dose_w[::4], "s", ms=3, mfc="none", label="weighted")
+ax3.set_xlabel(r"optical depth $\\tau$")
+ax3.set_ylabel("cumulative absorbed fraction")
+ax3.set_title("dose curve (measure_deposition)")
+ax3.legend(fontsize=8)
 plt.tight_layout(); plt.savefig("deep_shield.png", dpi=110)
 plt.show()
+
+# energy conservation audits (E0 = 1 per photon):
+# weighted: deposited + in-flight weight is the initial energy, exactly,
+# until roulette (unbiased bookkeeping) starts trading weight for photons
+pre = tau <= 20
+budget_w = dose_w + rows_w[:k, 2] / n_weighted
+assert np.abs(budget_w[pre] - 1).max() < 1e-3
+# analog: deposited + surviving count is exact per realization, all depths
+budget_a = dose_a + rows_a[:k, 1] / n_analog
+assert np.abs(budget_a - 1).max() < 1e-6
+print(f"dose at tau=3: {dose_w[np.searchsorted(tau, 3.0)]:.4f} "
+      f"(analytic {1 - np.exp(-tau[np.searchsorted(tau, 3.0)]):.4f})")
 
 # quantitative: the weighted estimate is deterministic-exact until roulette
 # engages (w falls below w_min = 1e-9 near tau ~ 20.7), then statistical;
