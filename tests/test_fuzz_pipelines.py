@@ -47,26 +47,42 @@ def _random_pipeline(rng, fuse, seed):
                 wavelength_dep_scattering=False))
         idx += 1
     if rng.random() < 0.6:
-        meta["deaths"] = True
         pick = rng.random()
-        if pick < 0.25:  # round 3 late: energy-dependent cross-section
+        if pick < 0.2:  # round 3 late: energy-dependent cross-section
+            meta["deaths"] = True
             s.add_step(idx, light.ScatterDeleteStep(
                 n=0.001, A=np.double(rng.uniform(2e-4, 1e-3)),
                 A_fn="pow(fmax(E[gid], 1e-6), -1.0)"))
-        elif pick < 0.5:  # round 3 late: variable density absorption
+        elif pick < 0.4:  # round 3 late: variable density absorption
+            meta["deaths"] = True
             s.add_step(idx, light.ScatterDeleteStep(
                 n=0.001, A=np.double(rng.uniform(2e-4, 1e-3)),
                 variable_n=True,
                 variable_n_fn="0.001 * exp(-fabs(r0[gid]) / 1e9)"))
+        elif pick < 0.6:  # round 3 final: weighted transport — pure
+            # implicit capture kills NOBODY, so the exact deterministic
+            # population assertion below still applies; with roulette the
+            # step kills and the pipeline falls into the stochastic class
+            roulette = (0.9, 1.0) if rng.random() < 0.5 else None
+            if roulette is not None:
+                meta["deaths"] = True
+            s.add_step(idx, light.ScatterDeleteStep(
+                np.double(rng.uniform(2e-4, 1e-3)), np.double(0.5),
+                implicit_capture=True, roulette=roulette,
+                measure_deposition=bool(rng.random() < 0.5)))
         else:
+            meta["deaths"] = True
             s.add_step(idx, light.ScatterDeleteStep(
                 np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001)))
         idx += 1
     if rng.random() < 0.4:  # round 2: fused box boundaries
         L = float(light.c) * 0.001 * rng.uniform(2.0, 25.0)
         box = np.array([[-L, L], [-L, L], [-L, L]])
-        if rng.random() < 0.5:
+        pick = rng.random()
+        if pick < 0.35:
             s.add_step(idx, physicl_tpu.newton.ReflectingBoundaryStep(box))
+        elif pick < 0.65:  # round 3 final: wrap-around box
+            s.add_step(idx, physicl_tpu.newton.PeriodicBoundaryStep(box))
         else:
             meta["deaths"] = True
             s.add_step(idx, physicl_tpu.newton.AbsorbingBoundaryStep(box))
@@ -96,10 +112,16 @@ def _random_pipeline(rng, fuse, seed):
         red = phys.ReduceMeasureStep(
             None, lambda p: {"ones": p.E * 0.0 + 1.0}, outputs=("ones",),
             measure_n=True)
-        s.add_step(idx, red)
+        s.add_step(idx, red); idx += 1
+    spec = None
+    if rng.random() < 0.35:  # round 3 final: on-device energy histograms
+        spec = light.SpectrumMeasureStep(
+            None, edges=np.linspace(0.0, 10.0, int(rng.integers(3, 12))),
+            measure_n=True, underflow=True, overflow=True)
+        s.add_step(idx, spec)
     meta["n0"] = int(rng.integers(3000, 8000))
     s.add_photons(light.generate_photon_state(meta["n0"], E=1.0))
-    return s, sign, cross, trace, red, meta
+    return s, sign, cross, trace, red, spec, meta
 
 
 @pytest.mark.parametrize("trial", range(12))
@@ -107,8 +129,8 @@ def test_random_pipeline_fused_matches_generic(trial):
     out = {}
     for fuse in ("auto", "off"):
         rng = np.random.default_rng(1000 + trial)  # same pipeline both ways
-        s, sign, cross, trace, red, meta = _random_pipeline(rng, fuse,
-                                                            seed=trial)
+        s, sign, cross, trace, red, spec, meta = _random_pipeline(rng, fuse,
+                                                                  seed=trial)
         s.start(); s.join()
         out[fuse] = {
             "fused": s.used_fused,
@@ -122,6 +144,13 @@ def test_random_pipeline_fused_matches_generic(trial):
             # summing 1 per particle must EQUAL the alive count every
             # iteration, on both paths
             np.testing.assert_allclose(rows[:, 2], rows[:, 1], rtol=1e-5)
+        if spec is not None:
+            rows = np.array(spec.data, dtype=float)
+            # histogram self-consistency: bins + capture bins partition the
+            # alive population EXACTLY every iteration (E is covered by the
+            # underflow/overflow capture whatever the physics did to it)
+            np.testing.assert_allclose(rows[:, 2:].sum(axis=1), rows[:, 1],
+                                       rtol=1e-5)
         if trace is not None:
             ts, pos, alive, _ = trace.as_arrays()
             # sampled times are exactly the global multiples of trace_every,
