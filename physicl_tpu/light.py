@@ -52,7 +52,7 @@ __all__ = [
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
-    "ScatterComptonStep", "m_e",
+    "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
     "TracePathMeasureStep",
 ]
@@ -1358,6 +1358,139 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
         v, dv = self._rotated_velocity(state, scatter, cos_t, u[1], dtype)
         E = jnp.where(scatter, state.E / eta, state.E)
         return state.replace(v=v, dv=dv, E=E)
+
+
+class RefractiveInterfaceStep(Step):
+    """Fresnel reflection / Snell refraction at an axis-aligned plane
+    interface between two refractive media (TPU extension; no reference
+    counterpart — the reference's only geometry is an infinite homogeneous
+    medium, physicl/light.py:262-359). Together with
+    :class:`ScatterHenyeyGreensteinStep` and
+    ``ScatterDeleteStep(implicit_capture=True)`` this completes the standard
+    layered-media photon-transport toolkit (the MCML problem class: tissue
+    optics, thin films, atmospheres over water).
+
+    The interface is the plane ``r[axis] == loc`` separating a medium of
+    refractive index ``n_lo`` (``r[axis] < loc``) from ``n_hi``
+    (``r[axis] >= loc``). Each iteration, every photon whose position
+    segment ``[r - dr, r]`` crossed the plane is interacted exactly once:
+
+    * unpolarized Fresnel reflectance
+      ``R = (rs^2 + rp^2) / 2`` with
+      ``rs = (n1 cos_i - n2 cos_t) / (n1 cos_i + n2 cos_t)``,
+      ``rp = (n1 cos_t - n2 cos_i) / (n1 cos_t + n2 cos_i)``;
+      beyond the critical angle (``sin_t > 1``) ``R = 1`` exactly (total
+      internal reflection);
+    * a single uniform draw picks reflection (probability ``R``) or
+      transmission; the photon is moved to the segment/plane intersection
+      and the REMAINDER of its step is retraced in the outgoing direction
+      (specular mirror for reflection; exact Snell bend
+      ``n1 sin_i = n2 sin_t`` for transmission), so the path kinks ON the
+      interface, not at the step boundary;
+    * photon energy ``E`` is conserved across the interface (frequency is
+      continuous; only the wavelength changes) and ``dv`` is NOT marked —
+      like the boundary steps (and unlike scatter steps), an interface event
+      does not count as a scattering event for ``trace_dv`` statistics.
+
+    ``match_speed=False`` (default) preserves each photon's speed — the
+    interface only bends directions, which is exact for the stationary
+    observables (reflectances, transmittances, angular distributions) this
+    family measures. ``match_speed=True`` additionally rescales the outgoing
+    speed to ``c / n`` of the receiving medium (and the remaining step
+    length to match the remaining TIME), making time-of-flight through
+    layers physical; initialize photon speeds to ``c / n`` of their source
+    medium for consistency, and note that scatter steps resample velocities
+    at their own ``c`` (combine with care).
+
+    A photon that would cross the interface more than once in a single dt
+    (re-crossing after reflection at another nearby plane) is interacted
+    once per step per interface, in step order — resolve layer thickness
+    with dt, exactly as with the boundary steps. Runs on the fused Pallas
+    path (op kind "fresnel") and the generic scan.
+    """
+
+    def __init__(self, loc, n_lo, n_hi, axis: int = 2,
+                 match_speed: bool = False):
+        self.loc = _as_code(loc)
+        self.n_lo = float(n_lo)
+        self.n_hi = float(n_hi)
+        if not (self.n_lo > 0.0 and self.n_hi > 0.0):
+            raise ValueError("refractive indices must be positive")
+        self.axis = int(axis)
+        if self.axis not in (0, 1, 2):
+            raise ValueError(f"axis must be 0, 1 or 2, got {axis}")
+        self.match_speed = bool(match_speed)
+        self._c = None
+
+    def setup(self, sim: Simulation) -> None:
+        self._c = float(raw_code_value(c))
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        if self._c is None:
+            self.setup(None)
+        dtype = state.r.dtype
+        ax = self.axis
+        loc = jnp.asarray(self.loc, dtype)
+        z1 = state.r[ax]
+        z0 = z1 - state.dr[ax]
+        side0 = z0 >= loc
+        crossed = ((side0 != (z1 >= loc)) & (state.otype == OBJ_PHOTON)
+                   & state.alive)
+
+        speed2 = jnp.sum(state.v * state.v, axis=0)
+        inv_speed = jax.lax.rsqrt(jnp.maximum(speed2, jnp.asarray(1e-30,
+                                                                  dtype)))
+        d = state.v * inv_speed  # unit incident direction
+        # media seen by each crosser: from lo side (going up) or hi side
+        going_up = jnp.logical_not(side0)
+        nf = jnp.where(going_up, self.n_lo, self.n_hi).astype(dtype)
+        nt = jnp.where(going_up, self.n_hi, self.n_lo).astype(dtype)
+        cos_i = jnp.clip(jnp.abs(d[ax]), 0.0, 1.0)
+        sin2_i = 1.0 - cos_i * cos_i
+        mu = nf / nt
+        sin2_t = mu * mu * sin2_i
+        tir = sin2_t > 1.0
+        cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
+        rs = (nf * cos_i - nt * cos_t) / (nf * cos_i + nt * cos_t)
+        rp = (nf * cos_t - nt * cos_i) / (nf * cos_t + nt * cos_i)
+        R = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs * rs + rp * rp),
+                                         0.0, 1.0))
+        u = jax.random.uniform(ctx.next_key(), z1.shape, dtype)
+        reflect = crossed & (u < R)
+
+        # segment/plane intersection: r0 + s*dr with s in [0, 1]
+        dz = z1 - z0
+        s = (loc - z0) / jnp.where(crossed, dz, jnp.ones_like(dz))
+        r0 = state.r - state.dr
+        p = r0 + s * state.dr
+        seg = jnp.sqrt(jnp.sum(state.dr * state.dr, axis=0))
+
+        # outgoing unit directions: mirror (reflect) / Snell bend (transmit)
+        flip = jnp.zeros((3, 1), dtype).at[ax, 0].set(1.0)
+        d_ref = d * (1.0 - 2.0 * flip)
+        sgn = jnp.where(d[ax] >= 0, 1.0, -1.0).astype(dtype)
+        d_tr = mu * d
+        d_tr = d_tr.at[ax].set(sgn * cos_t)
+        # renormalize: |d_tr| == 1 by construction up to rounding
+        d_tr = d_tr * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(d_tr * d_tr, axis=0), jnp.asarray(1e-30, dtype)))
+
+        d_out = jnp.where(reflect, d_ref, d_tr)
+        if self.match_speed:
+            n_out = jnp.where(reflect, nf, nt)
+            speed_out = jnp.asarray(self._c, dtype) / n_out
+        else:
+            speed_out = 1.0 / inv_speed
+        # remaining TIME after the interface is (1-s)*dt; the distance it
+        # covers is that time at the outgoing speed
+        rem = (1.0 - s) * seg * speed_out * inv_speed
+        r_new = p + d_out * rem
+        v_new = d_out * speed_out
+
+        r = jnp.where(crossed, r_new, state.r)
+        v = jnp.where(crossed, v_new, state.v)
+        dr = jnp.where(crossed, r_new - r0, state.dr)
+        return state.replace(r=r, v=v, dr=dr)
 
 
 class PhotonEmitterStep(Step):

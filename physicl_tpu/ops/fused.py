@@ -147,6 +147,10 @@ class _Op:
     theta_e: float = 0.0            # kT_e / m_e c^2 thermal electrons (compton)
     cols: tuple = ()                # record columns (measure ops)
     axes: tuple = ()                # ((axis, L, col), ...) for cross
+    # fresnel: (axis, loc, n_lo, n_hi, match_speed) for the refractive
+    # plane interface (light.RefractiveInterfaceStep); c_val carries c for
+    # match_speed's c/n outgoing speeds
+    iface: tuple = ()
     # sign/cross: tallies are statistical-weight sums into FLOAT record
     # channels (cols/axes then index rec_f) instead of int counts
     weighted: bool = False
@@ -562,6 +566,65 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                        f[_VX + d])
                 f[_DRX + d] = r1 - (r0 - f[_DRX + d])
                 f[_RX + d] = r1
+        elif op.kind == "fresnel":
+            # refractive plane interface (light.RefractiveInterfaceStep):
+            # Fresnel-reflect or Snell-refract photons whose segment
+            # [r-dr, r] crossed r[axis] == loc; the remainder of the step
+            # retraces from the intersection in the outgoing direction
+            ax, loc, n_lo, n_hi, match = op.iface
+            loc_f = jnp.float32(loc)
+            z1 = f[_RX + ax]
+            z0 = z1 - f[_DRX + ax]
+            side0 = z0 >= loc_f
+            crossed = (side0 != (z1 >= loc_f)) & alive_b
+            inv_speed = jax.lax.rsqrt(jnp.maximum(
+                f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
+                jnp.float32(1e-30)))
+            d = [f[_VX + dd] * inv_speed for dd in range(3)]
+            going_up = jnp.logical_not(side0)
+            nf = jnp.where(going_up, jnp.float32(n_lo), jnp.float32(n_hi))
+            nt = jnp.where(going_up, jnp.float32(n_hi), jnp.float32(n_lo))
+            cos_i = jnp.clip(jnp.abs(d[ax]), jnp.float32(0.0),
+                             jnp.float32(1.0))
+            sin2_i = jnp.float32(1.0) - cos_i * cos_i
+            mu = nf / nt
+            sin2_t = mu * mu * sin2_i
+            tir = sin2_t > 1.0
+            cos_t = jnp.sqrt(jnp.clip(jnp.float32(1.0) - sin2_t,
+                                      jnp.float32(0.0), jnp.float32(1.0)))
+            rs = (nf * cos_i - nt * cos_t) / (nf * cos_i + nt * cos_t)
+            rp = (nf * cos_t - nt * cos_i) / (nf * cos_t + nt * cos_i)
+            R = jnp.where(tir, jnp.float32(1.0),
+                          jnp.clip(jnp.float32(0.5) * (rs * rs + rp * rp),
+                                   jnp.float32(0.0), jnp.float32(1.0)))
+            u = rng.uniform(shape)
+            refl = crossed & (u < R)
+            dz = z1 - z0
+            s = (loc_f - z0) / jnp.where(crossed, dz, jnp.float32(1.0))
+            seg = dr_norm()
+            sgn = jnp.where(d[ax] >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+            d_tr = [mu * d[dd] for dd in range(3)]
+            d_tr[ax] = sgn * cos_t
+            inv_tr = jax.lax.rsqrt(jnp.maximum(
+                d_tr[0] * d_tr[0] + d_tr[1] * d_tr[1] + d_tr[2] * d_tr[2],
+                jnp.float32(1e-30)))
+            if match:
+                n_out = jnp.where(refl, nf, nt)
+                speed_out = jnp.float32(op.c_val) / n_out
+            else:
+                speed_out = jnp.float32(1.0) / inv_speed
+            rem = (jnp.float32(1.0) - s) * seg * speed_out * inv_speed
+            for dd in range(3):
+                d_out = jnp.where(refl,
+                                  -d[dd] if dd == ax else d[dd],
+                                  d_tr[dd] * inv_tr)
+                r0 = f[_RX + dd] - f[_DRX + dd]
+                pdd = r0 + s * f[_DRX + dd]
+                r_new = pdd + d_out * rem
+                f[_RX + dd] = jnp.where(crossed, r_new, f[_RX + dd])
+                f[_DRX + dd] = jnp.where(crossed, r_new - r0, f[_DRX + dd])
+                f[_VX + dd] = jnp.where(crossed, d_out * speed_out,
+                                        f[_VX + dd])
         elif op.kind == "custom":
             # user elementwise physics (ElementwiseStep contract): the fn
             # sees this tile's planes; updates write back in place. t/dt are
@@ -1025,11 +1088,14 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind in ("hg", "rayl", "compton") for op in plan.ops):
+    if any(op.kind in ("hg", "rayl", "compton", "fresnel")
+           for op in plan.ops):
         # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
         # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
         # with 256-row tiles the Mosaic stack measured 16.61M against the
-        # 16M scoped-vmem limit; unroll 4 fits with margin
+        # 16M scoped-vmem limit; unroll 4 fits with margin (fresnel's
+        # intersection + Fresnel-coefficient temporaries are the same
+        # order, so it shares the cap until measured otherwise)
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
     if any(op.kind == "compton" for op in plan.ops):
         # the Kahn rejection loop (kn_tries x ~10 live (tile, 128)

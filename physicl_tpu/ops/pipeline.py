@@ -529,6 +529,7 @@ def try_build_fused(sim, steps, state: SimState,
     )
     from physicl_tpu.light import (
         PhotonEmitterStep,
+        RefractiveInterfaceStep,
         ScatterComptonStep,
         ScatterDeleteStep,
         ScatterHenyeyGreensteinStep,
@@ -644,6 +645,12 @@ def try_build_fused(sim, steps, state: SimState,
                 inv_mec2=s._inv_mec2, kn_xsec=s.kn_cross_section,
                 kn_tries=s.kn_max_tries, theta_e=float(s._theta_e or 0.0),
             ))
+        elif type(s) is RefractiveInterfaceStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "fresnel", c_val=float(s._c),
+                iface=(s.axis, float(s.loc), s.n_lo, s.n_hi,
+                       s.match_speed)))
         elif type(s) is PhotonEmitterStep:
             # sampled energies fuse when the sampler exposes a traced
             # inverse CDF over a uniform (PlanckSampler protocol); arbitrary
@@ -757,8 +764,8 @@ def try_build_fused(sim, steps, state: SimState,
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/ScatterDelete/"
                        "ScatterIsotropic/ScatterHenyeyGreenstein/"
-                       "ScatterRayleigh/ScatterCompton/boundaries/"
-                       "PhotonEmitter/Sign+Cross+Reduce measures/"
+                       "ScatterRayleigh/ScatterCompton/RefractiveInterface/"
+                       "boundaries/PhotonEmitter/Sign+Cross+Reduce measures/"
                        "Elementwise/TracePath")
 
     if not update_seen:
@@ -777,12 +784,16 @@ def try_build_fused(sim, steps, state: SimState,
     # preserves it).
     const_speed = None
     kin_positions = [i for i, op in enumerate(ops) if op.kind == "kin"]
+    # |dr| consumers: the collision probability of every scatter family plus
+    # the fresnel segment-remainder computation
     scatter_positions = [i for i, op in enumerate(ops)
                          if op.kind in ("del", "iso", "hg", "rayl",
-                                        "compton")]
+                                        "compton", "fresnel")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
+    # dr modifiers: a reflection or an interface event folds/kinks dr, so
+    # any |dr| consumer downstream of one must use the computed norm
     reflect_positions = [i for i, op in enumerate(ops)
-                         if op.kind == "reflect"]
+                         if op.kind in ("reflect", "fresnel")]
     if (len(kin_positions) == 1 and scatter_positions
             and all(p > kin_positions[0] for p in scatter_positions)
             # photons emitted after kinematics carry dr=0 until the next
@@ -792,9 +803,13 @@ def try_build_fused(sim, steps, state: SimState,
             # use the computed |dr|, not c*dt
             and not any(kin_positions[0] < q < p
                         for q in reflect_positions
-                        for p in scatter_positions)
+                        for p in scatter_positions if q != p)
             # custom physics may change velocities or dr arbitrarily
-            and not any(op.kind == "custom" for op in ops)):
+            and not any(op.kind == "custom" for op in ops)
+            # match_speed interfaces make speeds heterogeneous (c/n per
+            # medium): |dr| == c*dt stops holding population-wide
+            and not any(op.kind == "fresnel" and op.iface[4]
+                        for op in ops)):
         speeds = []
         for o in sim._pending_objects:
             speeds.append(float(np.linalg.norm(

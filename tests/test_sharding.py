@@ -284,6 +284,31 @@ def test_sharded_fused_anisotropic_families(kind):
     assert abs(a[1].mean() - b[1].mean()) < 0.01
 
 
+def test_sharded_fresnel_interface():
+    """RefractiveInterfaceStep under shard_map: deterministic TIR is exact
+    on every shard; stochastic reflectance matches the single-device run."""
+    mesh = make_mesh()
+    n = 8 * 4096
+    c = float(light.c)
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.001, seed=21, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.RefractiveInterfaceStep(0.0, 1.0, 1.5))
+        d = np.array([0.0, 0.0, 1.0])
+        s.add_photons(light.generate_photon_state(
+            n, E=1.0, v=d * c, r=np.array([0.0, 0.0, -1e5])))
+        s.start(); s.join()
+        assert s.used_fused
+        v = np.asarray(jax.device_get(s.sim_state.v))[:, :n]
+        res[m is not None] = (v[2] < 0).mean()
+    # R(0 deg, 1->1.5) = 0.04; mesh and single within binomial noise
+    for frac in res.values():
+        assert abs(frac - 0.04) < 0.006, res
+    assert abs(res[True] - res[False]) < 0.008
+
+
 def test_sharded_weighted_transport_psum():
     """Implicit-capture weight sums cross the 8-device mesh as one psum and
     stay deterministic-exact (N*(1-p)^k), shard-independent."""

@@ -111,6 +111,15 @@ def _ops(kind):
         return [kin, iso,
                 F._Op("reduce", custom_fn=moments,
                       reduce_outputs=("E_total", "r2"), cols=(1, 0))], 3, 0
+    if kind == "fresnel":
+        # refractive interface: intersection + Fresnel-coefficient
+        # temporaries are rotation-scale (unroll capped at 4 with hg/rayl)
+        return [kin,
+                F._Op("fresnel", c_val=c,
+                      iface=(2, 0.5 * _EPS, 1.0, 1.5, False)),
+                F._Op("fresnel", c_val=c,
+                      iface=(2, 1.0 * _EPS, 1.5, 1.0, True)),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "implicit_capture":
         # weighted transport: deterministic weight decay + Russian roulette
         # exercises the _W plane read-modify-write in the unrolled loop
@@ -140,7 +149,8 @@ def _ops(kind):
                                   "rayl", "compton", "compton_thermal",
                                   "trace", "trace_strided", "trace_bf16",
                                   "ecap", "custom", "reduce",
-                                  "spectrum_wide", "implicit_capture"])
+                                  "spectrum_wide", "implicit_capture",
+                                  "fresnel"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
