@@ -11,12 +11,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from physicl_tpu.engine import Step, StepContext
-from physicl_tpu.state import SimState
-from physicl_tpu.units import raw_code_value
+from physicl_tpu.engine import Object, Step, StepContext
+from physicl_tpu.state import OBJ_PHOTON, SimState
+from physicl_tpu.units import Measurement, raw_code_value
 
 __all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
-           "ReflectingBoundaryStep", "PeriodicBoundaryStep"]
+           "ReflectingBoundaryStep", "PeriodicBoundaryStep",
+           "ChargedObject", "LorentzForceStep"]
 
 
 class NewtonianKinematicsStep(Step):
@@ -121,6 +122,132 @@ class ReflectingBoundaryStep(Step):
         # straight old->folded segment approximates the multi-leg bounce path
         dr = r - (state.r - state.dr)
         return state.replace(r=r, dr=dr, v=v)
+
+
+class ChargedObject(Object):
+    """A charged massive particle: requires charge ``q`` and mass ``m``
+    (Measurements or raw code-unit scalars). Convenience constructor for
+    :class:`LorentzForceStep`'s per-particle ``q/m`` mode — the attributes
+    land in ``state.extras['q']/['m']`` like any extra Object kwarg
+    (reference Objects accept arbitrary kwargs, physicl/__init__.py:395-396;
+    charge dynamics itself is a TPU extension — the reference stores ``a``
+    but integrates no forces)."""
+
+    def __init__(self, **kwargs):
+        if "q" not in kwargs or "m" not in kwargs:
+            raise ValueError("ChargedObject requires q= and m=")
+        if float(raw_code_value(kwargs["m"])) <= 0.0:
+            raise ValueError("ChargedObject mass must be positive")
+        super().__init__(**kwargs)
+
+
+def _field_fn(field, name):
+    """Normalize a field spec: a 3-vector constant (Measurement or raw) or a
+    callable ``(rx, ry, rz) -> (3-seq of arrays)``; None = zero field.
+    Returns a callable over the (3, C) position planes, or None."""
+    if field is None:
+        return None
+    if callable(field):
+        return field
+    vec = np.asarray(raw_code_value(field), np.float64).reshape(3)
+
+    def const(rx, ry, rz):
+        one = jnp.ones_like(rx)
+        return (vec[0] * one, vec[1] * one, vec[2] * one)
+
+    return const
+
+
+class LorentzForceStep(Step):
+    """Charged-particle dynamics in electromagnetic fields via the Boris
+    pusher (TPU extension; the reference integrates no forces — its ``a``
+    attribute is stored unused, physicl/__init__.py:392).
+
+    Velocity update for ``F = q (E + v x B)`` with the standard Boris
+    half-accelerate / rotate / half-accelerate split — the workhorse of
+    particle-in-cell codes because the magnetic rotation conserves ``|v|``
+    EXACTLY (no secular energy drift on gyro-orbits, unlike RK/Euler):
+
+    ``h = (q/m) dt / 2;  v- = v + h E``
+    ``t = h B;  v' = v- + v- x t;  v+ = v- + v' x 2t/(1+|t|^2)``
+    ``v_new = v+ + h E``
+
+    The discrete gyro-phase advance per step is ``2 atan(h |B|)`` (exact
+    rotation, frequency within O((w dt)^2) of ``w = qB/m``). Pair with
+    :class:`NewtonianKinematicsStep` AFTER this step for the position
+    update (velocity-then-position leapfrog ordering).
+
+    ``E_field`` / ``B_field``: 3-vector constants (Measurements or raw code
+    units) or callables ``(rx, ry, rz) -> 3-tuple`` for spatially varying
+    fields (traced into the scan like ``variable_n_fn``). ``q_over_m``:
+    a single charge-to-mass ratio for the whole species, or None to read
+    per-particle ``q``/``m`` from Object kwargs
+    (:class:`ChargedObject(q=, m=)`). Photons are never pushed; dead
+    particles are never pushed. ``dv`` records the velocity change and
+    ``a`` the effective acceleration ``dv/dt`` (so measurement steps and
+    ``integrate_acceleration=False`` kinematics observe consistent state).
+
+    Not a fused-kernel op: charged populations are outside the photon-only
+    fused transport kernel by construction; this runs on the generic scan
+    path, which remains a single fused XLA loop over the SoA state.
+    """
+
+    def __init__(self, E_field=None, B_field=None, q_over_m=None):
+        self._e_fn = _field_fn(E_field, "E_field")
+        self._b_fn = _field_fn(B_field, "B_field")
+        if q_over_m is None:
+            self.q_over_m = None
+        else:
+            if isinstance(q_over_m, Measurement):
+                q_over_m = raw_code_value(q_over_m)
+            self.q_over_m = float(q_over_m)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        dtype = state.v.dtype
+        if self.q_over_m is not None:
+            qm = jnp.asarray(self.q_over_m, dtype)
+        else:
+            if "q" not in state.extras or "m" not in state.extras:
+                raise ValueError(
+                    "LorentzForceStep(q_over_m=None) needs per-particle "
+                    "charge/mass: add objects with q= and m= kwargs "
+                    "(newton.ChargedObject) or pass q_over_m=")
+            m = state.extras["m"]
+            qm = jnp.where(m != 0, state.extras["q"]
+                           / jnp.where(m != 0, m, jnp.ones_like(m)), 0.0)
+        push = state.alive & (state.otype != OBJ_PHOTON)
+        h = 0.5 * qm * state.dt
+
+        if self._e_fn is not None:
+            ef = jnp.stack(jnp.broadcast_arrays(*[
+                jnp.asarray(x, dtype) for x in
+                self._e_fn(state.r[0], state.r[1], state.r[2])]))
+            v = state.v + h * ef
+        else:
+            v = state.v
+        if self._b_fn is not None:
+            bf = [jnp.asarray(x, dtype) * h for x in
+                  self._b_fn(state.r[0], state.r[1], state.r[2])]
+            tx, ty, tz = bf
+            # v' = v- + v- x t
+            vpx = v[0] + (v[1] * tz - v[2] * ty)
+            vpy = v[1] + (v[2] * tx - v[0] * tz)
+            vpz = v[2] + (v[0] * ty - v[1] * tx)
+            s = 2.0 / (1.0 + tx * tx + ty * ty + tz * tz)
+            # v+ = v- + v' x s*t
+            v = jnp.stack([
+                v[0] + s * (vpy * tz - vpz * ty),
+                v[1] + s * (vpz * tx - vpx * tz),
+                v[2] + s * (vpx * ty - vpy * tx),
+            ])
+        if self._e_fn is not None:
+            v = v + h * ef
+
+        v_new = jnp.where(push, v, state.v)
+        dv = v_new - state.v
+        inv_dt = jnp.where(state.dt != 0, 1.0 / jnp.where(
+            state.dt != 0, state.dt, jnp.ones_like(state.dt)), 0.0)
+        return state.replace(v=v_new, dv=dv, a=dv * inv_dt)
 
 
 class PeriodicBoundaryStep(Step):

@@ -1,0 +1,172 @@
+"""LorentzForceStep (Boris pusher) — charged-particle dynamics in E/B
+fields (TPU extension; the reference stores ``a`` but integrates no forces).
+Validates the three defining Boris properties: exact speed conservation on
+gyro-orbits, the discrete gyro-phase 2*atan(h|B|) per step, exact
+constant-E acceleration; plus the ExB drift, per-particle q/m, spatially
+varying fields, and photon immunity."""
+
+import jax
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.light as light
+import physicl_tpu.newton as newton
+
+
+DT = 1e-3
+
+
+def _sim(steps, objs, n_steps, seed=0):
+    s = phys.Simulation(until_t=DT * n_steps * 0.9999, seed=seed)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    for i, st in enumerate(steps):
+        s.add_step(1 + i, st)
+    for o in objs:
+        s.add_obj(o)
+    s.start(); s.join()
+    st = s.sim_state
+    n = len(objs)
+    return (s, np.asarray(jax.device_get(st.r))[:, :n],
+            np.asarray(jax.device_get(st.v))[:, :n])
+
+
+def test_pure_E_accelerates_exactly():
+    """B=0 Boris is exact: v_x = (q/m) E0 t after every step."""
+    k = 50
+    s, r, v = _sim(
+        [newton.LorentzForceStep(E_field=(3.0, 0.0, 0.0), q_over_m=2.0),
+         newton.NewtonianKinematicsStep()],
+        [phys.Object()], k)
+    np.testing.assert_allclose(v[0, 0], 2.0 * 3.0 * DT * k, rtol=1e-5)
+    assert v[1, 0] == 0.0 and v[2, 0] == 0.0
+    # position: r = sum_{i=1..k} v_i dt = a dt^2 k(k+1)/2
+    np.testing.assert_allclose(r[0, 0], 6.0 * DT * DT * k * (k + 1) / 2,
+                               rtol=1e-5)
+
+
+def test_gyro_orbit_speed_exact_and_phase():
+    """Pure B: |v| conserved to f32 roundoff over 500 steps (the Boris
+    rotation is exact); phase advance per step is 2*atan(h|B|), clockwise
+    for q>0, B=+z."""
+    B0, qm, v0 = 200.0, 1.0, 7.0
+    k = 500
+    s, r, v = _sim(
+        [newton.LorentzForceStep(B_field=(0.0, 0.0, B0), q_over_m=qm),
+         newton.NewtonianKinematicsStep()],
+        [phys.Object(v=phys.Measurement([v0, 0, 0], "m**1 s**-1"))], k)
+    speed = np.linalg.norm(v[:, 0])
+    np.testing.assert_allclose(speed, v0, rtol=2e-5)
+    theta = 2.0 * np.arctan(0.5 * qm * B0 * DT)
+    expect = -k * theta  # q>0, B=+z gyrates clockwise in xy
+    got = np.arctan2(v[1, 0], v[0, 0])
+    # compare as complex phases (mod 2pi)
+    np.testing.assert_allclose(np.exp(1j * got), np.exp(1j * expect),
+                               atol=2e-4)
+    assert v[2, 0] == 0.0
+
+
+def test_exb_drift():
+    """Crossed fields: guiding center drifts at E x B / B^2, independent of
+    q/m. Start at rest; average velocity over many gyro-periods converges
+    to the drift (gyration is bounded)."""
+    E0, B0 = 4.0, 200.0
+    k = 4000
+    s, r, v = _sim(
+        [newton.LorentzForceStep(E_field=(E0, 0.0, 0.0),
+                                 B_field=(0.0, 0.0, B0), q_over_m=1.0),
+         newton.NewtonianKinematicsStep()],
+        [phys.Object()], k)
+    drift = np.array([0.0, -E0 / B0, 0.0])
+    v_avg = r[:, 0] / (k * DT)
+    np.testing.assert_allclose(v_avg, drift, atol=0.02 * E0 / B0)
+
+
+def test_per_particle_charge_sign():
+    """ChargedObject(q=, m=): opposite charges gyrate in opposite senses;
+    an uncharged Object (q=m=0 extras) is not pushed."""
+    B0, v0 = 200.0, 5.0
+    vv = phys.Measurement([v0, 0, 0], "m**1 s**-1")
+    s, r, v = _sim(
+        [newton.LorentzForceStep(B_field=(0.0, 0.0, B0)),
+         newton.NewtonianKinematicsStep()],
+        [newton.ChargedObject(q=1.0, m=1.0, v=vv),
+         newton.ChargedObject(q=-1.0, m=1.0, v=vv),
+         phys.Object(v=vv)],
+        100)
+    # equal and opposite vy; the neutral particle keeps +x exactly
+    assert v[1, 0] < -0.1 * v0 and v[1, 1] > 0.1 * v0
+    np.testing.assert_allclose(v[1, 0], -v[1, 1], rtol=1e-5)
+    np.testing.assert_allclose(v[:, 2], [v0, 0.0, 0.0], rtol=1e-6)
+    # both charged speeds conserved
+    np.testing.assert_allclose(np.linalg.norm(v[:, :2], axis=0), v0,
+                               rtol=2e-5)
+
+
+def test_photons_never_pushed():
+    """Photons coexisting with charged particles are immune to the fields
+    (massless; the step is charge dynamics only)."""
+    c = float(light.c)
+    s = phys.Simulation(until_t=0.005, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(E_field=(1e6, 0, 0),
+                                          B_field=(0, 0, 1e3),
+                                          q_over_m=1.0))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_obj(light.PhotonObject(
+        E=np.double(1.0), v=np.array([c, 0, 0], dtype=np.double)))
+    s.add_obj(phys.Object())
+    s.start(); s.join()
+    v = np.asarray(jax.device_get(s.sim_state.v))[:, :2]
+    np.testing.assert_allclose(v[:, 0], [c, 0.0, 0.0], rtol=1e-6)
+    assert abs(v[0, 1]) > 0  # the massive particle DID accelerate
+
+
+def test_spatially_varying_field():
+    """Callable B(r): a field reversing sign across x=0 bends two particles
+    started on either side in opposite directions."""
+    def B(rx, ry, rz):
+        return (0.0 * rx, 0.0 * rx, 100.0 * np.sign(1.0) * jax.numpy.sign(rx))
+
+    vv = phys.Measurement([0, 3.0, 0], "m**1 s**-1")
+    s, r, v = _sim(
+        [newton.LorentzForceStep(B_field=B, q_over_m=1.0),
+         newton.NewtonianKinematicsStep()],
+        [phys.Object(r=phys.Measurement([1.0, 0, 0], "m**1"), v=vv),
+         phys.Object(r=phys.Measurement([-1.0, 0, 0], "m**1"), v=vv)],
+        10)  # ~1 rad of gyration: sign of vx is unambiguous
+    # v x B with B = +z at x>0: vy>0 -> Fx = q vy Bz > 0; mirrored at x<0
+    assert v[0, 0] > 0.5 and v[0, 1] < -0.5
+    np.testing.assert_allclose(v[0, 0], -v[0, 1], rtol=1e-5)
+
+
+def test_missing_charge_errors():
+    s = phys.Simulation(until_t=0.001, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 1.0)))
+    s.add_obj(phys.Object())
+    s.start()
+    with pytest.raises(ValueError, match="q_over_m"):
+        s.join()
+
+
+def test_charged_object_validation():
+    with pytest.raises(ValueError):
+        newton.ChargedObject(q=1.0)
+    with pytest.raises(ValueError):
+        newton.ChargedObject(q=1.0, m=0.0)
+
+
+def test_plan_reports_generic_fallback():
+    """A Lorentz pipeline is outside the photon-only fused kernel; the plan
+    report must say so (unsupported-step), and the run still completes on
+    the generic scan."""
+    s = phys.Simulation(until_t=0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 1.0), q_over_m=1.0))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_obj(newton.ChargedObject(q=1.0, m=1.0))
+    s.start(); s.join()
+    assert not s.used_fused
+    codes = {c for c, _ in s.plan_report.refusals}
+    assert codes & {"unsupported-step", "mixed-population"}, s.explain_plan()
