@@ -790,6 +790,13 @@ class Simulation(threading.Thread):
         self._pending_bulk.append(bulk)
         self._objects_cache = None
 
+    def add_particles(self, bulk: Dict[str, Any]) -> None:
+        """Add any bulk population dict — photons
+        (:func:`physicl_tpu.light.generate_photon_state`) or massive/charged
+        particles (:func:`physicl_tpu.newton.generate_particle_state`); the
+        ``otype`` key carries the species. Alias of :meth:`add_photons`."""
+        self.add_photons(bulk)
+
     def remove_obj(self, obj: Object) -> None:
         """Remove an object. During a run (reference parity:
         physicl/__init__.py:455-459) the object's slot is cleared at the next
@@ -1046,22 +1053,23 @@ class Simulation(threading.Thread):
     @staticmethod
     def _injection_keeps_plan(provider, items) -> bool:
         """True iff injected particles preserve the fused plan's proven
-        invariants: photon-only population and (when the const-norm fast path
-        is active) the common particle speed."""
+        invariants: the single proven species and (when the const-norm fast
+        path is active) the common particle speed."""
         speed0 = provider.plan.const_norm_speed
+        species = provider.plan.species
 
         def speed_ok(s):
             return speed0 is None or abs(s - speed0) <= 1e-4 * speed0
 
         for kind, x in items:
             if kind == "obj":
-                if getattr(x, "_obj_type_code", 0) != OBJ_PHOTON:
+                if getattr(x, "_obj_type_code", 0) != species:
                     return False
                 if not speed_ok(float(np.linalg.norm(
                         raw_code_value(x.v).reshape(3)))):
                     return False
             else:
-                if int(x["otype"]) != OBJ_PHOTON:
+                if int(x["otype"]) != species:
                     return False
                 if speed0 is not None:
                     v = x["v"]
@@ -1314,7 +1322,7 @@ class Simulation(threading.Thread):
             elif not allow_fuse and self.fuse == "auto":
                 msg = ("fused TPU pipeline disabled for the rest of the run: "
                        "a mid-run injection broke its proven invariants "
-                       "(non-photon or off-speed particles); continuing on "
+                       "(off-species or off-speed particles); continuing on "
                        "the generic scan. sim.explain_plan() has details.")
             if msg is not None:
                 self._warned_fallback = True

@@ -17,7 +17,46 @@ from physicl_tpu.units import Measurement, raw_code_value
 
 __all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
            "ReflectingBoundaryStep", "PeriodicBoundaryStep",
-           "ChargedObject", "LorentzForceStep"]
+           "ChargedObject", "LorentzForceStep", "generate_particle_state"]
+
+
+def generate_particle_state(n, v=None, r=None, device=False, w=None) -> dict:
+    """Bulk SoA massive-particle population — the generic-species
+    counterpart of :func:`physicl_tpu.light.generate_photon_state` (no
+    per-particle Python objects; feeds ``Simulation.add_particles``).
+    Single-species bulk populations take the fused charged-particle path
+    with :class:`LorentzForceStep(q_over_m=...)`.
+
+    ``v``/``r``: (3,) or (3, n) [code units], default zero; ``w``: scalar or
+    (n,) statistical weights. ``device=True`` builds the arrays with jnp on
+    the accelerator (zero host staging at large N).
+    """
+    from physicl_tpu.state import OBJ_GENERIC
+
+    n = int(n)
+
+    def _vec3(x, xp):
+        if x is None:
+            return xp.zeros((3, n), xp.float32 if device else np.float64)
+        arr = xp.asarray(raw_code_value(x),
+                         xp.float32 if device else np.float64)
+        return xp.broadcast_to(arr.reshape(3, -1), (3, n))
+
+    xp = jnp if device else np
+    out = {"n": n,
+           "E": xp.zeros((n,), xp.float32 if device else np.float64),
+           "v": _vec3(v, xp), "r": _vec3(r, xp), "otype": OBJ_GENERIC}
+    if not device:  # writable copies (from_population slices into them)
+        out["v"] = np.array(out["v"]); out["r"] = np.array(out["r"])
+    if w is not None:
+        w_arr = xp.asarray(raw_code_value(w),
+                           xp.float32 if device else np.float64).reshape(-1)
+        if w_arr.shape[0] not in (1, n):
+            raise ValueError(f"w must be scalar or length {n}")
+        out["w"] = xp.broadcast_to(w_arr, (n,))
+        if not device:
+            out["w"] = np.array(out["w"])
+    return out
 
 
 class NewtonianKinematicsStep(Step):
@@ -187,9 +226,15 @@ class LorentzForceStep(Step):
     ``a`` the effective acceleration ``dv/dt`` (so measurement steps and
     ``integrate_acceleration=False`` kinematics observe consistent state).
 
-    Not a fused-kernel op: charged populations are outside the photon-only
-    fused transport kernel by construction; this runs on the generic scan
-    path, which remains a single fused XLA loop over the SoA state.
+    Fused-path op (single-species populations with a species-wide
+    ``q_over_m``): an all-generic population with UpdateTime + Lorentz +
+    Kinematics (+ boundaries/measures) runs inside the fused Pallas kernel,
+    same as photon transport. ``q_over_m=None`` (per-particle ``q``/``m``
+    from ``state.extras``) runs on the generic scan — extras are not packed
+    kernel planes; ``sim.explain_plan()`` says so. One fused-path delta:
+    the packed kernel state carries no ``a`` plane, so ``state.a`` keeps
+    its initial value after a fused run (``dv`` is maintained; divide by
+    the final dt for the effective acceleration).
     """
 
     def __init__(self, E_field=None, B_field=None, q_over_m=None):

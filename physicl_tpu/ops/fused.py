@@ -151,6 +151,12 @@ class _Op:
     # plane interface (light.RefractiveInterfaceStep); c_val carries c for
     # match_speed's c/n outgoing speeds
     iface: tuple = ()
+    # lorentz (newton.LorentzForceStep, charged populations): species-wide
+    # charge-to-mass ratio + field callables over (rx, ry, rz) — constants
+    # arrive as closures over the host 3-vector
+    qm: float = 0.0
+    e_fn: Optional[Callable] = None
+    b_fn: Optional[Callable] = None
     # sign/cross: tallies are statistical-weight sums into FLOAT record
     # channels (cols/axes then index rec_f) instead of int counts
     weighted: bool = False
@@ -176,6 +182,11 @@ class FusedPlan:
     chunk: int
     tile_rows: int
     interpret: bool = False
+    # single-species population code the prover validated: OBJ_PHOTON for
+    # photon transport (the flagship pipeline) or OBJ_GENERIC for charged /
+    # massive particles (kinematics + Lorentz + boundaries + measures).
+    # The kernel itself elides per-particle type dispatch either way.
+    species: int = OBJ_PHOTON
     # |dr| == c*dt for every particle (all photons at speed c): replaces the
     # per-photon norm (sqrt + 5 flops) with one scalar per iteration. The
     # prover enables this only after validating every particle speed.
@@ -566,6 +577,34 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                        f[_VX + d])
                 f[_DRX + d] = r1 - (r0 - f[_DRX + d])
                 f[_RX + d] = r1
+        elif op.kind == "lorentz":
+            # Boris pusher (newton.LorentzForceStep): half-E kick, exact
+            # B rotation, half-E kick — |v| exactly conserved in pure B
+            h = jnp.float32(0.5 * op.qm) * dt
+            if op.e_fn is not None:
+                ev = [jnp.asarray(x, jnp.float32) * h for x in
+                      op.e_fn(f[_RX], f[_RY], f[_RZ])]
+                vx = f[_VX] + ev[0]
+                vy = f[_VY] + ev[1]
+                vz = f[_VZ] + ev[2]
+            else:
+                vx, vy, vz = f[_VX], f[_VY], f[_VZ]
+            if op.b_fn is not None:
+                tx, ty, tz = (jnp.asarray(x, jnp.float32) * h for x in
+                              op.b_fn(f[_RX], f[_RY], f[_RZ]))
+                vpx = vx + (vy * tz - vz * ty)
+                vpy = vy + (vz * tx - vx * tz)
+                vpz = vz + (vx * ty - vy * tx)
+                s2 = 2.0 / (1.0 + tx * tx + ty * ty + tz * tz)
+                vx = vx + s2 * (vpy * tz - vpz * ty)
+                vy = vy + s2 * (vpz * tx - vpx * tz)
+                vz = vz + s2 * (vpx * ty - vpy * tx)
+            if op.e_fn is not None:
+                vx, vy, vz = vx + ev[0], vy + ev[1], vz + ev[2]
+            for d, vn in enumerate((vx, vy, vz)):
+                new = jnp.where(alive_b, vn, f[_VX + d])
+                f[_DVX + d] = new - f[_VX + d]
+                f[_VX + d] = new
         elif op.kind == "fresnel":
             # refractive plane interface (light.RefractiveInterfaceStep):
             # Fresnel-reflect or Snell-refract photons whose segment
@@ -1007,7 +1046,8 @@ def clear_kernel_cache():
     _chunk_cache.clear()
 
 
-_OP_FN_FIELDS = frozenset({"custom_fn", "n_fn", "a_fn", "emit_E_fn"})
+_OP_FN_FIELDS = frozenset({"custom_fn", "n_fn", "a_fn", "emit_E_fn",
+                           "e_fn", "b_fn"})
 
 
 def _plan_cache_key(plan: FusedPlan, capacity: int):
@@ -1085,6 +1125,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     # iteration temporaries: a 32-segment Planck icdf emitter at U=32
     # measured 19.6M scoped even with HBM-resident outputs
     heavy_ops = any(op.emit_E_fn is not None or op.custom_fn is not None
+                    or op.e_fn is not None or op.b_fn is not None
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))

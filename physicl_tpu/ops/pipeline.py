@@ -522,6 +522,7 @@ def try_build_fused(sim, steps, state: SimState,
     )
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
+        LorentzForceStep,
         NewtonianKinematicsStep,
         PeriodicBoundaryStep,
         ReflectingBoundaryStep,
@@ -544,21 +545,32 @@ def try_build_fused(sim, steps, state: SimState,
         return _no("jit-off", "jit_on=False: the fused Pallas pipeline "
                    "requires compilation")
 
-    # Photon-only population (host-side knowledge, no device sync).
+    # Single-species population (host-side knowledge, no device sync): the
+    # fused kernel elides per-particle type dispatch, so every particle must
+    # share one type code — photons (the transport pipeline) or generic /
+    # charged particles (kinematics + Lorentz + boundaries + measures).
+    species = None
     for o in sim._pending_objects:
-        if getattr(o, "_obj_type_code", 0) != OBJ_PHOTON:
+        code = int(getattr(o, "_obj_type_code", 0))
+        if species is None:
+            species = code
+        elif code != species:
             return _no("mixed-population",
-                       f"initial object of type {type(o).__name__} is not a "
-                       "photon; the fused kernel elides per-particle type "
-                       "dispatch (photon-only populations fuse)")
+                       f"initial object of type {type(o).__name__} mixes "
+                       "particle species; the fused kernel elides "
+                       "per-particle type dispatch (single-species "
+                       "populations fuse)")
     for b in sim._pending_bulk:
-        if int(b["otype"]) != OBJ_PHOTON:
+        code = int(b["otype"])
+        if species is None:
+            species = code
+        elif code != species:
             return _no("mixed-population",
-                       "bulk population with a non-photon otype; the fused "
-                       "kernel is photon-only")
-    if not sim._pending_objects and not sim._pending_bulk:
+                       "bulk population mixes particle species; the fused "
+                       "kernel elides per-particle type dispatch")
+    if species is None:
         return _no("empty-population",
-                   "no initial objects: add photons before start() "
+                   "no initial objects: add particles before start() "
                    "(in-kernel emitters still need a sized arena)")
 
     ops: List[F._Op] = []
@@ -572,8 +584,25 @@ def try_build_fused(sim, steps, state: SimState,
     update_before_kin = False
     kin_seen = False
 
+    # Photon physics is otype-filtered on the generic path (e.g.
+    # light.py ScatterDeleteStep.apply's `state.otype == OBJ_PHOTON`); the
+    # fused kernel elides that dispatch, so these ops only fuse when the
+    # proven species IS photon. On a non-photon population they are no-ops
+    # (or, for emitters/deposition tallies, would change the population /
+    # record structure), so the sim stays on the generic path.
+    photon_only = (ScatterDeleteStep, ScatterIsotropicStep,
+                   ScatterHenyeyGreensteinStep, ScatterRayleighStep,
+                   ScatterComptonStep, RefractiveInterfaceStep,
+                   PhotonEmitterStep)
+
     for s in steps:
         uid = s._step_uid
+        if species != OBJ_PHOTON and isinstance(s, photon_only):
+            return _no("photon-only-op",
+                       f"{type(s).__name__} acts on photons but the "
+                       "population is non-photon; the fused kernel elides "
+                       "per-particle type dispatch, so this pipeline runs "
+                       "on the generic path")
         if type(s) is UpdateTimeStep:
             if update_seen:
                 return _no("duplicate-update-step",
@@ -620,6 +649,23 @@ def try_build_fused(sim, steps, state: SimState,
         elif type(s) is PeriodicBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("periodic", bounds=_static_bounds(s, sim)))
+        elif type(s) is LorentzForceStep:
+            if s.q_over_m is None:
+                return _no("lorentz-per-particle",
+                           "LorentzForceStep(q_over_m=None) reads "
+                           "per-particle q/m from state.extras, which are "
+                           "not packed kernel planes; pass a species-wide "
+                           "q_over_m= to fuse")
+            if species == OBJ_PHOTON:
+                # photons are never pushed (generic path's
+                # `otype != OBJ_PHOTON` filter) — but the generic apply still
+                # ZEROES dv ("dv = this step's velocity change"), which a
+                # downstream trace_dv counts on. qm=0, no fields reproduces
+                # exactly that: v unchanged, dv = 0.
+                ops.append(F._Op("lorentz", qm=0.0))
+            else:
+                ops.append(F._Op("lorentz", qm=s.q_over_m,
+                                 e_fn=s._e_fn, b_fn=s._b_fn))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
             ops.append(F._Op(
@@ -762,10 +808,11 @@ def try_build_fused(sim, steps, state: SimState,
         else:
             return _no("unsupported-step",
                        f"{type(s).__name__} has no fused-kernel op; "
-                       "supported: UpdateTime/Kinematics/ScatterDelete/"
-                       "ScatterIsotropic/ScatterHenyeyGreenstein/"
-                       "ScatterRayleigh/ScatterCompton/RefractiveInterface/"
-                       "boundaries/PhotonEmitter/Sign+Cross+Reduce measures/"
+                       "supported: UpdateTime/Kinematics/Lorentz/"
+                       "ScatterDelete/ScatterIsotropic/"
+                       "ScatterHenyeyGreenstein/ScatterRayleigh/"
+                       "ScatterCompton/RefractiveInterface/boundaries/"
+                       "PhotonEmitter/Sign+Cross+Reduce measures/"
                        "Elementwise/TracePath")
 
     if not update_seen:
@@ -804,8 +851,8 @@ def try_build_fused(sim, steps, state: SimState,
             and not any(kin_positions[0] < q < p
                         for q in reflect_positions
                         for p in scatter_positions if q != p)
-            # custom physics may change velocities or dr arbitrarily
-            and not any(op.kind == "custom" for op in ops)
+            # custom physics / field pushes change velocities arbitrarily
+            and not any(op.kind in ("custom", "lorentz") for op in ops)
             # match_speed interfaces make speeds heterogeneous (c/n per
             # medium): |dr| == c*dt stops holding population-wide
             and not any(op.kind == "fresnel" and op.iface[4]
@@ -933,6 +980,7 @@ def try_build_fused(sim, steps, state: SimState,
         ops=ops, n_rec_cols=next_col, chunk=chunk,
         tile_rows=getattr(sim, "fused_tile_rows", 128),
         interpret=(jax.default_backend() == "cpu"),
+        species=species,
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,

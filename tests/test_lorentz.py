@@ -157,16 +157,84 @@ def test_charged_object_validation():
         newton.ChargedObject(q=1.0, m=0.0)
 
 
-def test_plan_reports_generic_fallback():
-    """A Lorentz pipeline is outside the photon-only fused kernel; the plan
-    report must say so (unsupported-step), and the run still completes on
-    the generic scan."""
+def test_species_wide_lorentz_fuses():
+    """An all-generic population with a species-wide q_over_m runs INSIDE
+    the fused Pallas kernel (charged-particle fused path)."""
     s = phys.Simulation(until_t=0.002, seed=0)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
     s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 1.0), q_over_m=1.0))
     s.add_step(2, newton.NewtonianKinematicsStep())
     s.add_obj(newton.ChargedObject(q=1.0, m=1.0))
     s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+
+
+def test_per_particle_qm_reports_generic_fallback():
+    """q_over_m=None reads per-particle q/m from state.extras — not packed
+    kernel planes; the plan report must say so, and the run still completes
+    on the generic scan."""
+    s = phys.Simulation(until_t=0.002, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 1.0)))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_obj(newton.ChargedObject(q=1.0, m=1.0))
+    s.start(); s.join()
     assert not s.used_fused
     codes = {c for c, _ in s.plan_report.refusals}
-    assert codes & {"unsupported-step", "mixed-population"}, s.explain_plan()
+    assert "lorentz-per-particle" in codes, s.explain_plan()
+
+
+def test_fused_vs_generic_parity_exact_observables():
+    """Boris dynamics has no RNG: the fused Pallas kernel and the generic
+    scan must agree on every particle's r and v to f32 roundoff, including
+    spatially varying B, constant E, and a reflecting box."""
+    rng = np.random.default_rng(7)
+    n, k = 96, 120
+    v0 = rng.normal(size=(3, n))
+    r0 = rng.normal(size=(3, n)) * 0.01
+
+    def b_fn(rx, ry, rz):
+        return (0.3 * ry, 0.0 * rx, 40.0 + 5.0 * rx)
+
+    outs = []
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=DT * k * 0.9999, seed=3, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+        s.add_step(1, newton.LorentzForceStep(
+            E_field=(0.5, -0.2, 0.1), B_field=b_fn, q_over_m=-1.5))
+        s.add_step(2, newton.NewtonianKinematicsStep())
+        s.add_step(3, newton.ReflectingBoundaryStep(
+            bounds=((-0.5, 0.5), (-0.5, 0.5), (-0.5, 0.5))))
+        for i in range(n):
+            s.add_obj(phys.Object(
+                r=phys.Measurement(r0[:, i], "m**1"),
+                v=phys.Measurement(v0[:, i], "m**1 s**-1")))
+        s.start(); s.join()
+        st = s.sim_state
+        outs.append((s.used_fused,
+                     np.asarray(jax.device_get(st.r))[:, :n],
+                     np.asarray(jax.device_get(st.v))[:, :n]))
+    assert outs[0][0] and not outs[1][0]
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=3e-5, atol=3e-6)
+
+
+def test_photon_population_lorentz_noop_still_fuses():
+    """A Lorentz step in an all-photon population fuses as the generic
+    path's exact no-op (photons immune; dv zeroed)."""
+    c = float(light.c)
+    s = phys.Simulation(until_t=0.003, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(E_field=(1e6, 0, 0),
+                                          B_field=(0, 0, 1e4),
+                                          q_over_m=1e8))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    st = s.sim_state
+    v = np.asarray(jax.device_get(st.v))[:, :64]
+    np.testing.assert_allclose(v[0], c, rtol=1e-6)
+    assert np.all(v[1] == 0.0) and np.all(v[2] == 0.0)
+    dv = np.asarray(jax.device_get(st.dv))[:, :64]
+    assert np.all(dv == 0.0)

@@ -64,10 +64,34 @@ def test_refusal_unsupported_step():
 
 
 def test_refusal_mixed_population():
+    """Photons + a generic particle: the kernel elides type dispatch, so a
+    genuinely mixed population refuses."""
+    s = _base_sim()
+    s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+    _run(s)  # adds 64 photons alongside the generic object
+    assert "mixed-population" in _refusal_codes(s)
+
+
+def test_generic_single_species_fuses():
+    """An all-generic population with species-agnostic steps fuses (the
+    charged/massive-particle fused path)."""
     s = _base_sim()
     s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
     _run(s, photons=0)
-    assert "mixed-population" in _refusal_codes(s)
+    assert s.used_fused
+    assert s.plan_report.mode == "fused"
+
+
+def test_refusal_photon_only_op_in_generic_population():
+    """Photon physics (otype-filtered no-ops on a generic population) keeps
+    the sim on the generic path, with the reason named."""
+    s = _base_sim()
+    s.add_step(2, light.ScatterIsotropicStep(n=1e-3, A=1e-3))
+    s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+    _run(s, photons=0)
+    assert not s.used_fused
+    assert "photon-only-op" in _refusal_codes(s)
+    assert "ScatterIsotropicStep" in s.explain_plan()
 
 
 def test_refusal_empty_population():

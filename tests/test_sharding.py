@@ -336,3 +336,31 @@ def test_sharded_weighted_transport_psum():
         np.testing.assert_allclose(rows[:, 2], expect, rtol=1e-4)
     # capture is draw-free, so mesh and single-device agree to roundoff
     np.testing.assert_allclose(res[True][:, 2], res[False][:, 2], rtol=1e-5)
+
+
+def test_sharded_fused_lorentz_charged_population():
+    """The charged-particle fused path under shard_map: Boris dynamics is
+    deterministic, so the mesh run must match the single-device run
+    per-particle (bulk generic population via generate_particle_state)."""
+    mesh = make_mesh()
+    n = 8 * 2048
+    rng = np.random.default_rng(11)
+    v0 = rng.normal(size=(3, n))
+    r0 = rng.normal(size=(3, n)) * 0.01
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.05, seed=2, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.LorentzForceStep(
+            E_field=(0.5, 0.0, 0.2), B_field=(0.0, 0.0, 60.0), q_over_m=1.0))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        s.add_particles(phys.newton.generate_particle_state(n, v=v0, r=r0))
+        s.start(); s.join()
+        assert s.used_fused, s.explain_plan()
+        res[m is not None] = (
+            np.asarray(jax.device_get(s.sim_state.r))[:, :n],
+            np.asarray(jax.device_get(s.sim_state.v))[:, :n])
+    np.testing.assert_allclose(res[True][0], res[False][0],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res[True][1], res[False][1],
+                               rtol=1e-6, atol=1e-7)

@@ -120,6 +120,17 @@ def _ops(kind):
                 F._Op("fresnel", c_val=c,
                       iface=(2, 1.0 * _EPS, 1.5, 1.0, True)),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "lorentz":
+        # charged-particle fused path: Boris rotation temporaries (t-vector,
+        # v', s2) plus spatially-varying field callables per unrolled iter
+        import jax.numpy as jnp
+
+        def b_fn(x, y, z):
+            return (jnp.float32(0.0) * x, jnp.float32(0.0) * x,
+                    jnp.float32(40.0 * _EPS) + jnp.float32(2.0) * x)
+
+        return [F._Op("lorentz", qm=1.5 * _EPS, e_fn=None, b_fn=b_fn),
+                kin, F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "implicit_capture":
         # weighted transport: deterministic weight decay + Russian roulette
         # exercises the _W plane read-modify-write in the unrolled loop
@@ -150,7 +161,7 @@ def _ops(kind):
                                   "trace", "trace_strided", "trace_bf16",
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
-                                  "fresnel"])
+                                  "fresnel", "lorentz"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
