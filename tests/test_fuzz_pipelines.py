@@ -249,3 +249,74 @@ def test_fuzz_midrun_injection_and_removal(trial):
     # removable now holds only the never-removed objects
     expected = len(removable) + n0 + injected
     assert len(s.objects) == expected
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_charged_pipeline_fused_matches_generic(trial):
+    """Random charged-particle pipelines (Boris pusher + kinematics +
+    boundaries + tallies) have NO RNG: both paths are deterministic, so the
+    fused kernel and generic scan must agree on iteration counts exactly,
+    alive counts to the boundary-edge flip margin, and — when no boundary
+    can fold trajectories — the full final phase space to f32 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for fuse in ("auto", "off"):
+        rng = np.random.default_rng(3000 + trial)
+        n = int(rng.integers(500, 3000))
+        v0 = rng.normal(size=(3, n)) * rng.uniform(0.5, 3.0)
+        r0 = rng.normal(size=(3, n)) * 0.01
+        qm = float(rng.uniform(-3.0, 3.0))
+        E = tuple(rng.normal(size=3) * 2.0) if rng.random() < 0.7 else None
+        B = None
+        if rng.random() < 0.7:
+            B0 = float(rng.uniform(10.0, 100.0))
+            if rng.random() < 0.5:
+                B = (0.0, 0.0, B0)
+            else:
+                def B(rx, ry, rz, B0=B0):  # mild gradient field
+                    return (0.0 * rx, 0.0 * rx,
+                            jnp.float32(B0) * (1.0 + rx))
+        s = phys.Simulation(until_t=0.03 * 0.9999, seed=trial, fuse=fuse)
+        idx = 0
+        s.add_step(idx, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        idx += 1
+        s.add_step(idx, physicl_tpu.newton.LorentzForceStep(
+            E_field=E, B_field=B, q_over_m=qm)); idx += 1
+        s.add_step(idx, physicl_tpu.newton.NewtonianKinematicsStep())
+        idx += 1
+        boundary = rng.random() < 0.5
+        if boundary:
+            L = float(rng.uniform(0.5, 3.0))
+            box = np.array([[-L, L]] * 3)
+            pick = rng.random()
+            if pick < 0.4:
+                s.add_step(idx,
+                           physicl_tpu.newton.ReflectingBoundaryStep(box))
+            elif pick < 0.7:
+                s.add_step(idx, physicl_tpu.newton.PeriodicBoundaryStep(box))
+            else:
+                s.add_step(idx,
+                           physicl_tpu.newton.AbsorbingBoundaryStep(box))
+            idx += 1
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(idx, sign)
+        s.add_particles(physicl_tpu.newton.generate_particle_state(
+            n, v=v0, r=r0))
+        s.start(); s.join()
+        out[fuse] = (s.used_fused, len(s.ts),
+                     np.asarray(jax.device_get(s.sim_state.r))[:, :n],
+                     np.asarray(jax.device_get(s.sim_state.v))[:, :n],
+                     np.array(sign.data, float))
+    a, b = out["auto"], out["off"]
+    assert a[0] and not b[0]
+    assert a[1] == b[1]          # identical iteration schedules
+    # alive counts per iteration: deterministic; an f32 edge flip at a box
+    # face can differ by a particle or two, never more
+    np.testing.assert_allclose(a[4][:, 1], b[4][:, 1], atol=2.5)
+    # sign tallies: same margin (vx compares at 0 exactly)
+    np.testing.assert_allclose(a[4][:, 2:], b[4][:, 2:], atol=2.5)
+    if not boundary:
+        np.testing.assert_allclose(a[2], b[2], rtol=3e-5, atol=3e-6)
+        np.testing.assert_allclose(a[3], b[3], rtol=3e-5, atol=3e-6)
