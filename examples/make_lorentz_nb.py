@@ -24,8 +24,9 @@ CELL0 = '''\
 # particle-in-cell integrator because the magnetic rotation conserves |v|
 # EXACTLY — no secular energy drift on gyro-orbits. The reference stores an
 # `a` attribute but integrates no forces (physicl/newton.py); this is a
-# physicl_tpu extension on the generic scan path (charged populations are
-# outside the photon-only fused kernel by design).
+# physicl_tpu extension, and an all-generic population with a species-wide
+# q/m runs INSIDE the fused Pallas kernel — the charged counterpart of the
+# photon transport pipeline (sim.explain_plan() shows the decision).
 import sys, os
 sys.path.insert(0, os.path.dirname(os.getcwd()))
 if os.environ.get("PHYSICL_NB_SMALL") == "1" or \\
@@ -92,6 +93,27 @@ z_max = np.abs(pos2[:, 2]).max()
 print(f"magnetic mirror: turning point {z_max:.3f} "
       f"(adiabatic prediction {z_mirror:.3f}, "
       f"r_L/L = {v_perp / B0m / L_mir:.1e})")
+
+# ---- 3: bulk fused run — a thermal ensemble in the mirror field ----
+# generate_particle_state + add_particles build the SoA population with no
+# per-particle Python objects; the whole pipeline runs as one fused chunk.
+import jax
+
+n_bulk = 100_000
+rng = np.random.default_rng(0)
+vb = rng.normal(size=(3, n_bulk))
+s3 = phys.Simulation(until_t=1.0 * 0.9999, seed=1)
+s3.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+s3.add_step(1, newton.LorentzForceStep(B_field=mirror_B, q_over_m=qm))
+s3.add_step(2, newton.NewtonianKinematicsStep())
+s3.add_particles(newton.generate_particle_state(n_bulk, v=vb))
+s3.start(); s3.join()
+assert s3.used_fused, s3.explain_plan()
+vf = np.asarray(jax.device_get(s3.sim_state.v))[:, :n_bulk]
+drift = np.abs(np.linalg.norm(vf, axis=0)
+               - np.linalg.norm(vb, axis=0)).max()
+print(f"bulk fused mirror: {n_bulk} particles x {len(s3.ts)} steps, "
+      f"max |v| drift {drift:.2e} (pure B: Boris conserves speed)")
 '''
 
 CELL1 = '''\
