@@ -291,6 +291,25 @@ def main():
     emit("implicit_capture_roulette_1e7", steady_rate(weighted, N),
          "photon-steps/s", 1.4e5)
 
+    # 4f. charged-particle dynamics: the Boris pusher (half-E kick, exact B
+    # rotation, half-E kick) fused over an all-generic population — the
+    # PIC-style workload (no reference counterpart; vs_baseline uses the
+    # reference's observed transport rate)
+    def lorentz():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.LorentzForceStep(
+            E_field=(4.0, 0.0, 0.0), B_field=(0.0, 0.0, 200.0),
+            q_over_m=1.0))
+        s.add_step(2, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_particles(physicl_tpu.newton.generate_particle_state(
+            N, v=(1.0, 0.0, 0.0)))
+        return s
+
+    emit("lorentz_boris_exb_1e7", steady_rate(lorentz, N),
+         "particle-steps/s", 2.0e4)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()
