@@ -226,13 +226,13 @@ class LorentzForceStep(Step):
     ``a`` the effective acceleration ``dv/dt`` (so measurement steps and
     ``integrate_acceleration=False`` kinematics observe consistent state).
 
-    Fused-path op (single-species populations with a species-wide
-    ``q_over_m``): an all-generic population with UpdateTime + Lorentz +
-    Kinematics (+ boundaries/measures) runs inside the fused Pallas kernel,
-    same as photon transport. ``q_over_m=None`` (per-particle ``q``/``m``
-    from ``state.extras``) runs on the generic scan — extras are not packed
-    kernel planes; ``sim.explain_plan()`` says so. One fused-path delta:
-    the packed kernel state carries no ``a`` plane, so ``state.a`` keeps
+    Fused-path op (single-species populations): an all-generic population
+    with UpdateTime + Lorentz + Kinematics (+ boundaries/measures) runs
+    inside the fused Pallas kernel, same as photon transport — both with a
+    species-wide ``q_over_m`` and with per-particle charge/mass
+    (``q_over_m=None`` + :class:`ChargedObject(q=, m=)`), which packs a
+    derived ``q/m`` plane alongside the core kernel state. One fused-path
+    delta: the packed state carries no ``a`` plane, so ``state.a`` keeps
     its initial value after a fused run (``dv`` is maintained; divide by
     the final dt for the effective acceleration).
     """

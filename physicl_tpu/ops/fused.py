@@ -153,8 +153,10 @@ class _Op:
     iface: tuple = ()
     # lorentz (newton.LorentzForceStep, charged populations): species-wide
     # charge-to-mass ratio + field callables over (rx, ry, rz) — constants
-    # arrive as closures over the host 3-vector
+    # arrive as closures over the host 3-vector. Per-particle charge/mass
+    # instead reads a packed extras plane (plan.extras) at index qm_plane.
     qm: float = 0.0
+    qm_plane: int = -1
     e_fn: Optional[Callable] = None
     b_fn: Optional[Callable] = None
     # sign/cross: tallies are statistical-weight sums into FLOAT record
@@ -187,6 +189,11 @@ class FusedPlan:
     # massive particles (kinematics + Lorentz + boundaries + measures).
     # The kernel itself elides per-particle type dispatch either way.
     species: int = OBJ_PHOTON
+    # read-only per-particle planes packed AFTER the 15 core planes: names
+    # resolve against state.extras at pack time ("qm" is the derived
+    # charge-to-mass ratio q/m, 0 where m == 0). Ops address extras[j] as
+    # field plane _NF + j; the kernel copies them through unchanged.
+    extras: tuple = ()
     # |dr| == c*dt for every particle (all photons at speed c): replaces the
     # per-photon norm (sqrt + 5 flops) with one scalar per iteration. The
     # prover enables this only after validating every particle speed.
@@ -579,8 +586,12 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_RX + d] = r1
         elif op.kind == "lorentz":
             # Boris pusher (newton.LorentzForceStep): half-E kick, exact
-            # B rotation, half-E kick — |v| exactly conserved in pure B
-            h = jnp.float32(0.5 * op.qm) * dt
+            # B rotation, half-E kick — |v| exactly conserved in pure B.
+            # qm_plane >= 0 reads per-particle q/m from a packed extras plane
+            if op.qm_plane >= 0:
+                h = f[op.qm_plane] * (jnp.float32(0.5) * dt)
+            else:
+                h = jnp.float32(0.5 * op.qm) * dt
             if op.e_fn is not None:
                 ev = [jnp.asarray(x, jnp.float32) * h for x in
                       op.e_fn(f[_RX], f[_RY], f[_RZ])]
@@ -788,7 +799,7 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
         rec_ref[:] = jnp.zeros_like(rec_ref)
         recf_ref[:] = jnp.zeros_like(recf_ref)
 
-    fields = [state_ref[i] for i in range(_NF)]
+    fields = [state_ref[i] for i in range(_NF + len(plan.extras))]
     # global slot index of each tile element (row-major (rows, 128) layout)
     gidx = (pid * jnp.int32(tile_rows * _LANE)
             + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANE), 0)
@@ -888,7 +899,7 @@ def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
     # windows are copied back wholesale and are NOT guaranteed to be
     # initialized from the input_output_aliases'd input, so skipping a plane
     # store can corrupt it at chunk boundaries. One plane store is negligible.
-    for i in range(_NF):
+    for i in range(_NF + len(plan.extras)):
         out_ref[i] = fields[i]
 
 
@@ -901,6 +912,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
     io_callbacks, which deadlock against device_get from the driver thread).
     """
     rows = capacity // _LANE
+    nf = _NF + len(plan.extras)
     s_every = max(1, int(plan.stream_every))
     n_srows = -(-plan.chunk // s_every)  # ceil: strided stream rows
     sdtype = (jnp.bfloat16 if plan.stream_dtype == "bfloat16"
@@ -911,7 +923,7 @@ def _build_emulated_chunk(plan: FusedPlan, capacity: int):
         dts = jnp.asarray(dts, jnp.float32)
         emit_starts = jnp.asarray(emit_starts, jnp.int32)
         seed = jnp.asarray(seed, jnp.int32)
-        fields = [packed[i].reshape(rows, _LANE) for i in range(_NF)]
+        fields = [packed[i].reshape(rows, _LANE) for i in range(nf)]
         rec0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.int32)
         recf0 = jnp.zeros((plan.chunk, _MAX_REC_COLS), jnp.float32)
         stream0 = jnp.full((n_srows, plan.n_stream, rows, _LANE), jnp.nan,
@@ -1106,6 +1118,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     if plan.interpret:
         return _build_emulated_chunk(plan, capacity)
     rows = capacity // _LANE
+    nf = _NF + len(plan.extras)
     tile_rows = plan.tile_rows
     while rows % tile_rows:
         tile_rows //= 2
@@ -1119,7 +1132,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     # failing allocations), and a state output under the 16MB limit can be
     # promoted. Everything else runs at U<=8, which fits every measured
     # configuration (tile 512 included) and costs ~7% at the 1e7 headline.
-    state_out_bytes = _NF * rows * _LANE * 4
+    state_out_bytes = nf * rows * _LANE * 4
     # ops that trace arbitrary-size user code per iteration (in-kernel
     # sampled-E emitters, ElementwiseStep physics) multiply the per-
     # iteration temporaries: a 32-segment Planck icdf emitter at U=32
@@ -1150,7 +1163,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         plan = dataclasses.replace(plan, unroll=1)
 
     out_specs = [
-        pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
+        pl.BlockSpec((nf, tile_rows, _LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((plan.chunk, _MAX_REC_COLS), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -1158,7 +1171,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((_NF, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((nf, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.int32),
         jax.ShapeDtypeStruct((plan.chunk, _MAX_REC_COLS), jnp.float32),
     ]
@@ -1185,7 +1198,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sched (5, chunk): rows
             # [dt at kin, t after upd, t before upd, dt after, dt before]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # emit starts (E, chunk)
-            pl.BlockSpec((_NF, tile_rows, _LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((nf, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -1198,7 +1211,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     def run(packed, dts, emit_starts, seed, k_act):
         ctl = jnp.stack([jnp.asarray(seed, jnp.int32),
                          jnp.asarray(k_act, jnp.int32)])
-        packed3 = packed.reshape(_NF, rows, _LANE)
+        packed3 = packed.reshape(nf, rows, _LANE)
         res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1212,21 +1225,31 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         out, rec, rec_f = res[0], res[1], res[2]
         if plan.n_stream:
             stream = res[3].reshape(n_srows, plan.n_stream, capacity)
-            return out.reshape(_NF, capacity), rec, rec_f, stream
-        return out.reshape(_NF, capacity), rec, rec_f
+            return out.reshape(nf, capacity), rec, rec_f, stream
+        return out.reshape(nf, capacity), rec, rec_f
 
     return run
 
 
-def pack_state(state: SimState) -> jax.Array:
-    """SimState -> packed (15, C) f32 (one concat; slices come back out)."""
-    return jnp.concatenate(
-        [state.r, state.dr, state.v, state.dv,
-         state.E[None].astype(jnp.float32),
-         state.alive[None].astype(jnp.float32),
-         state.w[None].astype(jnp.float32)],
-        axis=0,
-    )
+def pack_state(state: SimState, extras: tuple = ()) -> jax.Array:
+    """SimState -> packed (15 + len(extras), C) f32 (one concat; slices come
+    back out). ``extras`` names resolve against ``state.extras``; the derived
+    pseudo-plane ``"qm"`` packs the charge-to-mass ratio ``q / m`` (0 where
+    ``m == 0`` — uncharged/unset particles are never pushed, matching
+    newton.LorentzForceStep's generic-path guard)."""
+    planes = [state.r, state.dr, state.v, state.dv,
+              state.E[None].astype(jnp.float32),
+              state.alive[None].astype(jnp.float32),
+              state.w[None].astype(jnp.float32)]
+    for name in extras:
+        if name == "qm":
+            q = state.extras["q"].astype(jnp.float32)
+            m = state.extras["m"].astype(jnp.float32)
+            safe = jnp.where(m != 0, m, jnp.ones_like(m))
+            planes.append(jnp.where(m != 0, q / safe, 0.0)[None])
+        else:
+            planes.append(state.extras[name].astype(jnp.float32)[None])
+    return jnp.concatenate(planes, axis=0)
 
 
 def unpack_state(packed: jax.Array, template: SimState) -> SimState:

@@ -326,7 +326,7 @@ class FusedProvider:
         if state is self._last_state and self._last_packed is not None:
             packed = self._last_packed
         else:
-            packed = F.pack_state(state)
+            packed = F.pack_state(state, self.plan.extras)
         # sched rows: [dt at kinematics, t after update, t before update,
         #              dt after update, dt before update] — already f32
         sched = np.stack([dts_kin, ts, ts_before,
@@ -576,6 +576,7 @@ def try_build_fused(sim, steps, state: SimState,
     ops: List[F._Op] = []
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
+    extra_names: List[str] = []  # read-only packed planes after the core 15
     next_col = 1
     next_fcol = 0   # float record channels (energy sums)
     next_plane = 0  # stream planes (trace positions, per-photon E capture)
@@ -651,11 +652,20 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op("periodic", bounds=_static_bounds(s, sim)))
         elif type(s) is LorentzForceStep:
             if s.q_over_m is None:
-                return _no("lorentz-per-particle",
-                           "LorentzForceStep(q_over_m=None) reads "
-                           "per-particle q/m from state.extras, which are "
-                           "not packed kernel planes; pass a species-wide "
-                           "q_over_m= to fuse")
+                # per-particle q/m packs as a derived extras plane — but only
+                # when the population actually declares the extras; otherwise
+                # the generic path raises its instructive ValueError, which
+                # must surface (a fused silent no-op would hide the bug)
+                has_qm = (any(hasattr(o, "q") for o in sim._pending_objects)
+                          and any(hasattr(o, "m")
+                                  for o in sim._pending_objects))
+                if not has_qm:
+                    return _no("lorentz-per-particle",
+                               "LorentzForceStep(q_over_m=None) needs "
+                               "per-particle q/m extras and no initial "
+                               "object declares q= and m= "
+                               "(newton.ChargedObject); the generic path "
+                               "raises the instructive error")
             if species == OBJ_PHOTON:
                 # photons are never pushed (generic path's
                 # `otype != OBJ_PHOTON` filter) — but the generic apply still
@@ -663,9 +673,15 @@ def try_build_fused(sim, steps, state: SimState,
                 # downstream trace_dv counts on. qm=0, no fields reproduces
                 # exactly that: v unchanged, dv = 0.
                 ops.append(F._Op("lorentz", qm=0.0))
-            else:
+            elif s.q_over_m is not None:
                 ops.append(F._Op("lorentz", qm=s.q_over_m,
                                  e_fn=s._e_fn, b_fn=s._b_fn))
+            else:
+                if "qm" not in extra_names:
+                    extra_names.append("qm")
+                ops.append(F._Op(
+                    "lorentz", qm_plane=F._NF + extra_names.index("qm"),
+                    e_fn=s._e_fn, b_fn=s._b_fn))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
             ops.append(F._Op(
@@ -981,6 +997,7 @@ def try_build_fused(sim, steps, state: SimState,
         tile_rows=getattr(sim, "fused_tile_rows", 128),
         interpret=(jax.default_backend() == "cpu"),
         species=species,
+        extras=tuple(extra_names),
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,

@@ -70,6 +70,7 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         dv=place(state.dv, 2), a=place(state.a, 2), E=place(state.E, 1),
         alive=place(state.alive, 1), otype=place(state.otype, 1),
         w=place(state.w, 1),
+        extras={n: place(x, x.ndim) for n, x in state.extras.items()},
         t=jax.device_put(state.t, rep), dt=jax.device_put(state.dt, rep),
         key=jax.device_put(state.key, rep),
         n_spawned=jax.device_put(state.n_spawned, rep),

@@ -169,19 +169,40 @@ def test_species_wide_lorentz_fuses():
     assert s.used_fused, s.explain_plan()
 
 
-def test_per_particle_qm_reports_generic_fallback():
-    """q_over_m=None reads per-particle q/m from state.extras — not packed
-    kernel planes; the plan report must say so, and the run still completes
-    on the generic scan."""
+def test_per_particle_qm_fuses_via_extras_plane():
+    """q_over_m=None with ChargedObject(q=, m=) packs a derived q/m extras
+    plane: the pipeline fuses, opposite charges gyrate in opposite senses,
+    and an uncharged Object (qm plane 0) is never pushed — exactly the
+    generic-path semantics."""
+    B0, v0, k = 200.0, 5.0, 100
+    vv = phys.Measurement([v0, 0, 0], "m**1 s**-1")
+    s = phys.Simulation(until_t=DT * k * 0.9999, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, B0)))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    for o in (newton.ChargedObject(q=1.0, m=1.0, v=vv),
+              newton.ChargedObject(q=-1.0, m=1.0, v=vv),
+              phys.Object(v=vv)):
+        s.add_obj(o)
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    v = np.asarray(jax.device_get(s.sim_state.v))[:, :3]
+    assert v[1, 0] < -0.1 * v0 and v[1, 1] > 0.1 * v0
+    np.testing.assert_allclose(v[1, 0], -v[1, 1], rtol=1e-5)
+    np.testing.assert_allclose(v[:, 2], [v0, 0.0, 0.0], rtol=1e-6)
+
+
+def test_per_particle_qm_without_extras_reports_generic_fallback():
+    """q_over_m=None over a population that never declares q/m extras must
+    NOT fuse: the generic path raises the instructive error."""
     s = phys.Simulation(until_t=0.002, seed=0)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
     s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 1.0)))
     s.add_step(2, newton.NewtonianKinematicsStep())
-    s.add_obj(newton.ChargedObject(q=1.0, m=1.0))
-    s.start(); s.join()
-    assert not s.used_fused
-    codes = {c for c, _ in s.plan_report.refusals}
-    assert "lorentz-per-particle" in codes, s.explain_plan()
+    s.add_obj(phys.Object())
+    s.start()
+    with pytest.raises(ValueError, match="q_over_m"):
+        s.join()
 
 
 def test_fused_vs_generic_parity_exact_observables():

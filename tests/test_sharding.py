@@ -364,3 +364,27 @@ def test_sharded_fused_lorentz_charged_population():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(res[True][1], res[False][1],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_fused_lorentz_per_particle_qm():
+    """Per-particle q/m (packed extras plane) under shard_map: the derived
+    qm plane shards with the particles; mesh matches single-device and
+    opposite charges stay mirror images."""
+    mesh = make_mesh()
+    vv = phys.Measurement([5.0, 0, 0], "m**1 s**-1")
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.05, seed=4, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.LorentzForceStep(B_field=(0, 0, 200.0)))
+        s.add_step(2, phys.newton.NewtonianKinematicsStep())
+        for i in range(64):
+            s.add_obj(phys.newton.ChargedObject(
+                q=(1.0 if i % 2 == 0 else -1.0), m=1.0, v=vv))
+        s.start(); s.join()
+        assert s.used_fused, s.explain_plan()
+        res[m is not None] = np.asarray(
+            jax.device_get(s.sim_state.v))[:, :64]
+    np.testing.assert_allclose(res[True], res[False], rtol=1e-6, atol=1e-7)
+    v = res[True]
+    np.testing.assert_allclose(v[1, 0::2], -v[1, 1::2], rtol=1e-5)

@@ -131,6 +131,19 @@ def _ops(kind):
 
         return [F._Op("lorentz", qm=1.5 * _EPS, e_fn=None, b_fn=b_fn),
                 kin, F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "lorentz_qm":
+        # per-particle q/m from a packed extras plane (16-plane state)
+        from physicl_tpu.ops import fused as F2
+
+        def e_fn(x, y, z):
+            import jax.numpy as jnp
+
+            return (jnp.float32(2.0 * _EPS) + 0.0 * x, 0.0 * x, 0.0 * x)
+
+        return [F._Op("lorentz", qm_plane=F2._NF, e_fn=e_fn,
+                      b_fn=lambda x, y, z: (0.0 * x, 0.0 * x,
+                                            x * 0.0 + 30.0)),
+                kin, F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "implicit_capture":
         # weighted transport: deterministic weight decay + Russian roulette
         # exercises the _W plane read-modify-write in the unrolled loop
@@ -161,7 +174,7 @@ def _ops(kind):
                                   "trace", "trace_strided", "trace_bf16",
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
-                                  "fresnel", "lorentz"])
+                                  "fresnel", "lorentz", "lorentz_qm"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -174,11 +187,12 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     stream_dtype = cfg[3] if len(cfg) > 3 else "float32"
     chunk = 32  # small: compile dominates; the matrix probes fit, not perf
     stream_every = max([getattr(o, "stream_every", 1) for o in ops])
+    extras = ("qm",) if kind == "lorentz_qm" else ()
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
                        fast_trig=True, n_stream=n_stream,
                        stream_every=stream_every if n_stream else 1,
-                       stream_dtype=stream_dtype)
+                       stream_dtype=stream_dtype, extras=extras)
     cap = rows * 128
     k = F.build_fused_chunk(plan, cap)
     packed = jnp.concatenate([
@@ -186,6 +200,7 @@ def test_fused_kernel_fresh_compiles(kind, rows):
         jnp.ones((1, cap), jnp.float32) * jnp.float32(3e8),    # vx
         jnp.zeros((5, cap), jnp.float32),                      # vy..dvz
         jnp.ones((3, cap), jnp.float32),                       # E, alive, w
+        jnp.ones((len(extras), cap), jnp.float32) * 0.5,       # extras (qm)
     ])
     sched = np.tile(np.float32(1e-3), (5, chunk))
     sched[1] = np.cumsum(sched[0])                             # t after
