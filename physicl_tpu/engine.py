@@ -1053,8 +1053,11 @@ class Simulation(threading.Thread):
     @staticmethod
     def _injection_keeps_plan(provider, items) -> bool:
         """True iff injected particles preserve the fused plan's proven
-        invariants: the single proven species and (when the const-norm fast
+        invariants: the proven species (any species on a mixed plan — the
+        otype plane dispatches per particle) and (when the const-norm fast
         path is active) the common particle speed."""
+        from physicl_tpu.ops.fused import SPECIES_MIXED
+
         speed0 = provider.plan.const_norm_speed
         species = provider.plan.species
 
@@ -1063,13 +1066,15 @@ class Simulation(threading.Thread):
 
         for kind, x in items:
             if kind == "obj":
-                if getattr(x, "_obj_type_code", 0) != species:
+                if (species != SPECIES_MIXED
+                        and getattr(x, "_obj_type_code", 0) != species):
                     return False
                 if not speed_ok(float(np.linalg.norm(
                         raw_code_value(x.v).reshape(3)))):
                     return False
             else:
-                if int(x["otype"]) != species:
+                if (species != SPECIES_MIXED
+                        and int(x["otype"]) != species):
                     return False
                 if speed0 is not None:
                     v = x["v"]

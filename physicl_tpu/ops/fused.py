@@ -40,6 +40,10 @@ from physicl_tpu.state import OBJ_PHOTON, SimState
  _ALIVE, _W) = range(15)
 _NF = 15
 
+# FusedPlan.species sentinel: a mixed photon/generic population — the packed
+# "otype" extras plane gates photon physics per particle in-kernel.
+SPECIES_MIXED = -1
+
 _LANE = 128
 _MAX_REC_COLS = 128
 
@@ -309,6 +313,20 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
 
     alive_b = f[_ALIVE] > 0
     shape = f[_RX].shape
+    # Photon physics gate: on photon-only plans the mask is alive_b itself
+    # (no per-particle dispatch — compiles away); on mixed plans the packed
+    # otype plane selects the photon subset, matching the generic path's
+    # `state.otype == OBJ_PHOTON` filters. Pure-generic plans never carry
+    # photon ops (prover refusal). Evaluated per op because alive_b mutates
+    # through the pipeline (deletes, roulette, custom kills).
+    if plan.species == SPECIES_MIXED:
+        is_ph = (f[_NF + plan.extras.index("otype")]
+                 == jnp.float32(OBJ_PHOTON))
+    else:
+        is_ph = None
+
+    def ph_alive():
+        return alive_b if is_ph is None else (alive_b & is_ph)
 
     def dr_norm():
         if plan.const_norm_speed is not None:
@@ -331,17 +349,18 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     jnp.float32)
             if op.implicit_capture:
                 # survival biasing: deterministic weight decay, no draw
+                sel = ph_alive()
                 p = jnp.clip(pcoll, jnp.float32(0.0), jnp.float32(1.0))
                 if op.cols:  # deposited energy: exact expectation w*p*E
                     row_f = put_f(row_f, op.cols[0], jnp.sum(
-                        jnp.where(alive_b, f[_W] * p * f[_E], 0.0)))
-                f[_W] = jnp.where(alive_b, f[_W] * (jnp.float32(1.0) - p),
+                        jnp.where(sel, f[_W] * p * f[_E], 0.0)))
+                f[_W] = jnp.where(sel, f[_W] * (jnp.float32(1.0) - p),
                                   f[_W])
                 if op.roulette:
                     w_min = jnp.float32(op.roulette[0])
                     w_sur = jnp.float32(op.roulette[1])
                     u = rng.uniform(shape)
-                    low = alive_b & (f[_W] < w_min)
+                    low = sel & (f[_W] < w_min)
                     kill = low & (u * w_sur >= f[_W])
                     f[_W] = jnp.where(low & jnp.logical_not(kill), w_sur,
                                       f[_W])
@@ -349,7 +368,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     f[_ALIVE] = alive_b.astype(jnp.float32)
             else:
                 u = rng.uniform(shape)
-                hit = (pcoll >= u) & alive_b
+                hit = (pcoll >= u) & ph_alive()
                 if op.cols:  # deposited energy: killed photons dump w*E
                     row_f = put_f(row_f, op.cols[0], jnp.sum(
                         jnp.where(hit, f[_W] * f[_E], 0.0)))
@@ -370,7 +389,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 tu, pu = rng.uniform_pair(shape)
             else:
                 tu, pu = rng.uniform(shape), rng.uniform(shape)
-            scatter = (pcoll >= u) & alive_b
+            scatter = (pcoll >= u) & ph_alive()
             if plan.fast_trig:
                 sin_t, cos_t, sin_p, cos_p = _fast_angles(tu, pu)
                 # renormalize so |v| stays exactly the particle speed
@@ -422,7 +441,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             pcoll = pcoll * flux
             if op.kn_xsec:
                 pcoll = pcoll * _kn_sigma_ratio(alpha1, jnp.float32)
-            scatter = (pcoll >= u) & alive_b & kn_ok
+            scatter = (pcoll >= u) & ph_alive() & kn_ok
             cval = jnp.float32(op.c_val)
             for d in range(3):
                 old = f[_VX + d]
@@ -458,14 +477,14 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 pu = rng.uniform(shape)
                 triples = _kn_triples(rng, plan, shape, op.kn_tries)
                 cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples, jnp.float32)
-                scatter = (pcoll >= u) & alive_b & kn_ok
+                scatter = (pcoll >= u) & ph_alive() & kn_ok
             else:
                 u = rng.uniform(shape)
                 if plan.packed_angles:
                     cu, pu = rng.uniform_pair(shape)
                 else:
                     cu, pu = rng.uniform(shape), rng.uniform(shape)
-                scatter = (pcoll >= u) & alive_b
+                scatter = (pcoll >= u) & ph_alive()
             if op.kind == "compton":
                 pass  # cos_t already sampled above
             elif op.kind == "rayl":
@@ -612,8 +631,12 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 vz = vz + s2 * (vpx * ty - vpy * tx)
             if op.e_fn is not None:
                 vx, vy, vz = vx + ev[0], vy + ev[1], vz + ev[2]
+            # push = alive non-photons: in mixed plans the otype plane
+            # excludes photons (generic parity: photons immune, dv zeroed)
+            push = (alive_b if is_ph is None
+                    else alive_b & jnp.logical_not(is_ph))
             for d, vn in enumerate((vx, vy, vz)):
-                new = jnp.where(alive_b, vn, f[_VX + d])
+                new = jnp.where(push, vn, f[_VX + d])
                 f[_DVX + d] = new - f[_VX + d]
                 f[_VX + d] = new
         elif op.kind == "fresnel":
@@ -626,7 +649,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             z1 = f[_RX + ax]
             z0 = z1 - f[_DRX + ax]
             side0 = z0 >= loc_f
-            crossed = (side0 != (z1 >= loc_f)) & alive_b
+            crossed = (side0 != (z1 >= loc_f)) & ph_alive()
             inv_speed = jax.lax.rsqrt(jnp.maximum(
                 f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
                 jnp.float32(1e-30)))
@@ -1247,6 +1270,8 @@ def pack_state(state: SimState, extras: tuple = ()) -> jax.Array:
             m = state.extras["m"].astype(jnp.float32)
             safe = jnp.where(m != 0, m, jnp.ones_like(m))
             planes.append(jnp.where(m != 0, q / safe, 0.0)[None])
+        elif name == "otype":  # mixed-species plans: per-particle type gate
+            planes.append(state.otype.astype(jnp.float32)[None])
         else:
             planes.append(state.extras[name].astype(jnp.float32)[None])
     return jnp.concatenate(planes, axis=0)

@@ -545,38 +545,27 @@ def try_build_fused(sim, steps, state: SimState,
         return _no("jit-off", "jit_on=False: the fused Pallas pipeline "
                    "requires compilation")
 
-    # Single-species population (host-side knowledge, no device sync): the
-    # fused kernel elides per-particle type dispatch, so every particle must
-    # share one type code — photons (the transport pipeline) or generic /
-    # charged particles (kinematics + Lorentz + boundaries + measures).
-    species = None
-    for o in sim._pending_objects:
-        code = int(getattr(o, "_obj_type_code", 0))
-        if species is None:
-            species = code
-        elif code != species:
-            return _no("mixed-population",
-                       f"initial object of type {type(o).__name__} mixes "
-                       "particle species; the fused kernel elides "
-                       "per-particle type dispatch (single-species "
-                       "populations fuse)")
-    for b in sim._pending_bulk:
-        code = int(b["otype"])
-        if species is None:
-            species = code
-        elif code != species:
-            return _no("mixed-population",
-                       "bulk population mixes particle species; the fused "
-                       "kernel elides per-particle type dispatch")
-    if species is None:
+    # Population species (host-side knowledge, no device sync). A uniform
+    # population lets the fused kernel elide per-particle type dispatch
+    # entirely — photons (the transport pipeline) or generic/charged
+    # particles (kinematics + Lorentz + boundaries + measures). A MIXED
+    # population packs the otype codes as a read-only extras plane and
+    # gates photon physics per particle in-kernel.
+    codes = {int(getattr(o, "_obj_type_code", 0))
+             for o in sim._pending_objects}
+    codes |= {int(b["otype"]) for b in sim._pending_bulk}
+    if not codes:
         return _no("empty-population",
                    "no initial objects: add particles before start() "
                    "(in-kernel emitters still need a sized arena)")
+    species = codes.pop() if len(codes) == 1 else F.SPECIES_MIXED
 
     ops: List[F._Op] = []
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
     extra_names: List[str] = []  # read-only packed planes after the core 15
+    if species == F.SPECIES_MIXED:
+        extra_names.append("otype")
     next_col = 1
     next_fcol = 0   # float record channels (energy sums)
     next_plane = 0  # stream planes (trace positions, per-photon E capture)
@@ -586,11 +575,11 @@ def try_build_fused(sim, steps, state: SimState,
     kin_seen = False
 
     # Photon physics is otype-filtered on the generic path (e.g.
-    # light.py ScatterDeleteStep.apply's `state.otype == OBJ_PHOTON`); the
-    # fused kernel elides that dispatch, so these ops only fuse when the
-    # proven species IS photon. On a non-photon population they are no-ops
-    # (or, for emitters/deposition tallies, would change the population /
-    # record structure), so the sim stays on the generic path.
+    # light.py ScatterDeleteStep.apply's `state.otype == OBJ_PHOTON`).
+    # Photon-only populations fuse these with no dispatch at all; mixed
+    # populations gate them per particle through the packed otype plane;
+    # a PURE non-photon population keeps them on the generic path (they
+    # are exact no-ops there — fusing would only hide a likely user error).
     photon_only = (ScatterDeleteStep, ScatterIsotropicStep,
                    ScatterHenyeyGreensteinStep, ScatterRayleighStep,
                    ScatterComptonStep, RefractiveInterfaceStep,
@@ -598,12 +587,21 @@ def try_build_fused(sim, steps, state: SimState,
 
     for s in steps:
         uid = s._step_uid
-        if species != OBJ_PHOTON and isinstance(s, photon_only):
-            return _no("photon-only-op",
-                       f"{type(s).__name__} acts on photons but the "
-                       "population is non-photon; the fused kernel elides "
-                       "per-particle type dispatch, so this pipeline runs "
-                       "on the generic path")
+        if isinstance(s, photon_only):
+            if species == F.SPECIES_MIXED and type(s) is PhotonEmitterStep:
+                # in-kernel emission writes new photons into recycled slots;
+                # the otype plane is read-only in the kernel, so emitted
+                # slots could not be retyped — generic path handles it
+                return _no("emitter-in-mixed-population",
+                           "PhotonEmitterStep in a mixed-species "
+                           "population: in-kernel emission cannot retype "
+                           "slots through the read-only otype plane")
+            if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
+                return _no("photon-only-op",
+                           f"{type(s).__name__} acts on photons but the "
+                           "population is non-photon; it is an exact no-op "
+                           "here, so this pipeline runs on the generic "
+                           "path")
         if type(s) is UpdateTimeStep:
             if update_seen:
                 return _no("duplicate-update-step",

@@ -259,3 +259,61 @@ def test_photon_population_lorentz_noop_still_fuses():
     assert np.all(v[1] == 0.0) and np.all(v[2] == 0.0)
     dv = np.asarray(jax.device_get(st.dv))[:, :64]
     assert np.all(dv == 0.0)
+
+
+def test_mixed_species_fused_transport():
+    """Photons + charged particles in ONE fused pipeline: the otype plane
+    routes isotropic scattering + absorption to the photon subset and the
+    Boris push to the charged subset. Checks generic-path parity on the
+    deterministic observables and physics on each species."""
+    c = float(light.c)
+    n_ph, n_ch, k = 4000, 64, 30
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=DT * k * 0.9999, seed=5, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+        s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 200.0),
+                                              q_over_m=1.0))
+        s.add_step(2, newton.NewtonianKinematicsStep())
+        s.add_step(3, light.ScatterIsotropicStep(A=0.02 / (c * DT), n=1.0))
+        s.add_step(4, light.ScatterDeleteStep(
+            np.double(0.01 / (c * DT)), np.double(1.0)))
+        meas = light.ScatterSignMeasureStep(None, True)
+        s.add_step(5, meas)
+        s.add_photons(light.generate_photon_state(n_ph, E=1.0))
+        for i in range(n_ch):
+            s.add_obj(newton.ChargedObject(
+                q=1.0, m=1.0,
+                v=phys.Measurement([3.0, 0, 0], "m**1 s**-1")))
+        s.start(); s.join()
+        st = s.sim_state
+        v = np.asarray(jax.device_get(st.v))
+        alive = np.asarray(jax.device_get(st.alive))
+        otype = np.asarray(jax.device_get(st.otype))
+        out[fuse] = (s.used_fused, len(s.ts),
+                     np.array([r[1] for r in meas.data], float), v, alive,
+                     otype)
+    a, b = out["auto"], out["off"]
+    assert a[0] and not b[0]
+    assert a[1] == b[1]
+    # photons die at the same expected rate on both paths (absorption is
+    # stochastic: sqrt-bound), charged particles NEVER die
+    for fused_run in (a, b):
+        n_t, v, alive, otype = (fused_run[2], fused_run[3], fused_run[4],
+                                fused_run[5])
+        charged = otype != 1
+        assert alive[charged].sum() == n_ch
+        # every charged particle still gyrates at speed 3 exactly
+        sp = np.linalg.norm(v[:, charged & alive], axis=0)
+        np.testing.assert_allclose(sp, 3.0, rtol=3e-5)
+        # photons that survived still move at c
+        ph_alive = (otype == 1) & alive
+        if ph_alive.any():
+            np.testing.assert_allclose(
+                np.linalg.norm(v[:, ph_alive], axis=0), c, rtol=3e-5)
+        # absorption: expected survivors n_ph * (1 - 0.01)^k + charged
+        expect = n_ph * (1.0 - 0.01) ** k + n_ch
+        assert abs(n_t[-1] - expect) < 6 * np.sqrt(n_ph * 0.26) + 40
+    # cross-path population trajectories agree within binomial noise
+    hi = np.maximum(np.maximum(a[2], b[2]), 1)
+    assert np.all(np.abs(a[2] - b[2]) <= 6 * np.sqrt(hi) + 0.02 * hi)

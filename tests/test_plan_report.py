@@ -63,13 +63,25 @@ def test_refusal_unsupported_step():
     assert "WeirdStep" in s.explain_plan()
 
 
-def test_refusal_mixed_population():
-    """Photons + a generic particle: the kernel elides type dispatch, so a
-    genuinely mixed population refuses."""
+def test_mixed_population_fuses_with_otype_plane():
+    """Photons + a generic particle: the packed otype plane gates photon
+    physics per particle, so mixed populations fuse too."""
     s = _base_sim()
     s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
     _run(s)  # adds 64 photons alongside the generic object
-    assert "mixed-population" in _refusal_codes(s)
+    assert s.used_fused
+    assert s.plan_report.mode == "fused"
+
+
+def test_refusal_emitter_in_mixed_population():
+    """In-kernel emission cannot retype slots through the read-only otype
+    plane: a mixed population with a PhotonEmitterStep stays generic."""
+    s = _base_sim()
+    s.add_step(2, light.PhotonEmitterStep(16, E=1.0))
+    s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+    _run(s)
+    assert not s.used_fused
+    assert "emitter-in-mixed-population" in _refusal_codes(s)
 
 
 def test_generic_single_species_fuses():
