@@ -320,3 +320,70 @@ def test_fuzz_charged_pipeline_fused_matches_generic(trial):
     if not boundary:
         np.testing.assert_allclose(a[2], b[2], rtol=3e-5, atol=3e-6)
         np.testing.assert_allclose(a[3], b[3], rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_mixed_species_pipeline(trial):
+    """Random MIXED photon+charged pipelines: photon physics (scatter /
+    absorption, stochastic) rides the otype plane while the Boris push
+    (deterministic) moves the charged subset. Exact cross-path assertions:
+    iteration counts, charged survival and phase space (no boundary in this
+    harness, so charged trajectories are untouched by the stochastic ops);
+    sqrt-bounded for the photon population trajectory."""
+    import jax
+
+    c = float(light.c)
+    out = {}
+    for fuse in ("auto", "off"):
+        rng = np.random.default_rng(5000 + trial)
+        n_ph = int(rng.integers(2000, 6000))
+        n_ch = int(rng.integers(16, 200))
+        qm = float(rng.uniform(-2.0, 2.0))
+        vch = rng.normal(size=(3, n_ch))
+        s = phys.Simulation(until_t=0.02 * 0.9999, seed=trial, fuse=fuse)
+        idx = 0
+        s.add_step(idx, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        idx += 1
+        if rng.random() < 0.8:
+            s.add_step(idx, physicl_tpu.newton.LorentzForceStep(
+                E_field=tuple(rng.normal(size=3)),
+                B_field=(0.0, 0.0, float(rng.uniform(20.0, 150.0))),
+                q_over_m=qm)); idx += 1
+        s.add_step(idx, physicl_tpu.newton.NewtonianKinematicsStep())
+        idx += 1
+        if rng.random() < 0.7:
+            s.add_step(idx, light.ScatterIsotropicStep(
+                A=float(rng.uniform(2e-4, 2e-3)) / (c * 0.001), n=1.0))
+            idx += 1
+        kill = rng.random() < 0.7
+        if kill:
+            s.add_step(idx, light.ScatterDeleteStep(
+                np.double(rng.uniform(2e-3, 2e-2) / (c * 0.001)),
+                np.double(1.0)))
+            idx += 1
+        sign = light.ScatterSignMeasureStep(None, True)
+        s.add_step(idx, sign)
+        s.add_photons(light.generate_photon_state(n_ph, E=1.0))
+        s.add_particles(physicl_tpu.newton.generate_particle_state(
+            n_ch, v=vch))
+        s.start(); s.join()
+        st = s.sim_state
+        n_tot = n_ph + n_ch  # padding slots beyond are dead otype-0
+        otype = np.asarray(jax.device_get(st.otype))[:n_tot]
+        ch = otype != 1
+        out[fuse] = (s.used_fused, len(s.ts),
+                     np.array([r[1] for r in sign.data], float),
+                     np.asarray(jax.device_get(st.alive))[:n_tot][ch],
+                     np.asarray(jax.device_get(st.r))[:, :n_tot][:, ch],
+                     np.asarray(jax.device_get(st.v))[:, :n_tot][:, ch])
+    a, b = out["auto"], out["off"]
+    assert a[0] and not b[0]
+    assert a[1] == b[1]
+    # charged particles: never killed, and their (deterministic) phase
+    # space agrees across paths to f32 roundoff
+    assert a[3].all() and b[3].all()
+    np.testing.assert_allclose(a[4], b[4], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(a[5], b[5], rtol=3e-5, atol=3e-6)
+    # photon+charged population trajectory: sqrt-bounded (independent RNG)
+    hi = np.maximum(np.maximum(a[2], b[2]), 1)
+    assert np.all(np.abs(a[2] - b[2]) <= 6 * np.sqrt(hi) + 0.02 * hi)

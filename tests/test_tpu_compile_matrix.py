@@ -144,6 +144,15 @@ def _ops(kind):
                       b_fn=lambda x, y, z: (0.0 * x, 0.0 * x,
                                             x * 0.0 + 30.0)),
                 kin, F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "mixed":
+        # mixed-species plan: photon physics gated by the packed otype
+        # plane + the Boris push on the charged complement — the full
+        # per-particle dispatch profile in one kernel
+        return [F._Op("lorentz", qm=1.5 * _EPS,
+                      b_fn=lambda x, y, z: (0.0 * x, 0.0 * x,
+                                            x * 0.0 + 30.0)),
+                kin, iso, F._Op("del", coef=1e-7 * _EPS),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "implicit_capture":
         # weighted transport: deterministic weight decay + Russian roulette
         # exercises the _W plane read-modify-write in the unrolled loop
@@ -174,7 +183,8 @@ def _ops(kind):
                                   "trace", "trace_strided", "trace_bf16",
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
-                                  "fresnel", "lorentz", "lorentz_qm"])
+                                  "fresnel", "lorentz", "lorentz_qm",
+                                  "mixed"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -187,12 +197,14 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     stream_dtype = cfg[3] if len(cfg) > 3 else "float32"
     chunk = 32  # small: compile dominates; the matrix probes fit, not perf
     stream_every = max([getattr(o, "stream_every", 1) for o in ops])
-    extras = ("qm",) if kind == "lorentz_qm" else ()
+    extras = {"lorentz_qm": ("qm",), "mixed": ("otype",)}.get(kind, ())
+    species = F.SPECIES_MIXED if kind == "mixed" else 1
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
                        fast_trig=True, n_stream=n_stream,
                        stream_every=stream_every if n_stream else 1,
-                       stream_dtype=stream_dtype, extras=extras)
+                       stream_dtype=stream_dtype, extras=extras,
+                       species=species)
     cap = rows * 128
     k = F.build_fused_chunk(plan, cap)
     packed = jnp.concatenate([
