@@ -193,10 +193,11 @@ class FusedPlan:
     # massive particles (kinematics + Lorentz + boundaries + measures).
     # The kernel itself elides per-particle type dispatch either way.
     species: int = OBJ_PHOTON
-    # read-only per-particle planes packed AFTER the 15 core planes: names
-    # resolve against state.extras at pack time ("qm" is the derived
-    # charge-to-mass ratio q/m, 0 where m == 0). Ops address extras[j] as
-    # field plane _NF + j; the kernel copies them through unchanged.
+    # per-particle planes packed AFTER the 15 core planes: names resolve
+    # against state.extras at pack time ("qm" is the derived charge-to-mass
+    # ratio q/m, 0 where m == 0; "otype" is the species code on mixed
+    # plans). Ops address extras[j] as field plane _NF + j; the kernel
+    # copies them through unchanged, except emit retyping otype to photon.
     extras: tuple = ()
     # |dr| == c*dt for every particle (all photons at speed c): replaces the
     # per-photon norm (sqrt + 5 flops) with one scalar per iteration. The
@@ -569,6 +570,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     f[_VX + d] = jnp.where(mask, cval * comp, f[_VX + d])
             # recycled slots may carry a stale roulette/capture weight
             f[_W] = jnp.where(mask, jnp.float32(1.0), f[_W])
+            if is_ph is not None and plan.species == SPECIES_MIXED:
+                # emitted slots become photons in the packed otype plane so
+                # same-chunk photon physics sees them immediately (the host
+                # retypes state.otype from the emit schedule at harvest)
+                p = _NF + plan.extras.index("otype")
+                f[p] = jnp.where(mask, jnp.float32(OBJ_PHOTON), f[p])
+                is_ph = f[p] == jnp.float32(OBJ_PHOTON)
             alive_b = alive_b | mask
             f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "absorb":

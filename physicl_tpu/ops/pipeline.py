@@ -588,14 +588,6 @@ def try_build_fused(sim, steps, state: SimState,
     for s in steps:
         uid = s._step_uid
         if isinstance(s, photon_only):
-            if species == F.SPECIES_MIXED and type(s) is PhotonEmitterStep:
-                # in-kernel emission writes new photons into recycled slots;
-                # the otype plane is read-only in the kernel, so emitted
-                # slots could not be retyped — generic path handles it
-                return _no("emitter-in-mixed-population",
-                           "PhotonEmitterStep in a mixed-species "
-                           "population: in-kernel emission cannot retype "
-                           "slots through the read-only otype plane")
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
                 return _no("photon-only-op",
                            f"{type(s).__name__} acts on photons but the "

@@ -73,15 +73,27 @@ def test_mixed_population_fuses_with_otype_plane():
     assert s.plan_report.mode == "fused"
 
 
-def test_refusal_emitter_in_mixed_population():
-    """In-kernel emission cannot retype slots through the read-only otype
-    plane: a mixed population with a PhotonEmitterStep stays generic."""
-    s = _base_sim()
-    s.add_step(2, light.PhotonEmitterStep(16, E=1.0))
-    s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
-    _run(s)
-    assert not s.used_fused
-    assert "emitter-in-mixed-population" in _refusal_codes(s)
+def test_emitter_in_mixed_population_fuses_and_retypes():
+    """PhotonEmitterStep in a MIXED population fuses: emission retypes the
+    slots to photons through the packed otype plane (kernel side) and in
+    state.otype (host side); the deterministic population schedule is exact
+    on both paths."""
+    import jax
+
+    for fuse in ("auto", "off"):
+        s = _base_sim(fuse=fuse)
+        s.add_step(2, light.PhotonEmitterStep(16, E=1.0))
+        s.add_obj(phys.Object(v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+        _run(s)
+        assert s.used_fused == (fuse == "auto")
+        k = len(s.ts)
+        st = s.sim_state
+        otype = np.asarray(jax.device_get(st.otype))
+        alive = np.asarray(jax.device_get(st.alive))
+        n0 = 65  # 64 photons + 1 generic object
+        assert alive.sum() == n0 + 16 * k
+        # every emitted slot is a photon on BOTH paths
+        assert (otype[alive][n0:] == 1).all()
 
 
 def test_generic_single_species_fuses():
