@@ -310,6 +310,29 @@ def main():
     emit("lorentz_boris_exb_1e7", steady_rate(lorentz, N),
          "particle-steps/s", 2.0e4)
 
+    # 4g. mixed-species transport: 5e6 photons (isotropic scatter +
+    # absorption, otype-gated) + 5e6 charged particles (Boris push) in one
+    # kernel — tracks the per-particle type-dispatch overhead vs the pure
+    # photon path
+    def mixed():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.LorentzForceStep(
+            B_field=(0.0, 0.0, 200.0), q_over_m=1.0))
+        s.add_step(2, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(3, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                 n=np.double(0.001)))
+        s.add_step(4, light.ScatterDeleteStep(np.double(1e-9),
+                                              np.double(1e-9)))
+        s.add_step(5, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N // 2, E=1.0))
+        s.add_particles(physicl_tpu.newton.generate_particle_state(
+            N // 2, v=(1.0, 0.0, 0.0)))
+        return s
+
+    emit("mixed_species_1e7", steady_rate(mixed, N), "particle-steps/s",
+         2.0e4)
+
     # 5a. full pipeline end-to-end (generate -> propagate -> scatter ->
     # measure), wall clock including compile and Planck generation
     t0 = time.perf_counter()

@@ -1276,13 +1276,24 @@ class Simulation(threading.Thread):
 
             provider = try_build_fused(self, steps, state, report=refusals)
         if provider is not None:
+            from physicl_tpu.ops.fused import SPECIES_MIXED
+
             # the provider owns exit handling via its `done` output
+            species = {OBJ_PHOTON: "photon", OBJ_GENERIC: "generic",
+                       SPECIES_MIXED: "mixed (otype-plane dispatch)"}.get(
+                           provider.plan.species, str(provider.plan.species))
+            notes = [f"population species: {species}"]
+            if provider.plan.extras:
+                notes.append(
+                    "packed per-particle planes: 15 core + "
+                    + " + ".join(provider.plan.extras))
             self.plan_report = PlanReport(
                 mode="fused", chunk=provider.plan.chunk,
                 fuse_setting=self.fuse, allow_fuse=allow_fuse,
                 exit_tier=("t-schedule (exit iteration precomputed on host)"
                            if provider.exit_mode == "t"
-                           else "extinction (in-kernel alive count)"))
+                           else "extinction (in-kernel alive count)"),
+                notes=notes)
             return ExecPlan(provider=provider, chunk_fn=provider,
                             exit_traced=True, exit_fn=None,
                             chunk=provider.plan.chunk)
