@@ -614,11 +614,17 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
         elif op.kind == "lorentz":
             # Boris pusher (newton.LorentzForceStep): half-E kick, exact
             # B rotation, half-E kick — |v| exactly conserved in pure B.
-            # qm_plane >= 0 reads per-particle q/m from a packed extras plane
-            if op.qm_plane >= 0:
-                h = f[op.qm_plane] * (jnp.float32(0.5) * dt)
+            # qm_plane >= 0 reads per-particle q/m from a packed extras
+            # plane. dt is the value the GENERIC path exposes at this step's
+            # position vs UpdateTimeStep (sched rows 3/4), not kinematics'.
+            if t is None:
+                dt_l = dt
             else:
-                h = jnp.float32(0.5 * op.qm) * dt
+                dt_l = t[2] if op.after_update else t[3]
+            if op.qm_plane >= 0:
+                h = f[op.qm_plane] * (jnp.float32(0.5) * dt_l)
+            else:
+                h = jnp.float32(0.5 * op.qm) * dt_l
             if op.e_fn is not None:
                 ev = [jnp.asarray(x, jnp.float32) * h for x in
                       op.e_fn(f[_RX], f[_RY], f[_RZ])]

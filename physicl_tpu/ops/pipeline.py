@@ -12,8 +12,10 @@ Fusability requirements (everything else falls back to the generic scan):
   ``PhotonEmitterStep``, ``ElementwiseStep``, ``ReduceMeasureStep``,
   ``TracePathMeasureStep``, ``ScatterSignMeasureStep`` and
   ``ScatterMeasureStep``;
-* the population is photons only (the fused kernel elides per-particle type
-  dispatch; mixed populations use the generic path);
+* the population is photons, charged/generic particles (``LorentzForceStep``
+  — species-wide or per-particle q/m via a packed extras plane), or a MIX of
+  both (a packed otype plane gates photon physics per particle); only a pure
+  non-photon population with photon-only steps stays generic;
 * the exit predicate is either *t-only* (the exact exit iteration is
   precomputed on the host by replaying the f32 time arithmetic) or
   *extinction* (``n_objects == 0`` — verified empirically on sample host
@@ -662,16 +664,19 @@ def try_build_fused(sim, steps, state: SimState,
                 # ZEROES dv ("dv = this step's velocity change"), which a
                 # downstream trace_dv counts on. qm=0, no fields reproduces
                 # exactly that: v unchanged, dv = 0.
-                ops.append(F._Op("lorentz", qm=0.0))
+                ops.append(F._Op("lorentz", qm=0.0,
+                                 after_update=update_seen))
             elif s.q_over_m is not None:
                 ops.append(F._Op("lorentz", qm=s.q_over_m,
-                                 e_fn=s._e_fn, b_fn=s._b_fn))
+                                 e_fn=s._e_fn, b_fn=s._b_fn,
+                                 after_update=update_seen))
             else:
                 if "qm" not in extra_names:
                     extra_names.append("qm")
                 ops.append(F._Op(
                     "lorentz", qm_plane=F._NF + extra_names.index("qm"),
-                    e_fn=s._e_fn, b_fn=s._b_fn))
+                    e_fn=s._e_fn, b_fn=s._b_fn,
+                    after_update=update_seen))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
             ops.append(F._Op(

@@ -317,3 +317,28 @@ def test_mixed_species_fused_transport():
     # cross-path population trajectories agree within binomial noise
     hi = np.maximum(np.maximum(a[2], b[2]), 1)
     assert np.all(np.abs(a[2] - b[2]) <= 6 * np.sqrt(hi) + 0.02 * hi)
+
+
+def test_varying_dt_lorentz_before_update_parity():
+    """With a time-varying dt and the order [Lorentz, UpdateTime, Kin], the
+    Lorentz kick must use the PRE-update dt (what the generic step sees at
+    its position) — regression for the fused schedule handing it the
+    kinematics-position dt."""
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.02, seed=0, fuse=fuse)
+        s.add_step(0, newton.LorentzForceStep(E_field=(2.0, 0, 0),
+                                              q_over_m=1.0))
+        s.add_step(1, phys.UpdateTimeStep(
+            lambda x: 1e-3 * (1.0 + 200.0 * x.t)))
+        s.add_step(2, newton.NewtonianKinematicsStep())
+        s.add_obj(phys.Object())
+        s.start(); s.join()
+        out[fuse] = (s.used_fused, len(s.ts),
+                     np.asarray(jax.device_get(s.sim_state.v))[:, 0],
+                     np.asarray(jax.device_get(s.sim_state.r))[:, 0])
+    a, b = out["auto"], out["off"]
+    assert a[0] and not b[0]
+    assert a[1] == b[1]
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a[3], b[3], rtol=1e-6, atol=1e-7)
