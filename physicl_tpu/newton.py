@@ -31,31 +31,13 @@ def generate_particle_state(n, v=None, r=None, device=False, w=None) -> dict:
     (n,) statistical weights. ``device=True`` builds the arrays with jnp on
     the accelerator (zero host staging at large N).
     """
+    from physicl_tpu.light import generate_photon_state
     from physicl_tpu.state import OBJ_GENERIC
 
-    n = int(n)
-
-    def _vec3(x, xp):
-        if x is None:
-            return xp.zeros((3, n), xp.float32 if device else np.float64)
-        arr = xp.asarray(raw_code_value(x),
-                         xp.float32 if device else np.float64)
-        return xp.broadcast_to(arr.reshape(3, -1), (3, n))
-
-    xp = jnp if device else np
-    out = {"n": n,
-           "E": xp.zeros((n,), xp.float32 if device else np.float64),
-           "v": _vec3(v, xp), "r": _vec3(r, xp), "otype": OBJ_GENERIC}
-    if not device:  # writable copies (from_population slices into them)
-        out["v"] = np.array(out["v"]); out["r"] = np.array(out["r"])
-    if w is not None:
-        w_arr = xp.asarray(raw_code_value(w),
-                           xp.float32 if device else np.float64).reshape(-1)
-        if w_arr.shape[0] not in (1, n):
-            raise ValueError(f"w must be scalar or length {n}")
-        out["w"] = xp.broadcast_to(w_arr, (n,))
-        if not device:
-            out["w"] = np.array(out["w"])
+    out = generate_photon_state(
+        n, E=0.0, v=(np.zeros(3) if v is None else v), r=r,
+        device=device, w=w)
+    out["otype"] = OBJ_GENERIC
     return out
 
 
@@ -183,18 +165,20 @@ class ChargedObject(Object):
 def _field_fn(field, name):
     """Normalize a field spec: a 3-vector constant (Measurement or raw) or a
     callable ``(rx, ry, rz) -> (3-seq of arrays)``; None = zero field.
-    Returns a callable over the (3, C) position planes, or None."""
+    Returns ``(callable over the (3, C) position planes or None,
+    static 3-tuple or None)`` — the static form lets the fused-plan prover
+    fold constant fields as scalars (callables cap the kernel unroll)."""
     if field is None:
-        return None
+        return None, None
     if callable(field):
-        return field
+        return field, None
     vec = np.asarray(raw_code_value(field), np.float64).reshape(3)
 
     def const(rx, ry, rz):
         one = jnp.ones_like(rx)
         return (vec[0] * one, vec[1] * one, vec[2] * one)
 
-    return const
+    return const, tuple(float(x) for x in vec)
 
 
 class LorentzForceStep(Step):
@@ -238,8 +222,8 @@ class LorentzForceStep(Step):
     """
 
     def __init__(self, E_field=None, B_field=None, q_over_m=None):
-        self._e_fn = _field_fn(E_field, "E_field")
-        self._b_fn = _field_fn(B_field, "B_field")
+        self._e_fn, self._e_const = _field_fn(E_field, "E_field")
+        self._b_fn, self._b_const = _field_fn(B_field, "B_field")
         if q_over_m is None:
             self.q_over_m = None
         else:

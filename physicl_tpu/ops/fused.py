@@ -156,11 +156,15 @@ class _Op:
     # match_speed's c/n outgoing speeds
     iface: tuple = ()
     # lorentz (newton.LorentzForceStep, charged populations): species-wide
-    # charge-to-mass ratio + field callables over (rx, ry, rz) — constants
-    # arrive as closures over the host 3-vector. Per-particle charge/mass
+    # charge-to-mass ratio + fields. Constant 3-vector fields arrive as
+    # static tuples (e_const/b_const — folded as scalars, full unroll);
+    # spatially varying fields as callables over (rx, ry, rz) (e_fn/b_fn —
+    # traced per iteration, counted as heavy ops). Per-particle charge/mass
     # instead reads a packed extras plane (plan.extras) at index qm_plane.
     qm: float = 0.0
     qm_plane: int = -1
+    e_const: tuple = ()
+    b_const: tuple = ()
     e_fn: Optional[Callable] = None
     b_fn: Optional[Callable] = None
     # sign/cross: tallies are statistical-weight sums into FLOAT record
@@ -625,17 +629,20 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 h = f[op.qm_plane] * (jnp.float32(0.5) * dt_l)
             else:
                 h = jnp.float32(0.5 * op.qm) * dt_l
-            if op.e_fn is not None:
-                ev = [jnp.asarray(x, jnp.float32) * h for x in
-                      op.e_fn(f[_RX], f[_RY], f[_RZ])]
+            has_e = op.e_fn is not None or op.e_const
+            if has_e:
+                ef = (op.e_const if op.e_const
+                      else op.e_fn(f[_RX], f[_RY], f[_RZ]))
+                ev = [jnp.asarray(x, jnp.float32) * h for x in ef]
                 vx = f[_VX] + ev[0]
                 vy = f[_VY] + ev[1]
                 vz = f[_VZ] + ev[2]
             else:
                 vx, vy, vz = f[_VX], f[_VY], f[_VZ]
-            if op.b_fn is not None:
-                tx, ty, tz = (jnp.asarray(x, jnp.float32) * h for x in
-                              op.b_fn(f[_RX], f[_RY], f[_RZ]))
+            if op.b_fn is not None or op.b_const:
+                bf = (op.b_const if op.b_const
+                      else op.b_fn(f[_RX], f[_RY], f[_RZ]))
+                tx, ty, tz = (jnp.asarray(x, jnp.float32) * h for x in bf)
                 vpx = vx + (vy * tz - vz * ty)
                 vpy = vy + (vz * tx - vx * tz)
                 vpz = vz + (vx * ty - vy * tx)
@@ -643,7 +650,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 vx = vx + s2 * (vpy * tz - vpz * ty)
                 vy = vy + s2 * (vpz * tx - vpx * tz)
                 vz = vz + s2 * (vpx * ty - vpy * tx)
-            if op.e_fn is not None:
+            if has_e:
                 vx, vy, vz = vx + ev[0], vy + ev[1], vz + ev[2]
             # push = alive non-photons: in mixed plans the otype plane
             # excludes photons (generic parity: photons immune, dv zeroed)

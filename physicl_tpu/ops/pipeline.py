@@ -358,8 +358,11 @@ class FusedProvider:
             n_spawned=jnp.asarray(self.hwm_h, jnp.int32),
         )
         if self.hwm_h > hwm_before:
-            # the packed state carries no otype plane; mark in-kernel-emitted
-            # slots as photons so the generic path / materialization agree
+            # retype emitted slots in state.otype: on mixed plans the kernel
+            # also writes the packed otype plane (same-chunk physics), but
+            # unpack_state never reads extras planes back, and photon-only
+            # plans carry no otype plane at all — the host mirror is the
+            # single source of truth for state.otype either way
             idx = jnp.arange(state.capacity)
             emitted = (idx >= hwm_before) & (idx < self.hwm_h)
             new_state = new_state.replace(otype=jnp.where(
@@ -668,14 +671,19 @@ def try_build_fused(sim, steps, state: SimState,
                                  after_update=update_seen))
             elif s.q_over_m is not None:
                 ops.append(F._Op("lorentz", qm=s.q_over_m,
-                                 e_fn=s._e_fn, b_fn=s._b_fn,
+                                 e_const=s._e_const or (),
+                                 b_const=s._b_const or (),
+                                 e_fn=None if s._e_const else s._e_fn,
+                                 b_fn=None if s._b_const else s._b_fn,
                                  after_update=update_seen))
             else:
                 if "qm" not in extra_names:
                     extra_names.append("qm")
                 ops.append(F._Op(
                     "lorentz", qm_plane=F._NF + extra_names.index("qm"),
-                    e_fn=s._e_fn, b_fn=s._b_fn,
+                    e_const=s._e_const or (), b_const=s._b_const or (),
+                    e_fn=None if s._e_const else s._e_fn,
+                    b_fn=None if s._b_const else s._b_fn,
                     after_update=update_seen))
         elif type(s) is ScatterIsotropicStep:
             s.setup(sim)
