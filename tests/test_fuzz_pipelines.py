@@ -387,3 +387,40 @@ def test_fuzz_mixed_species_pipeline(trial):
     # photon+charged population trajectory: sqrt-bounded (independent RNG)
     hi = np.maximum(np.maximum(a[2], b[2]), 1)
     assert np.all(np.abs(a[2] - b[2]) <= 6 * np.sqrt(hi) + 0.02 * hi)
+
+
+def test_midrun_injection_mixed_species_keeps_fused():
+    """Mid-run injections of BOTH species into a running mixed fused sim:
+    the otype plane dispatches per particle, so the fused plan's invariants
+    survive and every injected particle is accounted for."""
+    import time as _time
+
+    import jax
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.5, seed=1,
+                        chunk_steps=4, auto_shrink=False)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.LorentzForceStep(
+        B_field=(0, 0, 100.0), q_over_m=1.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    s.add_photons(light.generate_photon_state(1000, E=1.0))
+    s.add_particles(physicl_tpu.newton.generate_particle_state(
+        100, v=(1.0, 0, 0)))
+    s.start()
+    while len(s.ts) < 4 and s.is_alive():
+        _time.sleep(0.002)
+    assert len(s.ts) >= 4 and s.running
+    s.add_photons(light.generate_photon_state(50, E=2.0))
+    _time.sleep(0.01)
+    s.add_particles(physicl_tpu.newton.generate_particle_state(
+        25, v=(0.5, 0, 0)))
+    _time.sleep(0.01)
+    s.add_obj(physicl_tpu.newton.ChargedObject(
+        q=1.0, m=1.0, v=phys.Measurement([1.0, 0, 0], "m**1 s**-1")))
+    s.join()
+    assert s.used_fused, s.explain_plan()  # injections kept the plan
+    assert len(s.objects) == 1000 + 100 + 50 + 25 + 1
+    otype = np.asarray(jax.device_get(s.sim_state.otype))
+    alive = np.asarray(jax.device_get(s.sim_state.alive))
+    assert (otype[alive] == 1).sum() == 1050
+    assert (otype[alive] != 1).sum() == 126
