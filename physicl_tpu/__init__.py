@@ -35,6 +35,7 @@ from physicl_tpu.ops.fused import clear_kernel_cache
 
 from physicl_tpu import newton  # noqa: F401
 from physicl_tpu import light  # noqa: F401
+from physicl_tpu import functional  # noqa: F401
 
 __version__ = "0.1.0"
 

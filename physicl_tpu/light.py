@@ -123,9 +123,19 @@ def _as_code(x):
     """Code-unit float — the SCATTER-step convention: device state (|dr|,
     E) is in code units, so step constants must be too. The reference passes
     its Measurement attributes raw into kernel args (physicl/light.py:236),
-    which are likewise code-unit stored values."""
-    return (float(raw_code_value(x)) if isinstance(x, Measurement)
-            else float(x))
+    which are likewise code-unit stored values.
+
+    A traced value (jax tracer) passes through untouched: that is the
+    differentiable functional path (:mod:`physicl_tpu.functional`), where a
+    step parameter like ``A`` is a ``jax.grad`` input. Concrete values
+    still fold to host floats so fused-kernel cache keys stay hashable."""
+    if isinstance(x, Measurement):
+        return float(raw_code_value(x))
+    try:
+        return float(x)
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return x
 
 
 def planck_distribution(E, T):

@@ -8,6 +8,7 @@ a single VPU pass, no interpreter work, no host transfers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -229,7 +230,13 @@ class LorentzForceStep(Step):
         else:
             if isinstance(q_over_m, Measurement):
                 q_over_m = raw_code_value(q_over_m)
-            self.q_over_m = float(q_over_m)
+            try:
+                self.q_over_m = float(q_over_m)
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # traced parameter: the differentiable functional path
+                # (physicl_tpu.functional) fits q/m by jax.grad
+                self.q_over_m = q_over_m
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         dtype = state.v.dtype

@@ -34,6 +34,7 @@ MODULES = [
     "physicl_tpu.kernels",
     "physicl_tpu.light",
     "physicl_tpu.newton",
+    "physicl_tpu.functional",
     "physicl_tpu.population",
     "physicl_tpu.ops.fused",
     "physicl_tpu.ops.pipeline",
