@@ -61,7 +61,7 @@ class FunctionalSim:
 
 def scan_steps(steps: List[Step], state: SimState, n_iters: int,
                key=None, sim: Optional[object] = None,
-               record: bool = False):
+               record: bool = False, remat: bool = False):
     """Apply ``steps`` (in list order — reference insertion-order
     semantics) for ``n_iters`` iterations via one ``lax.scan``; pure and
     transformable (jit / grad / vmap / checkpoint).
@@ -77,6 +77,11 @@ def scan_steps(steps: List[Step], state: SimState, n_iters: int,
     weights, positions/velocities under deterministic dynamics). Discrete
     events (analog kills, roulette, plane-crossing counts) have
     zero-almost-everywhere derivatives.
+
+    ``remat=True`` wraps the scan body in ``jax.checkpoint``: reverse-mode
+    residuals shrink from O(n_iters x intermediates) to O(n_iters x state)
+    by recomputing each iteration's forward pass during the backward sweep
+    — the standard memory/FLOPs trade for long-horizon gradients.
     """
     if key is None or isinstance(key, int):
         key = jax.random.PRNGKey(0 if key is None else int(key))
@@ -93,6 +98,8 @@ def scan_steps(steps: List[Step], state: SimState, n_iters: int,
             st = s.apply(st, ctx)
         return (st, k), (ctx.records if record else None)
 
+    if remat:
+        body = jax.checkpoint(body)
     (state, _), recs = jax.lax.scan(body, (state, key), None,
                                     length=int(n_iters))
     return (state, recs) if record else state

@@ -127,3 +127,22 @@ def test_charged_dynamics_grad():
     # pure E: v_x = qm * E0 * t exactly -> dv/dqm = E0 * K * DT
     g = float(jax.grad(vx)(jnp.float32(2.0)))
     np.testing.assert_allclose(g, 3.0 * K * DT, rtol=1e-5)
+
+
+def test_remat_gradients_identical():
+    """jax.checkpoint rematerialization changes memory, not values: the
+    remat gradient equals the plain gradient bitwise."""
+    A0 = jnp.float32(0.015 / (C * DT))
+    state = _state()
+
+    def t_plain(A):
+        return jnp.sum(
+            functional.scan_steps(_steps(A), state, K).w) / N
+
+    def t_remat(A):
+        return jnp.sum(
+            functional.scan_steps(_steps(A), state, K, remat=True).w) / N
+
+    g0 = float(jax.grad(t_plain)(A0))
+    g1 = float(jax.grad(t_remat)(A0))
+    assert g0 == g1, (g0, g1)
