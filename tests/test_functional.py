@@ -146,3 +146,26 @@ def test_remat_gradients_identical():
     g0 = float(jax.grad(t_plain)(A0))
     g1 = float(jax.grad(t_remat)(A0))
     assert g0 == g1, (g0, g1)
+
+
+def test_vmap_over_seeds_ensemble():
+    """Uncertainty quantification in one compile: vmap scan_steps over PRNG
+    keys gives independent analog-transport realizations whose survival
+    spread matches binomial noise."""
+    A = 0.02 / (C * DT)
+    state = _state()
+
+    def survivors(key):
+        steps = [phys.UpdateTimeStep(lambda x: DT),
+                 newton.NewtonianKinematicsStep(),
+                 light.ScatterDeleteStep(n=1.0, A=A)]  # analog kills
+        out = functional.scan_steps(steps, state, K, key=key)
+        return jnp.sum(out.alive)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 16)
+    ns = np.asarray(jax.vmap(survivors)(keys), float)
+    p = (1 - 0.02) ** K
+    mu, sd = N * p, np.sqrt(N * p * (1 - p))
+    assert ns.std() > 0              # genuinely independent realizations
+    assert abs(ns.mean() - mu) < 4 * sd / np.sqrt(16)
+    assert sd / 3 < ns.std() < 3 * sd

@@ -342,3 +342,27 @@ def test_varying_dt_lorentz_before_update_parity():
     assert a[1] == b[1]
     np.testing.assert_allclose(a[2], b[2], rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(a[3], b[3], rtol=1e-6, atol=1e-7)
+
+
+def test_mixed_population_per_particle_qm():
+    """Photons + per-particle-q/m charges: BOTH extras planes (otype + qm)
+    pack together; photons immune, opposite charges mirror, fused."""
+    B0, v0, k = 200.0, 5.0, 100
+    vv = phys.Measurement([v0, 0, 0], "m**1 s**-1")
+    s = phys.Simulation(until_t=DT * k * 0.9999, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, B0)))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_obj(newton.ChargedObject(q=1.0, m=1.0, v=vv))
+    s.add_obj(newton.ChargedObject(q=-1.0, m=1.0, v=vv))
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    assert "otype" in s.explain_plan() and "qm" in s.explain_plan()
+    v = np.asarray(jax.device_get(s.sim_state.v))
+    np.testing.assert_allclose(v[1, 0], -v[1, 1], rtol=1e-5)
+    assert abs(v[1, 0]) > 0.1 * v0
+    # photons (slots 2..66) untouched at +x c
+    c = float(light.c)
+    np.testing.assert_allclose(v[0, 2:66], c, rtol=1e-6)
+    assert np.all(v[1, 2:66] == 0.0)
