@@ -388,3 +388,33 @@ def test_sharded_fused_lorentz_per_particle_qm():
     np.testing.assert_allclose(res[True], res[False], rtol=1e-6, atol=1e-7)
     v = res[True]
     np.testing.assert_allclose(v[1, 0::2], -v[1, 1::2], rtol=1e-5)
+
+
+def test_functional_scan_on_sharded_state():
+    """functional.scan_steps is pure jax: with particle-sharded input state
+    it runs SPMD over the mesh (no shard_map needed) and matches the
+    unsharded run exactly for deterministic dynamics."""
+    from physicl_tpu import functional
+    from physicl_tpu.state import SimState
+
+    mesh = make_mesh()
+    n = 8 * 2048
+    rng = np.random.default_rng(3)
+    v0 = rng.normal(size=(3, n))
+    state = SimState.from_population(
+        [], [physicl_tpu.newton.generate_particle_state(n, v=v0)])
+
+    def run(st):
+        steps = [phys.UpdateTimeStep(lambda x: 1e-3),
+                 physicl_tpu.newton.LorentzForceStep(
+                     E_field=(0.5, 0, 0), B_field=(0, 0, 60.0),
+                     q_over_m=1.0),
+                 physicl_tpu.newton.NewtonianKinematicsStep()]
+        return functional.scan_steps(steps, st, 50)
+
+    out_plain = run(state)
+    out_mesh = run(shard_state(state, mesh))
+    assert len(out_mesh.r.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(jax.device_get(out_mesh.r)),
+                               np.asarray(jax.device_get(out_plain.r)),
+                               rtol=1e-6, atol=1e-7)
