@@ -257,6 +257,60 @@ def main():
     check("thermal Compton speed preserved", np.abs(spd - 1).max() < 3e-5,
           f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
 
+    # --- charged-particle fused path (round-3 late: Boris pusher) ---
+    B0, qm, v0, k_b = 200.0, 1.0, 7.0, 500
+    s = phys.Simulation(until_t=1e-3 * k_b * 0.9999, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.LorentzForceStep(
+        B_field=(0, 0, B0), q_over_m=qm))
+    s.add_step(2, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_particles(physicl_tpu.newton.generate_particle_state(
+        100_000, v=(v0, 0.0, 0.0)))
+    s.start(); s.join()
+    check("charged (Boris) pipeline stays fused", s.used_fused,
+          f"{s.used_fused}")
+    v = np.asarray(s.sim_state.v)[:, :100_000]
+    spd = np.linalg.norm(v, axis=0)
+    check("Boris |v| exactly conserved over 500 steps",
+          float(np.abs(spd - v0).max()) < 3e-5 * v0,
+          f"max |v| drift {np.abs(spd - v0).max():.2e}")
+    theta = 2.0 * np.arctan(0.5 * qm * B0 * 1e-3)
+    got = float(np.arctan2(v[1, 0], v[0, 0]))
+    err = abs(np.exp(1j * got) - np.exp(-1j * k_b * theta))
+    check("gyro phase == 2 atan(h|B|) per step", err < 2e-4,
+          f"phase error {err:.2e} after {k_b} steps")
+
+    # --- mixed photon+charged population in ONE kernel (otype plane) ---
+    p_abs, k_m = 0.015, 200
+    s = phys.Simulation(until_t=1e-3 * k_m * 0.9999, seed=11)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.LorentzForceStep(
+        B_field=(0, 0, 120.0), q_over_m=2.0))
+    s.add_step(2, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(3, light.ScatterDeleteStep(
+        np.double(p_abs / (float(light.c) * 1e-3)), np.double(1.0)))
+    s.add_photons(light.generate_photon_state(100_000, E=1.0))
+    s.add_particles(physicl_tpu.newton.generate_particle_state(
+        8192, v=(2.0, 0.0, 0.0)))
+    s.start(); s.join()
+    check("mixed-species pipeline stays fused", s.used_fused,
+          f"{s.used_fused}")
+    n_tot = 100_000 + 8192
+    otype = np.asarray(s.sim_state.otype)[:n_tot]
+    alive = np.asarray(s.sim_state.alive)[:n_tot]
+    v = np.asarray(s.sim_state.v)[:, :n_tot]
+    surv = alive[otype == 1].sum() / 100_000
+    expect = (1 - p_abs) ** k_m
+    check("mixed: photon Beer-Lambert",
+          abs(surv - expect) < 6 * np.sqrt(expect * 1e5) / 1e5 + 1e-3,
+          f"survival {surv:.4f} vs (1-p)^k {expect:.4f}")
+    sp = np.linalg.norm(v[:, otype != 1], axis=0)
+    check("mixed: charged immortal + speed exact",
+          int(alive[otype != 1].sum()) == 8192
+          and float(np.abs(sp - 2.0).max()) < 3e-5 * 2.0,
+          f"alive {int(alive[otype != 1].sum())}/8192, "
+          f"max |v| drift {np.abs(sp - 2.0).max():.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

@@ -116,3 +116,55 @@ def test_fused_E_plane_survives_chunks_on_hardware():
     assert s.used_fused and 40 <= len(s.ts) <= 41  # f32 t: +-1 iteration
     E = np.asarray(s.sim_state.E)[:1000]
     assert np.allclose(E, Es, rtol=1e-6)
+
+
+def test_real_pallas_charged_boris_on_hardware():
+    """Charged-particle fused path on the real chip (round-3 extension):
+    Boris gyro-orbits with the hardware kernel — |v| conserved to f32
+    roundoff, gyro phase at the discrete 2*atan(h|B|), under shard_map."""
+    mesh = make_mesh(jax.device_count())
+    n = 16384 * mesh.devices.size
+    B0, qm, v0, k = 200.0, 1.0, 7.0, 500
+    s = phys.Simulation(until_t=1e-3 * k * 0.9999, seed=0, mesh=mesh)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, B0), q_over_m=qm))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_particles(newton.generate_particle_state(n, v=(v0, 0.0, 0.0)))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    v = np.asarray(jax.device_get(s.sim_state.v))[:, :n]
+    np.testing.assert_allclose(np.linalg.norm(v, axis=0), v0, rtol=3e-5)
+    theta = 2.0 * np.arctan(0.5 * qm * B0 * 1e-3)
+    got = np.arctan2(v[1, 0], v[0, 0])
+    np.testing.assert_allclose(np.exp(1j * got), np.exp(-1j * k * theta),
+                               atol=2e-4)
+
+
+def test_real_pallas_mixed_species_on_hardware():
+    """Mixed photon+charged population in one REAL fused kernel: the otype
+    plane routes absorption to photons (Beer-Lambert) and the Boris push to
+    charged particles (immortal, speed-exact), with hardware PRNG."""
+    c = float(light.c)
+    n_ph, n_ch, k, p = 100_000, 8192, 200, 0.015
+    s = phys.Simulation(until_t=1e-3 * k * 0.9999, seed=11)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.LorentzForceStep(B_field=(0, 0, 120.0),
+                                          q_over_m=2.0))
+    s.add_step(2, newton.NewtonianKinematicsStep())
+    s.add_step(3, light.ScatterDeleteStep(np.double(p / (c * 1e-3)),
+                                          np.double(1.0)))
+    s.add_photons(light.generate_photon_state(n_ph, E=1.0))
+    s.add_particles(newton.generate_particle_state(n_ch, v=(2.0, 0.0, 0.0)))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    st = s.sim_state
+    n_tot = n_ph + n_ch
+    otype = np.asarray(jax.device_get(st.otype))[:n_tot]
+    alive = np.asarray(jax.device_get(st.alive))[:n_tot]
+    v = np.asarray(jax.device_get(st.v))[:, :n_tot]
+    surv = alive[otype == 1].sum() / n_ph
+    expect = (1 - p) ** k
+    assert abs(surv - expect) < 6 * np.sqrt(expect * n_ph) / n_ph + 1e-3
+    assert alive[otype != 1].sum() == n_ch
+    sp = np.linalg.norm(v[:, otype != 1], axis=0)
+    np.testing.assert_allclose(sp, 2.0, rtol=3e-5)
