@@ -66,9 +66,11 @@ def scan_steps(steps: List[Step], state: SimState, n_iters: int,
     semantics) for ``n_iters`` iterations via one ``lax.scan``; pure and
     transformable (jit / grad / vmap / checkpoint).
 
-    ``key``: a jax PRNG key or an int seed (default 0). ``sim``: optional
-    :class:`FunctionalSim` (or a real Simulation) for steps whose setup
-    reads host attributes like ``bounds``. With ``record=True`` returns
+    ``key``: a jax PRNG key or an int seed; default is ``sim.seed`` when a
+    sim shim is given (so ``FunctionalSim(seed=7)`` actually seeds the
+    scan), else 0. ``sim``: optional :class:`FunctionalSim` (or a real
+    Simulation) for steps whose setup reads host attributes like
+    ``bounds``. With ``record=True`` returns
     ``(state, records)`` where records is a dict of per-iteration stacked
     arrays keyed ``"s{i}/{name}"`` in step order (e.g. the alive counts a
     measure step logs); otherwise returns the final state.
@@ -83,9 +85,11 @@ def scan_steps(steps: List[Step], state: SimState, n_iters: int,
     by recomputing each iteration's forward pass during the backward sweep
     — the standard memory/FLOPs trade for long-horizon gradients.
     """
-    if key is None or isinstance(key, int):
-        key = jax.random.PRNGKey(0 if key is None else int(key))
     shim = sim if sim is not None else FunctionalSim()
+    if key is None:
+        key = jax.random.PRNGKey(int(getattr(shim, "seed", 0) or 0))
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(int(key))
     for i, s in enumerate(steps):
         s._step_uid = f"s{i}"
         s.setup(shim)

@@ -133,8 +133,11 @@ def _as_code(x):
         return float(raw_code_value(x))
     try:
         return float(x)
-    except (TypeError, jax.errors.TracerArrayConversionError,
+    except (jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError):
+        # Only TRACERS pass through; a concrete non-scalar (e.g. a 3-vector
+        # passed as A or n) raises TypeError right here at the constructor,
+        # not as a cryptic broadcast error deep inside a later trace.
         return x
 
 

@@ -173,7 +173,12 @@ def _field_fn(field, name):
         return None, None
     if callable(field):
         return field, None
-    vec = np.asarray(raw_code_value(field), np.float64).reshape(3)
+    try:
+        vec = np.asarray(raw_code_value(field), np.float64).reshape(3)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"{name} must be a 3-vector (Measurement or raw) or a callable "
+            f"(rx, ry, rz) -> 3 arrays; got {field!r}") from e
 
     def const(rx, ry, rz):
         one = jnp.ones_like(rx)

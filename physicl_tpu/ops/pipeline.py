@@ -564,6 +564,12 @@ def try_build_fused(sim, steps, state: SimState,
                    "no initial objects: add particles before start() "
                    "(in-kernel emitters still need a sized arena)")
     species = codes.pop() if len(codes) == 1 else F.SPECIES_MIXED
+    if species not in (OBJ_PHOTON, F.SPECIES_MIXED) and any(
+            type(s) is PhotonEmitterStep for s in steps):
+        # an emitter turns a non-photon population mixed at its first
+        # emission — plan the mixed kernel (otype-gated photon physics)
+        # up front instead of refusing as "photon-only ops on non-photons"
+        species = F.SPECIES_MIXED
 
     ops: List[F._Op] = []
     rec_map: List[dict] = []
@@ -594,11 +600,14 @@ def try_build_fused(sim, steps, state: SimState,
         uid = s._step_uid
         if isinstance(s, photon_only):
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
+                # unreachable for PhotonEmitterStep (promoted to a mixed
+                # plan above); the remaining photon ops ARE exact no-ops
+                # on a population that contains no photons and no source
                 return _no("photon-only-op",
                            f"{type(s).__name__} acts on photons but the "
-                           "population is non-photon; it is an exact no-op "
-                           "here, so this pipeline runs on the generic "
-                           "path")
+                           "population is non-photon (and no emitter adds "
+                           "any); it is an exact no-op here, so this "
+                           "pipeline runs on the generic path")
         if type(s) is UpdateTimeStep:
             if update_seen:
                 return _no("duplicate-update-step",

@@ -233,3 +233,28 @@ def test_planck_sampler_icdf_matches_call():
     qs_icdf = np.asarray(sampler.icdf(
         jnp.linspace(0.05, 0.95, 10, dtype=jnp.float32)))
     assert np.allclose(qs, qs_icdf, rtol=0.02)
+
+
+def test_emitter_on_charged_population_fuses_as_mixed():
+    """A photon emitter on an initially pure-charged population promotes
+    the plan to the mixed kernel (review finding: this used to refuse
+    fusion claiming the emitter was 'an exact no-op')."""
+    s = phys.Simulation(exit=lambda c: c.t >= 0.010, seed=3, capacity=8192)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, light.PhotonEmitterStep(100, E=2.0))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    s.add_step(3, light.ScatterDeleteStep(np.double(0.0), np.double(0.0)))
+    s.add_particles(phys.newton.generate_particle_state(
+        50, v=(1.0, 0.0, 0.0)))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    from physicl_tpu.state import OBJ_PHOTON
+    otype = np.asarray(s.sim_state.otype)
+    alive = np.asarray(s.sim_state.alive)
+    assert (alive & (otype == OBJ_PHOTON)).sum() == 1000
+    assert (alive & (otype != OBJ_PHOTON)).sum() == 50
+    # emitted photons move: kinematics applied to the photon subset
+    E = np.asarray(s.sim_state.E)
+    rx = np.asarray(s.sim_state.r)[0]
+    ph = alive & (E == 2.0)
+    assert ph.sum() == 1000 and np.all(np.abs(rx[ph]) > 0)

@@ -169,3 +169,19 @@ def test_vmap_over_seeds_ensemble():
     assert ns.std() > 0              # genuinely independent realizations
     assert abs(ns.mean() - mu) < 4 * sd / np.sqrt(16)
     assert sd / 3 < ns.std() < 3 * sd
+
+
+def test_functional_sim_seed_seeds_the_scan():
+    """FunctionalSim(seed=N) is the default key when key= is absent
+    (review finding: .seed used to be dead and silently ignored)."""
+    st = _state(256)
+    steps = [phys.UpdateTimeStep(lambda x: DT),
+             newton.NewtonianKinematicsStep(),
+             light.ScatterIsotropicStep(n=1.0, A=2.0 / C / DT)]
+    out7 = functional.scan_steps(steps, st, 8,
+                                 sim=functional.FunctionalSim(seed=7))
+    key7 = functional.scan_steps(steps, st, 8, key=7)
+    out0 = functional.scan_steps(steps, st, 8,
+                                 sim=functional.FunctionalSim(seed=0))
+    np.testing.assert_array_equal(np.asarray(out7.v), np.asarray(key7.v))
+    assert not np.array_equal(np.asarray(out7.v), np.asarray(out0.v))

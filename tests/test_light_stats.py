@@ -351,3 +351,14 @@ def test_rayleigh_options_and_azimuth():
     for comp in (1, 2):
         m = (v[comp, sc] / float(light.c)).mean()
         assert abs(m) < 0.01, (comp, m)
+
+
+def test_non_scalar_step_constant_fails_at_constructor():
+    """A concrete non-scalar A/n raises at construction, not as a cryptic
+    broadcast error inside a later trace (review finding: the tracer
+    pass-through in _as_code must not swallow TypeError)."""
+    import pytest
+    with pytest.raises(TypeError):
+        light.ScatterDeleteStep(n=np.double(1.0), A=np.array([1e-3, 2e-3]))
+    with pytest.raises(TypeError):
+        light.ScatterIsotropicStep(n=[1.0, 2.0], A=1e-3)

@@ -366,3 +366,10 @@ def test_mixed_population_per_particle_qm():
     c = float(light.c)
     np.testing.assert_allclose(v[0, 2:66], c, rtol=1e-6)
     assert np.all(v[1, 2:66] == 0.0)
+
+
+def test_bad_field_vector_names_the_field():
+    with pytest.raises(ValueError, match="B_field"):
+        newton.LorentzForceStep(B_field=(1.0, 2.0), q_over_m=1.0)
+    with pytest.raises(ValueError, match="E_field"):
+        newton.LorentzForceStep(E_field="up", q_over_m=1.0)
