@@ -49,6 +49,7 @@ __all__ = [
     "planck_cdf", "planck_sample_E", "PlanckSampler",
     "generate_photons_from_E", "generate_photons", "generate_photon_state",
     "PhotonEmitterStep",
+    "ImportanceSplitStep", "WeightWindowStep",
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
@@ -1588,6 +1589,184 @@ class PhotonEmitterStep(Step):
 
         return jax.lax.cond(start + k <= state.capacity, emit,
                             lambda s: s, state)
+
+
+# ---------------------------------------------------------------------------
+# Population-control variance reduction: splitting + Russian roulette
+# (TPU extension; no reference counterpart. Completes the MCNP-style
+# variance-reduction toolkit next to ScatterDeleteStep's implicit capture,
+# roulette=, and generate_photon_state(w=) source biasing.)
+# ---------------------------------------------------------------------------
+
+
+class _SplitBase(Step):
+    """Shared mechanics for particle splitting / Russian roulette.
+
+    A split event replaces one particle of weight ``w`` with ``n`` identical
+    particles of weight ``w / n`` — the total statistical weight is conserved
+    EXACTLY per event, so every deterministic weighted observable (implicit-
+    capture transmission, weighted tallies) is bit-for-bit unaffected while
+    the sample count at depth grows. Roulette is the inverse move: survive
+    with probability ``q < 1`` carrying weight ``w / q`` (unbiased in
+    expectation).
+
+    New particles take contiguous slots ``[n_spawned, n_spawned + k)``
+    exactly like :class:`PhotonEmitterStep`; when the arena is full, copies
+    that do not fit are simply not created and the survivor keeps the
+    correspondingly larger share (``w / n_eff``), which keeps total weight
+    conserved under clipping — reduced variance reduction, never bias.
+
+    Subclasses provide ``_ratios(state) -> (split_q, roul_q)``: per-particle
+    factors with ``split_q >= 1`` (target copy count, fractional part
+    realized probabilistically) and ``roul_q`` (<1 triggers roulette at that
+    survival probability). A particle must never have both ``split_q > 1``
+    and ``roul_q < 1``.
+
+    Data-dependent population growth cannot be proven into the fused
+    Pallas plan, so pipelines containing these steps run on the generic
+    chunked scan (``sim.explain_plan()`` reports ``unsupported-step``); they
+    compose with the differentiable :func:`physicl_tpu.functional.scan_steps`
+    driver as well.
+    """
+
+    needs_capacity_headroom = True  # engine auto-shrink would eat our slots
+    n_per_step = 1  # headroom signal only: actual growth is data-dependent
+
+    def __init__(self, max_split: int = 8, roulette: bool = True):
+        self.max_split = int(max_split)
+        self.roulette = bool(roulette)
+        if self.max_split < 2:
+            raise ValueError("max_split must be >= 2")
+
+    def _ratios(self, state: SimState):
+        raise NotImplementedError
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        dtype = state.r.dtype
+        C = state.capacity
+        alive = state.alive
+        split_q, roul_q = self._ratios(state)
+        split_q = jnp.where(alive, jnp.asarray(split_q, dtype), 1.0)
+        key = ctx.next_key()
+
+        # --- split: n = floor(q) + Bernoulli(frac(q)) copies, capped ------
+        u = jax.random.uniform(key, (C,), dtype)
+        n_i = jnp.floor(split_q)
+        n = (n_i.astype(jnp.int32)
+             + (u < (split_q - n_i)).astype(jnp.int32))
+        extra = jnp.where(alive, jnp.clip(n, 1, self.max_split) - 1, 0)
+        start = state.n_spawned
+        off = start + jnp.cumsum(extra) - extra  # exclusive prefix sum
+        n_fit = jnp.clip(C - off, 0, extra)      # copies that fit the arena
+        n_eff = (1 + n_fit).astype(dtype)
+        w = state.w / n_eff
+
+        # --- roulette (only where roul_q < 1; disjoint from splits) ------
+        if self.roulette:
+            roul_q = jnp.where(alive, jnp.asarray(roul_q, dtype), 1.0)
+            do_r = roul_q < 1.0
+            surv = jax.random.uniform(jax.random.fold_in(key, 1),
+                                      (C,), dtype) < roul_q
+            alive = jnp.where(do_r & ~surv, False, alive)
+            w = jnp.where(do_r & surv,
+                          w / jnp.maximum(roul_q, jnp.finfo(dtype).tiny), w)
+
+        # --- scatter copies into their contiguous fresh slots -------------
+        p2 = {f: getattr(state, f) for f in ("r", "dr", "v", "dv", "a")}
+        p1 = {"E": state.E, "otype": state.otype}
+        ex = dict(state.extras)
+        for j in range(self.max_split - 1):
+            # copy j of particle i -> slot off[i] + j; C == dropped
+            dest = jnp.where(extra > j, off + j, C)
+            for f, p in p2.items():
+                p2[f] = p.at[:, dest].set(p, mode="drop")
+            for f, p in p1.items():
+                p1[f] = p.at[dest].set(p, mode="drop")
+            for f, p in ex.items():
+                ex[f] = p.at[..., dest].set(p, mode="drop")
+            w = w.at[dest].set(w, mode="drop")
+            alive = alive.at[dest].set(True, mode="drop")
+        return state.replace(
+            alive=alive, w=w, E=p1["E"], otype=p1["otype"], extras=ex,
+            n_spawned=jnp.minimum(start + jnp.sum(extra), C).astype(
+                jnp.int32),
+            **{f: p2[f] for f in p2})
+
+
+class ImportanceSplitStep(_SplitBase):
+    """MCNP-style geometric importance splitting: particles moving into a
+    region of higher importance split, particles moving down-importance play
+    Russian roulette — the classic deep-penetration population control
+    (TPU extension; the reference has no variance reduction at all).
+
+    ``importance`` is a positive callable ``I(rx, ry, rz)`` over position
+    arrays (e.g. ``lambda x, y, z: 2.0 ** jnp.floor(x / 0.5)`` doubles the
+    importance every half-unit of shield depth). Each iteration, every alive
+    particle is weighed by the ratio ``q = I(r) / I(r - dr)`` across the
+    segment it just flew (stateless: the previous position is recovered from
+    the ``dr`` plane, so no extra per-particle storage is needed):
+
+    * ``q > 1``: split into ``n ~ q`` particles (fractional part realized by
+      a Bernoulli draw, capped at ``max_split``), each with weight ``w/n`` —
+      total weight conserved exactly;
+    * ``q < 1`` (and ``roulette=True``): survive with probability ``q``,
+      survivors carry ``w/q``.
+
+    Pair with ``ScatterDeleteStep(implicit_capture=True)`` for deep-shield
+    transmission: the weight decays deterministically while splitting keeps
+    the particle count (hence the statistics) at depth.
+    """
+
+    def __init__(self, importance, max_split: int = 8,
+                 roulette: bool = True):
+        super().__init__(max_split=max_split, roulette=roulette)
+        if not callable(importance):
+            raise TypeError("importance must be a callable I(rx, ry, rz) "
+                            "over position arrays")
+        self.importance = importance
+
+    def _ratios(self, state: SimState):
+        tiny = jnp.finfo(state.r.dtype).tiny
+        I1 = jnp.asarray(self.importance(state.r[0], state.r[1], state.r[2]))
+        r0 = state.r - state.dr
+        I0 = jnp.asarray(self.importance(r0[0], r0[1], r0[2]))
+        q = I1 / jnp.maximum(I0, tiny)
+        return jnp.maximum(q, 1.0), jnp.minimum(jnp.maximum(q, tiny), 1.0)
+
+
+class WeightWindowStep(_SplitBase):
+    """Weight-window population control: particles heavier than ``w_hi``
+    split down toward ``w_target``; lighter than ``w_lo`` play Russian
+    roulette up toward it (TPU extension; MCNP's WWN analog).
+
+    Keeps every statistical weight within a bounded band — the standard
+    companion to source biasing (``generate_photon_state(w=...)``,
+    heavy-tailed ``A_fn`` attenuation, or deep implicit capture), where
+    runaway weight spread would otherwise dominate the tally variance.
+    ``w_target`` defaults to the geometric center ``sqrt(w_lo * w_hi)``.
+    Total weight is conserved exactly by splits and in expectation by
+    roulette.
+    """
+
+    def __init__(self, w_lo: float, w_hi: float, w_target=None,
+                 max_split: int = 8):
+        super().__init__(max_split=max_split, roulette=True)
+        self.w_lo = float(raw_code_value(w_lo))
+        self.w_hi = float(raw_code_value(w_hi))
+        self.w_target = (float(raw_code_value(w_target))
+                         if w_target is not None
+                         else float(np.sqrt(self.w_lo * self.w_hi)))
+        if not (0.0 < self.w_lo <= self.w_target <= self.w_hi):
+            raise ValueError("need 0 < w_lo <= w_target <= w_hi "
+                             f"(got {self.w_lo}, {self.w_target}, "
+                             f"{self.w_hi})")
+
+    def _ratios(self, state: SimState):
+        w = state.w
+        q = w / jnp.asarray(self.w_target, w.dtype)
+        split_q = jnp.where(w > self.w_hi, jnp.maximum(q, 1.0), 1.0)
+        roul_q = jnp.where(w < self.w_lo, jnp.minimum(q, 1.0), 1.0)
+        return split_q, roul_q
 
 
 # ---------------------------------------------------------------------------
