@@ -631,6 +631,16 @@ class ScatterDeleteStep(MeasureStep):
       to ``w_survive``) and is killed otherwise — expected weight is
       exactly conserved. Without roulette nothing ever dies, so
       ``exit="extinction"`` never fires; prefer ``until_t=``.
+    * ``stretch=b`` (with ``stretch_dir=(1,0,0)``) — exponential transform
+      (MCNP EXT analog, discrete-step form): the analog kill probability is
+      biased per particle to ``p' = p*(1 - b*mu)`` with ``mu`` the flight
+      direction cosine along ``stretch_dir``, and survivors carry the
+      likelihood ratio ``w *= (1-p)/(1-p')`` — forward movers see the
+      medium ``~(1-b)`` times thinner (penetrating ``1/(1-b)`` optical
+      depths per analog depth) while backward movers die faster, all
+      unbiased. Requires analog mode (no ``implicit_capture``); tallies
+      must be weighted. Deposition tallies scale killed energy by
+      ``p/p'``, keeping the expected dose exact.
     * ``measure_deposition=True`` — records the energy DEPOSITED in the
       medium each iteration (``data`` rows ``[t, E_dep]``, CSV via
       ``out_fn`` like any MeasureStep; psum across mesh shards). Analog:
@@ -643,9 +653,28 @@ class ScatterDeleteStep(MeasureStep):
 
     def __init__(self, n, A, A_fn=None, variable_n=False,
                  variable_n_fn=None, implicit_capture=False, roulette=None,
-                 measure_deposition=False, out_fn=None):
+                 measure_deposition=False, out_fn=None, stretch=None,
+                 stretch_dir=(1.0, 0.0, 0.0)):
         super().__init__(out_fn)
         self.measure_deposition = bool(measure_deposition)
+        # exponential transform (MCNP EXT analog): bias the kill toward
+        # backward movers, p' = p*(1 - b*mu), mu = dr_hat . stretch_dir;
+        # survivors reweight by (1-p)/(1-p'), so forward-moving particles
+        # penetrate ~1/(1-b) optical depths per analog depth, unbiased
+        if stretch is not None:
+            if implicit_capture:
+                raise ValueError("stretch biases the analog kill; "
+                                 "implicit_capture has no kill to bias "
+                                 "(use one or the other)")
+            b = float(raw_code_value(stretch))
+            if not (0.0 < b < 1.0):
+                raise ValueError(f"stretch must be in (0, 1), got {b}")
+            d = np.asarray(raw_code_value(stretch_dir), np.float64)
+            if d.shape != (3,) or not np.isfinite(d).all() or not d.any():
+                raise ValueError("stretch_dir must be a nonzero 3-vector")
+            d = d / np.linalg.norm(d)
+            stretch = (b, float(d[0]), float(d[1]), float(d[2]))
+        self.stretch = stretch
         self.n = _as_code(n)
         self.A = _as_code(A)
         self._a_fn = (None if A_fn is None else
@@ -699,6 +728,26 @@ class ScatterDeleteStep(MeasureStep):
             w = jnp.where(low & ~kill, jnp.asarray(w_sur, w.dtype), w)
             return state.replace(w=w, alive=state.alive & ~kill)
         u = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+        if self.stretch is not None:
+            tiny = jnp.finfo(norm.dtype).tiny
+            b, dx, dy, dz = (jnp.asarray(x, norm.dtype)
+                             for x in self.stretch)
+            mu = ((state.dr[0] * dx + state.dr[1] * dy + state.dr[2] * dz)
+                  / jnp.maximum(norm, tiny))
+            p_true = jnp.clip(pcoll, 0.0, 1.0)
+            p_bias = jnp.clip(pcoll * (1.0 - b * mu), 0.0, 1.0)
+            hit = (p_bias >= u) & sel
+            # survivors carry the likelihood ratio; killed dump w*E*(p/p')
+            ratio = (1.0 - p_true) / jnp.maximum(1.0 - p_bias, tiny)
+            w = jnp.where(sel & jnp.logical_not(hit), state.w * ratio,
+                          state.w)
+            if self.measure_deposition:
+                ctx.record(self, "t", state.t)
+                ctx.record(self, "dep", jnp.sum(jnp.where(
+                    hit, state.w * state.E
+                    * (p_true / jnp.maximum(p_bias, tiny)), 0.0)))
+            return state.replace(
+                w=w, alive=state.alive & jnp.logical_not(hit))
         hit = (pcoll >= u) & sel
         if self.measure_deposition:  # analog: killed photons dump w*E
             ctx.record(self, "t", state.t)

@@ -143,6 +143,9 @@ class _Op:
     a_fn: Optional[Callable] = None  # energy-dependent sigma(E) (del)
     implicit_capture: bool = False  # del: w *= 1-p instead of killing
     roulette: tuple = ()            # del: (w_min, w_survive) or empty
+    # del: exponential transform (b, dx, dy, dz) — kill prob biased to
+    # p*(1 - b*mu), mu = dr_hat . d; survivors reweight by (1-p)/(1-p')
+    stretch: tuple = ()
     c_val: float = 0.0              # |v| for resampled photons (iso/hg)
     g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
     inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
@@ -371,6 +374,29 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                       f[_W])
                     alive_b = alive_b & jnp.logical_not(kill)
                     f[_ALIVE] = alive_b.astype(jnp.float32)
+            elif op.stretch:
+                # exponential transform: biased kill + likelihood-ratio
+                # reweighting (mirrors the generic apply exactly)
+                u = rng.uniform(shape)
+                sel = ph_alive()
+                tiny = jnp.float32(1e-30)
+                b, dx, dy, dz = (jnp.float32(x) for x in op.stretch)
+                mu = ((f[_DRX] * dx + f[_DRY] * dy + f[_DRZ] * dz)
+                      / jnp.maximum(dr_norm(), tiny))
+                one = jnp.float32(1.0)
+                p_true = jnp.clip(pcoll, jnp.float32(0.0), one)
+                p_bias = jnp.clip(pcoll * (one - b * mu),
+                                  jnp.float32(0.0), one)
+                hit = (p_bias >= u) & sel
+                ratio = (one - p_true) / jnp.maximum(one - p_bias, tiny)
+                f[_W] = jnp.where(sel & jnp.logical_not(hit),
+                                  f[_W] * ratio, f[_W])
+                if op.cols:
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
+                        hit, f[_W] * f[_E]
+                        * (p_true / jnp.maximum(p_bias, tiny)), 0.0)))
+                alive_b = alive_b & jnp.logical_not(hit)
+                f[_ALIVE] = alive_b.astype(jnp.float32)
             else:
                 u = rng.uniform(shape)
                 hit = (pcoll >= u) & ph_alive()

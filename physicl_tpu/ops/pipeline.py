@@ -644,6 +644,9 @@ def try_build_fused(sim, steps, state: SimState,
                              implicit_capture=s.implicit_capture,
                              roulette=(tuple(s.roulette)
                                        if s.roulette else ()),
+                             stretch=(tuple(s.stretch)
+                                      if getattr(s, "stretch", None)
+                                      else ()),
                              cols=dep_cols))
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)

@@ -70,6 +70,11 @@ def _random_pipeline(rng, fuse, seed):
                 np.double(rng.uniform(2e-4, 1e-3)), np.double(0.5),
                 implicit_capture=True, roulette=roulette,
                 measure_deposition=bool(rng.random() < 0.5)))
+        elif pick < 0.8:  # round 3 cont.: exponential transform
+            meta["deaths"] = True
+            s.add_step(idx, light.ScatterDeleteStep(
+                np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001),
+                stretch=float(rng.uniform(0.2, 0.9))))
         else:
             meta["deaths"] = True
             s.add_step(idx, light.ScatterDeleteStep(

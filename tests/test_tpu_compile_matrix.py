@@ -159,6 +159,12 @@ def _ops(kind):
         return [kin, F._Op("del", coef=0.1 * _EPS, implicit_capture=True,
                            roulette=(1e-3, 2e-3)),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "stretch":
+        # exponential transform: direction-cosine reweighting on the del
+        # op (mu from the dr planes + two likelihood ratios per iter)
+        return [kin, F._Op("del", coef=0.1 * _EPS,
+                           stretch=(0.7, 1.0, 0.0, 0.0)),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "spectrum_wide":
         # light.SpectrumMeasureStep near the 120-bin fast-path ceiling: 100
         # float record channels stress the rec_f row at fresh compile
@@ -184,7 +190,7 @@ def _ops(kind):
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
-                                  "mixed"])
+                                  "mixed", "stretch"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real

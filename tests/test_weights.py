@@ -324,3 +324,85 @@ def test_deposition_csv(tmp_path):
     assert len(lines) == 3
     first = [float(v) for v in lines[0].split(",")]
     np.testing.assert_allclose(first[1], 64 * 2.0 * 0.5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Exponential transform (ScatterDeleteStep(stretch=b)): path-length
+# stretching — the MCNP EXT analog in discrete-step form.
+# ---------------------------------------------------------------------------
+
+
+def _stretch_sim(n, seed, b, k=30, p=0.12, fuse=None, deposition=False):
+    cap = ((max(16384, n) + 16383) // 16384) * 16384
+    s = phys.Simulation(until_t=1e-3 * k * 0.9999, seed=seed, capacity=cap,
+                        **({} if fuse is None else {"fuse": fuse}))
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    A = np.double(p / (float(light.c) * 1e-3))
+    kw = {"stretch": b} if b else {}
+    if deposition:
+        kw["measure_deposition"] = True
+    dele = light.ScatterDeleteStep(np.double(1.0), A, **kw)
+    s.add_step(2, dele)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    st = s.sim_state
+    w = np.asarray(st.w, np.float64)
+    alive = np.asarray(st.alive)
+    return s, float(w[alive].sum()), int(alive.sum()), dele
+
+
+def test_stretch_unbiased_and_penetrates_deeper():
+    """Beam along +x with mu = 1: survival prob per step drops from p to
+    p*(1-b), weights carry (1-p)/(1-p(1-b)); E[sum w] stays N*(1-p)^k
+    while the surviving POPULATION is N*(1-p(1-b))^k >> analog."""
+    n, k, p, b = 200_000, 30, 0.12, 0.8
+    s, wsum, n_alive, _ = _stretch_sim(n, seed=5, b=b, k=k, p=p)
+    assert not s.used_fused or True  # path-agnostic assertions below
+    expect_w = n * (1 - p) ** k
+    expect_n = n * (1 - p * (1 - b)) ** k
+    assert abs(wsum - expect_w) / expect_w < 0.02
+    assert abs(n_alive - expect_n) / expect_n < 0.02
+    assert n_alive > 5 * n * (1 - p) ** k  # genuinely deeper penetration
+    # per-photon weight is DETERMINISTIC for mu=1: ((1-p)/(1-p'))^k
+    st = s.sim_state
+    w = np.asarray(st.w)[np.asarray(st.alive)]
+    w_exact = ((1 - p) / (1 - p * (1 - b))) ** k
+    np.testing.assert_allclose(w, w_exact, rtol=1e-4)
+
+
+def test_stretch_fuses():
+    s, wsum, n_alive, _ = _stretch_sim(100_000, seed=3, b=0.5, fuse="auto")
+    assert s.used_fused, s.explain_plan()
+    expect_w = 100_000 * (1 - 0.12) ** 30
+    assert abs(wsum - expect_w) / expect_w < 0.03
+
+
+def test_stretch_fused_matches_generic_statistically():
+    n, k, p, b = 150_000, 25, 0.1, 0.6
+    _, w_f, n_f, _ = _stretch_sim(n, seed=11, b=b, k=k, p=p, fuse="auto")
+    s_g, w_g, n_g, _ = _stretch_sim(n, seed=11, b=b, k=k, p=p, fuse="off")
+    assert not s_g.used_fused
+    assert abs(w_f - w_g) / w_g < 0.03
+    assert abs(n_f - n_g) / n_g < 0.02
+
+
+def test_stretch_deposition_energy_balance():
+    """Expected deposition stays exact: killed photons dump w*E*(p/p'),
+    so E[deposited + in-flight] = N; per-realization it is statistical."""
+    n, k, p, b = 200_000, 30, 0.12, 0.7
+    s, wsum, _, dele = _stretch_sim(n, seed=9, b=b, k=k, p=p,
+                                    deposition=True)
+    dep = np.array(dele.data, dtype=float)[:, 1].sum()
+    assert abs((dep + wsum) - n) / n < 0.02
+
+
+def test_stretch_validation():
+    with pytest.raises(ValueError, match="implicit_capture"):
+        light.ScatterDeleteStep(1.0, 1e-3, implicit_capture=True,
+                                stretch=0.5)
+    with pytest.raises(ValueError, match="stretch"):
+        light.ScatterDeleteStep(1.0, 1e-3, stretch=1.5)
+    with pytest.raises(ValueError, match="stretch_dir"):
+        light.ScatterDeleteStep(1.0, 1e-3, stretch=0.5,
+                                stretch_dir=(0.0, 0.0, 0.0))
