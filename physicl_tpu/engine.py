@@ -1161,6 +1161,8 @@ class Simulation(threading.Thread):
             state = state.replace(key=key)
             ctx = StepContext(iter_key, self)
             for step in steps:
+                if getattr(step, "at_boundary", False):
+                    continue  # applied between chunks (PopulationManager)
                 state = step.apply(state, ctx)
             return state, ctx.records
 

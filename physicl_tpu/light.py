@@ -1672,29 +1672,53 @@ class _SplitBase(Step):
     and ``roul_q < 1``.
 
     Data-dependent population growth cannot be proven into the fused
-    Pallas plan, so pipelines containing these steps run on the generic
-    chunked scan (``sim.explain_plan()`` reports ``unsupported-step``); they
-    compose with the differentiable :func:`physicl_tpu.functional.scan_steps`
-    driver as well.
+    Pallas plan, so ``at="step"`` pipelines run on the generic chunked scan
+    (``sim.explain_plan()`` reports ``unsupported-step``); they compose
+    with the differentiable :func:`physicl_tpu.functional.scan_steps`
+    driver as well. ``at="chunk"`` instead applies the population control
+    BETWEEN fused dispatches (once per ``chunk_steps`` iterations, as one
+    jitted boundary op): the transport itself keeps the fused Pallas
+    kernel — the right trade for deep-penetration runs where the window /
+    importance surfaces are far apart compared to a step length. Boundary
+    application drains the dispatch pipeline each chunk; for the classic
+    per-collision control of MCNP lore, use ``at="step"``.
     """
 
     needs_capacity_headroom = True  # engine auto-shrink would eat our slots
     n_per_step = 1  # headroom signal only: actual growth is data-dependent
 
-    def __init__(self, max_split: int = 8, roulette: bool = True):
+    def __init__(self, max_split: int = 8, roulette: bool = True,
+                 at: str = "step"):
         self.max_split = int(max_split)
         self.roulette = bool(roulette)
         if self.max_split < 2:
             raise ValueError("max_split must be >= 2")
+        if at not in ("step", "chunk"):
+            raise ValueError(f"at must be 'step' or 'chunk', got {at!r}")
+        self.at_boundary = (at == "chunk")
+        self._jit_b = None
 
     def _ratios(self, state: SimState):
         raise NotImplementedError
 
+    def boundary_apply(self, state: SimState, key) -> SimState:
+        """One population-control pass at a chunk boundary (``at="chunk"``),
+        jitted whole so a boundary costs one dispatch (the axon relay
+        charges per-op round trips in eager mode)."""
+        if self._jit_b is None:
+            self._jit_b = jax.jit(
+                lambda st, k: self.apply(st, StepContext(k, None)))
+        return self._jit_b(state, key)
+
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        split_q, roul_q = self._ratios(state)
+        return self._apply_ratios(state, ctx, split_q, roul_q)
+
+    def _apply_ratios(self, state: SimState, ctx: StepContext,
+                      split_q, roul_q) -> SimState:
         dtype = state.r.dtype
         C = state.capacity
         alive = state.alive
-        split_q, roul_q = self._ratios(state)
         split_q = jnp.where(alive, jnp.asarray(split_q, dtype), 1.0)
         key = ctx.next_key()
 
@@ -1764,23 +1788,50 @@ class ImportanceSplitStep(_SplitBase):
     Pair with ``ScatterDeleteStep(implicit_capture=True)`` for deep-shield
     transmission: the weight decays deterministically while splitting keeps
     the particle count (hence the statistics) at depth.
+
+    With ``at="chunk"`` the ratio is taken against each particle's position
+    at the PREVIOUS chunk boundary (a device-resident snapshot) instead of
+    ``r - dr``, so the whole importance climb across the chunk counts and
+    the transport chunk itself stays on the fused Pallas kernel.
     """
 
     def __init__(self, importance, max_split: int = 8,
-                 roulette: bool = True):
-        super().__init__(max_split=max_split, roulette=roulette)
+                 roulette: bool = True, at: str = "step"):
+        super().__init__(max_split=max_split, roulette=roulette, at=at)
         if not callable(importance):
             raise TypeError("importance must be a callable I(rx, ry, rz) "
                             "over position arrays")
         self.importance = importance
+        self._prev_r = None  # at="chunk": positions at the last boundary
 
-    def _ratios(self, state: SimState):
+    def _q(self, state: SimState, r_prev):
         tiny = jnp.finfo(state.r.dtype).tiny
         I1 = jnp.asarray(self.importance(state.r[0], state.r[1], state.r[2]))
-        r0 = state.r - state.dr
-        I0 = jnp.asarray(self.importance(r0[0], r0[1], r0[2]))
+        I0 = jnp.asarray(self.importance(r_prev[0], r_prev[1], r_prev[2]))
         q = I1 / jnp.maximum(I0, tiny)
         return jnp.maximum(q, 1.0), jnp.minimum(jnp.maximum(q, tiny), 1.0)
+
+    def _ratios(self, state: SimState):
+        return self._q(state, state.r - state.dr)
+
+    def boundary_apply(self, state: SimState, key) -> SimState:
+        if self._prev_r is None:
+            # first boundary: snapshot only (particles haven't flown a
+            # tracked chunk yet)
+            self._prev_r = state.r
+            return state
+        if self._jit_b is None:
+            def f(st, k, prev_r):
+                split_q, roul_q = self._q(st, prev_r)
+                return self._apply_ratios(st, StepContext(k, None),
+                                          split_q, roul_q)
+
+            self._jit_b = jax.jit(f)
+        state = self._jit_b(state, key, self._prev_r)
+        # copies inherit the source position, so post-split r is the right
+        # next snapshot for originals AND copies alike
+        self._prev_r = state.r
+        return state
 
 
 class WeightWindowStep(_SplitBase):
@@ -1794,12 +1845,14 @@ class WeightWindowStep(_SplitBase):
     runaway weight spread would otherwise dominate the tally variance.
     ``w_target`` defaults to the geometric center ``sqrt(w_lo * w_hi)``.
     Total weight is conserved exactly by splits and in expectation by
-    roulette.
+    roulette. ``at="chunk"`` enforces the window between fused dispatches
+    (weights drift within a chunk, are pulled back into band at each
+    boundary) so the transport keeps the fused Pallas kernel.
     """
 
     def __init__(self, w_lo: float, w_hi: float, w_target=None,
-                 max_split: int = 8):
-        super().__init__(max_split=max_split, roulette=True)
+                 max_split: int = 8, at: str = "step"):
+        super().__init__(max_split=max_split, roulette=True, at=at)
         self.w_lo = float(raw_code_value(w_lo))
         self.w_hi = float(raw_code_value(w_hi))
         self.w_target = (float(raw_code_value(w_target))

@@ -215,6 +215,15 @@ class FusedProvider:
         self._last_state = None
         self._last_packed = None
 
+    def exit_pending(self) -> bool:
+        """True when the next dispatch would run ZERO iterations — a
+        declared t-exit already satisfied by the current host clock. Used
+        to suppress chunk-boundary population control after the final full
+        chunk (splitting a finished run changes the user-visible final
+        state for no variance benefit)."""
+        return (self.exit_mode == "t"
+                and bool(self.exit_fn(_TOnly(self.t_h, self.dt_h))))
+
     def resync(self, state: SimState) -> None:
         """Re-read host mirrors after an out-of-band state edit that kept
         the capacity (e.g. slot-recycling compaction); kernel stays compiled."""
@@ -598,6 +607,11 @@ def try_build_fused(sim, steps, state: SimState,
 
     for s in steps:
         uid = s._step_uid
+        if getattr(s, "at_boundary", False) and hasattr(s, "boundary_apply"):
+            # chunk-boundary population control (light._SplitBase
+            # at="chunk"): applied between dispatches by the
+            # PopulationManager, not inside the kernel — contributes no op
+            continue
         if isinstance(s, photon_only):
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
                 # unreachable for PhotonEmitterStep (promoted to a mixed

@@ -59,6 +59,14 @@ class PopulationManager:
         self.steps = steps
         self.shrink_ok, self.recycle_ok, self.emit_per_iter = (
             sim._population_policies())
+        # chunk-boundary population control (light._SplitBase at="chunk"):
+        # splitting/roulette applied once per chunk as a jitted boundary op,
+        # keeping the transport itself on the fused kernel
+        self.split_steps = [s for s in steps
+                            if getattr(s, "at_boundary", False)
+                            and hasattr(s, "boundary_apply")]
+        self._split_key = None
+        self._split_idx = 0
         # spawn mark at the last arena-pressure boundary where a fresh
         # (post-drain) alive count showed recycling impossible: suppresses
         # repeat drains until the mark moves or the alive mirror drops
@@ -88,6 +96,16 @@ class PopulationManager:
         import hashlib
 
         self._applied_h = hashlib.blake2b(digest_size=8)
+
+    def _reset_split_snapshots(self) -> None:
+        """Slot-moving edits (compaction, shrink, injection) invalidate any
+        per-slot boundary snapshot (ImportanceSplitStep(at="chunk")._prev_r):
+        drop it so the next boundary re-snapshots instead of comparing
+        against moved/stale slots. Costs one boundary of splitting."""
+        for s in self.split_steps:
+            if getattr(s, "_prev_r", None) is not None:
+                s._prev_r = None
+                s._jit_b = None  # shape may change with capacity
 
     # -- multi-host SPMD divergence guard ------------------------------------
 
@@ -245,6 +263,7 @@ class PopulationManager:
             from physicl_tpu.ops.compaction import compact
 
             self._recycle_blocked_hwm = None
+            self._reset_split_snapshots()
             state = compact(state)
             if sim.mesh is not None:  # restore particle-axis placement
                 from physicl_tpu.parallel.sharding import shard_state
@@ -270,6 +289,7 @@ class PopulationManager:
         new_state = compact_shrink(state, sim._host_n_alive)
         if new_state.capacity == state.capacity:
             return state
+        self._reset_split_snapshots()
         state = new_state
         sim._hwm = sim._host_n_alive  # survivors packed front
         with sim._state_lock:
@@ -323,6 +343,7 @@ class PopulationManager:
         if not items:
             return state
         self._note_applied(items, [])
+        self._reset_split_snapshots()
         old_cap = state.capacity
         state, k_new = sim._inject_into_state(state, items)
         with sim._state_lock:
@@ -403,6 +424,11 @@ class PopulationManager:
             # pipelined dispatch for a permanent no-op (advisor finding)
             if pad_capacity(max(sim._host_n_alive, 1)) < state.capacity:
                 return True
+        if self.split_steps:
+            # boundary population control runs every chunk: the pipeline
+            # drains each boundary (documented trade — the chunk itself
+            # still amortizes chunk_steps iterations per dispatch)
+            return True
         return False
 
     # -- chunk-boundary entry point ------------------------------------------
@@ -415,6 +441,40 @@ class PopulationManager:
         state = self._shrink(state, plan)
         state = self._apply_removals(state, plan)
         state = self._apply_injections(state, plan)
+        state = self._apply_boundary_splits(state, plan)
+        return state
+
+    def _apply_boundary_splits(self, state: SimState,
+                               plan: ExecPlan) -> SimState:
+        """Chunk-boundary splitting / roulette / weight windows: one jitted
+        state->state op per split step, deterministic key stream from
+        (sim.seed, boundary index) — identical on every process of an SPMD
+        run, so no divergence-guard traffic is needed."""
+        if not self.split_steps:
+            return state
+        sim = self.sim
+        provider = plan.provider
+        if provider is not None and provider.exit_pending():
+            # the run exits before another iteration executes: applying
+            # population control now would alter the final state the user
+            # reads with zero variance benefit
+            return state
+        if self._split_key is None:
+            self._split_key = jax.random.PRNGKey(
+                (int(getattr(sim, "seed", 0)) ^ 0x5B1177) & 0x7FFFFFFF)
+        before = state
+        for s in self.split_steps:
+            self._split_idx += 1
+            state = s.boundary_apply(
+                state, jax.random.fold_in(self._split_key, self._split_idx))
+        if state is before:  # e.g. first-boundary snapshot only
+            return state
+        with sim._state_lock:
+            sim.sim_state = state
+        sim._host_n_alive = int(jax.device_get(state.n_alive))
+        sim._hwm = max(sim._hwm, int(jax.device_get(state.n_spawned)))
+        if plan.provider is not None:
+            plan.provider.resync(state)
         return state
 
     def flush_removals(self, state: SimState) -> SimState:

@@ -193,3 +193,78 @@ def test_split_on_sharded_mesh_conserves_weight():
     wsum, n = _wsum(s)
     assert n == 1024 * 2 ** 5
     np.testing.assert_allclose(wsum, 1024.0, rtol=1e-5)
+
+
+def test_chunk_boundary_importance_split_keeps_fused():
+    """ImportanceSplitStep(at='chunk'): the transport chunk runs the FUSED
+    kernel; splitting applies between dispatches against the last-boundary
+    position snapshot. Importance doubles every chunk's flight distance,
+    so each interior boundary doubles the population at w/2 — total weight
+    exact, fused plan retained."""
+    K = 16  # iterations per dispatch
+    s = phys.Simulation(until_t=4 * K * DT * 0.9999, seed=0,
+                        capacity=65536, chunk_steps=K)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ImportanceSplitStep(
+        lambda x, y, z: 2.0 ** jnp.floor(x / (K * C_CODE * DT) + 0.5),
+        roulette=False, at="chunk"))
+    s.add_photons(light.generate_photon_state(512, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    wsum, n = _wsum(s)
+    # boundaries fire after chunks 1..3 (none after the final chunk)
+    assert n == 512 * 2 ** 3
+    np.testing.assert_allclose(wsum, 512.0, rtol=1e-5)
+
+
+def test_chunk_boundary_window_keeps_fused():
+    """WeightWindowStep(at='chunk') + analog absorption stays fused; the
+    heavy source splits into the band at the first interior boundary."""
+    K = 8
+    s = phys.Simulation(until_t=3 * K * DT * 0.9999, seed=2,
+                        capacity=65536, chunk_steps=K)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(np.double(0.0), np.double(0.0)))
+    s.add_step(3, light.WeightWindowStep(0.25, 4.0, w_target=1.0,
+                                         max_split=16, at="chunk"))
+    s.add_photons(light.generate_photon_state(100, E=1.0, w=32.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    wsum, n = _wsum(s)
+    np.testing.assert_allclose(wsum, 3200.0, rtol=1e-4)
+    w = np.asarray(s.sim_state.w)[np.asarray(s.sim_state.alive)]
+    assert n == 1600 and np.all(w == 2.0)  # 32 -> 16 copies at w=2
+
+
+def test_chunk_boundary_matches_per_step_on_smooth_importance():
+    """For a ballistic beam the chunk-boundary ratio telescopes: splitting
+    against the boundary snapshot gives the same total weight and (for
+    chunk-aligned importance surfaces) the same final population as
+    per-step application."""
+    K = 8
+    imp = lambda x, y, z: 2.0 ** jnp.floor(x / (K * C_CODE * DT) + 0.5)
+    pops = {}
+    for at in ("step", "chunk"):
+        s = phys.Simulation(until_t=3 * K * DT * 0.9999, seed=4,
+                            capacity=65536, chunk_steps=K)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ImportanceSplitStep(imp, roulette=False, at=at))
+        s.add_photons(light.generate_photon_state(256, E=1.0))
+        s.start(); s.join()
+        pops[at] = _wsum(s)
+    assert pops["step"][0] == pytest.approx(256.0, rel=1e-5)
+    assert pops["chunk"][0] == pytest.approx(256.0, rel=1e-5)
+    # the importance steps at x = 4, 12, 20 flight steps (the +0.5 shift):
+    # per-step application sees all 3 crossings; chunk mode credits climbs
+    # at boundaries x = 8, 16 only (the pass after the final chunk is
+    # suppressed — the run is over), so it lags by the last crossing
+    assert pops["step"][1] == 256 * 2 ** 3
+    assert pops["chunk"][1] == 256 * 2 ** 2
+
+
+def test_at_validation():
+    with pytest.raises(ValueError, match="at"):
+        light.WeightWindowStep(0.5, 2.0, at="sometimes")
