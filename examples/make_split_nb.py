@@ -62,24 +62,33 @@ iters = 300                   # scattering delays transmission well past 36
 A_abs = p_abs / step          # ScatterDeleteStep: pcoll = A*n*|dr|
 A_sct = p_scat / step
 
-def build(n_phot, seed, split):
+def build(n_phot, seed, mode):
+    kw = {{}}
+    if mode == "split_chunk":
+        # chunk-boundary control: the transport chunk keeps the FUSED
+        # Pallas kernel; splitting applies between dispatches against a
+        # boundary position snapshot (importance surfaces every 4 steps
+        # >> nothing is lost at chunk granularity 8)
+        kw["chunk_steps"] = 8
     s = phys.Simulation(until_t=iters * dt * 0.9999, seed=seed,
-                        capacity={CAPACITY})
+                        capacity={CAPACITY}, **kw)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(dt)))
     s.add_step(1, phys.newton.NewtonianKinematicsStep())
     s.add_step(2, light.ScatterIsotropicStep(n=np.double(1.0),
                                              A=np.double(A_sct)))
     s.add_step(3, light.ScatterDeleteStep(np.double(1.0), np.double(A_abs)))
-    if split:
+    if mode != "analog":
         # importance doubles every 4 flight steps of depth, matching the
         # measured effective removal (~0.19/step with backscatter): the
         # at-depth population stays roughly constant instead of decaying
         s.add_step(4, light.ImportanceSplitStep(
             lambda x, y, z: 2.0 ** jnp.floor(
-                jnp.clip(x, 0.0, L) / (4.0 * step))))
+                jnp.clip(x, 0.0, L) / (4.0 * step)),
+            at="chunk" if mode == "split_chunk" else "step"))
     # transmission tally: weighted crossings of the exit plane, then kill
     meas = light.ScatterMeasureStep(
-        None, True, [[np.double(L), np.nan, np.nan]], weighted=split)
+        None, True, [[np.double(L), np.nan, np.nan]],
+        weighted=(mode != "analog"))
     s.add_step(5, meas)
     big = 1e12
     s.add_step(6, phys.newton.AbsorbingBoundaryStep(
@@ -87,34 +96,37 @@ def build(n_phot, seed, split):
     s.add_photons(light.generate_photon_state(n_phot, E=1.0))
     return s, meas
 
-def transmission(n_phot, seed, split):
-    s, meas = build(n_phot, seed, split)
+def transmission(n_phot, seed, mode):
+    s, meas = build(n_phot, seed, mode)
     t0 = time.perf_counter()
     s.start(); s.join()
     wall = time.perf_counter() - t0
     rows = np.array(meas.data, dtype=float)
-    return rows[:, 2].sum() / n_phot, wall   # Sigma (w.) crossings / N
+    return rows[:, 2].sum() / n_phot, wall, s.used_fused
 
+MODES = ("analog", "split", "split_chunk")
 N, M = {N_PHOT}, {M_SEEDS}
 res = {{}}
-for split in (False, True):
+for mode in MODES:
     Ts, walls = [], []
     for m in range(M):
-        T, wall = transmission(N, 100 + m, split)
+        T, wall, fused = transmission(N, 100 + m, mode)
         Ts.append(T); walls.append(wall)
-    res[split] = (np.array(Ts), np.array(walls))
-    name = "split " if split else "analog"
-    print(f"{{name}}: T = {{np.mean(Ts):.3e}} +- "
+    res[mode] = (np.array(Ts), np.array(walls))
+    print(f"{{mode:12s}}: T = {{np.mean(Ts):.3e}} +- "
           f"{{np.std(Ts) / np.sqrt(M):.1e}}  "
           f"(per-run rel err {{np.std(Ts) / np.mean(Ts):.1%}}, "
-          f"wall {{np.mean(walls):.2f}} s/run)")
+          f"wall {{np.mean(walls):.2f}} s/run, fused={{fused}})")
+assert fused  # split_chunk (last mode) must keep the fused kernel
 
-# agreement: splitting is unbiased — the two ensemble means must overlap
-Ta, Tw = res[False][0], res[True][0]
-sig = np.hypot(Ta.std() / np.sqrt(M), Tw.std() / np.sqrt(M))
-pull = abs(Ta.mean() - Tw.mean()) / sig
-print(f"estimator agreement: pull = {{pull:.2f}} sigma")
-assert pull < 4.0
+# agreement: population control is unbiased — all three means overlap
+Ta = res["analog"][0]
+for mode in ("split", "split_chunk"):
+    Tw = res[mode][0]
+    sig = np.hypot(Ta.std() / np.sqrt(M), Tw.std() / np.sqrt(M))
+    pull = abs(Ta.mean() - Tw.mean()) / sig
+    print(f"{{mode}} vs analog: pull = {{pull:.2f}} sigma")
+    assert pull < 4.0
 '''
 
 CELL1 = '''\
@@ -125,37 +137,41 @@ import matplotlib.pyplot as plt
 
 fig, (ax, ax2) = plt.subplots(1, 2, figsize=(10.5, 4))
 
-for i, (split, label, marker) in enumerate(
-        ((False, "analog", "o"), (True, "importance split", "s"))):
-    Ts, walls = res[split]
+LABELS = {"analog": "analog", "split": "split (per step)",
+          "split_chunk": "split (chunk, fused)"}
+for i, (mode, marker) in enumerate(
+        (("analog", "o"), ("split", "s"), ("split_chunk", "D"))):
+    Ts, walls = res[mode]
     ax.plot(np.full(Ts.shape, i), Ts, marker, ms=5, mfc="none", alpha=0.8)
     ax.errorbar([i], [Ts.mean()], yerr=[Ts.std() / np.sqrt(len(Ts))],
                 fmt="k_", ms=18, capsize=6, lw=1.6)
-ax.set_xticks([0, 1], ["analog", "importance split"])
+ax.set_xticks(range(len(MODES)), [LABELS[m] for m in MODES], fontsize=8)
 ax.set_ylabel("transmission estimate per seed")
 ax.set_title(f"thick scattering slab, N={N:.0e}, {M} seeds")
 
 foms = []
-for split in (False, True):
-    Ts, walls = res[split]
+for mode in MODES:
+    Ts, walls = res[mode]
     R = Ts.std() / Ts.mean()            # per-run relative error
     foms.append(1.0 / (R ** 2 * walls.mean()))
-bars = ax2.bar(["analog", "importance split"], foms,
-               color=["0.65", "0.35"], width=0.5)
+bars = ax2.bar([LABELS[m] for m in MODES], foms,
+               color=["0.65", "0.4", "0.2"], width=0.5)
+ax2.tick_params(axis="x", labelsize=8)
 ax2.set_ylabel(r"FOM = $1 / (R^2\\, T_{wall})$")
-ax2.set_title(f"figure of merit: {foms[1] / foms[0]:.1f}x")
+ax2.set_title(f"figure of merit: {max(foms[1:]) / foms[0]:.1f}x best")
 for b, f in zip(bars, foms):
     ax2.text(b.get_x() + b.get_width() / 2, f, f"{f:.2f}",
              ha="center", va="bottom", fontsize=9)
 plt.tight_layout(); plt.savefig("population_control.png", dpi=110)
 plt.show()
 
-R_a = res[False][0].std() / res[False][0].mean()
-R_s = res[True][0].std() / res[True][0].mean()
-print(f"relative error per run: analog {R_a:.1%} -> split {R_s:.1%}  "
-      f"(variance reduction {(R_a / R_s) ** 2:.1f}x, FOM gain "
-      f"{foms[1] / foms[0]:.1f}x)")
-assert R_s < R_a  # population control must actually help at this depth
+R_a = res["analog"][0].std() / res["analog"][0].mean()
+for mode, fom in zip(MODES[1:], foms[1:]):
+    R_s = res[mode][0].std() / res[mode][0].mean()
+    print(f"{mode}: rel err {R_a:.1%} -> {R_s:.1%}  "
+          f"(variance reduction {(R_a / R_s) ** 2:.1f}x, "
+          f"FOM gain {fom / foms[0]:.1f}x)")
+    assert R_s < R_a  # population control must actually help at this depth
 '''
 
 
