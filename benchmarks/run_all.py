@@ -291,6 +291,24 @@ def main():
     emit("implicit_capture_roulette_1e7", steady_rate(weighted, N),
          "photon-steps/s", 1.4e5)
 
+    # 4e'. exponential transform: analog kill biased by the direction
+    # cosine, survivors carry the likelihood ratio (round-3 cont.: the
+    # MCNP EXT analog) — two extra flops + one dot product per photon-step
+    def stretched():
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(0.001 / (float(light.c) * 1e-3)),
+            stretch=0.7))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True,
+                                                   weighted=True))
+        s.add_photons(light.generate_photon_state(N, E=1.0))
+        return s
+
+    emit("exponential_transform_1e7", steady_rate(stretched, N),
+         "photon-steps/s", 1.4e5)
+
     # 4f. charged-particle dynamics: the Boris pusher (half-E kick, exact B
     # rotation, half-E kick) fused over an all-generic population — the
     # PIC-style workload (no reference counterpart; vs_baseline uses the

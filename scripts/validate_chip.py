@@ -311,6 +311,62 @@ def main():
           f"alive {int(alive[otype != 1].sum())}/8192, "
           f"max |v| drift {np.abs(sp - 2.0).max():.2e}")
 
+    # --- exponential transform (round-3 cont.): biased kill + likelihood
+    # ratio weights, on the hardware PRNG (mu = 1 beam => both population
+    # and weight laws are closed-form)
+    n0, kk, pp, bb = 1_000_000, 60, 0.1, 0.8
+    s = phys.Simulation(until_t=1e-3 * kk * 0.9999, seed=21)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(pp / (float(light.c) * 1e-3)),
+        stretch=bb))
+    s.add_photons(light.generate_photon_state(n0, E=1.0))
+    s.start(); s.join()
+    check("exponential transform stays fused", s.used_fused,
+          f"{s.used_fused}")
+    w = np.asarray(s.sim_state.w, np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    wsum, n_alive = w[alive].sum(), int(alive.sum())
+    exp_w = n0 * (1 - pp) ** kk
+    exp_n = n0 * (1 - pp * (1 - bb)) ** kk
+    check("transform: E[sum w] == N(1-p)^k",
+          abs(wsum - exp_w) / exp_w < 0.03,
+          f"{wsum:.1f} vs {exp_w:.1f} ({abs(wsum - exp_w) / exp_w:.1%})")
+    check("transform: biased population == N(1-p(1-b))^k",
+          abs(n_alive - exp_n) / exp_n < 0.02,
+          f"{n_alive} vs {exp_n:.0f} (x{n_alive / max(exp_w, 1):.0f} "
+          f"deeper than analog)")
+    w_exact = ((1 - pp) / (1 - pp * (1 - bb))) ** kk
+    werr = float(np.abs(w[alive] - w_exact).max()) / w_exact
+    check("transform: per-photon weight exactly ((1-p)/(1-p'))^k",
+          werr < 1e-4, f"max rel err {werr:.1e}")
+
+    # --- chunk-boundary splitting: fused transport + boundary population
+    # control (ImportanceSplitStep(at="chunk"))
+    import jax.numpy as jnp
+    Kc = 32
+    s = phys.Simulation(until_t=4 * Kc * 1e-3 * 0.9999, seed=23,
+                        capacity=131072, chunk_steps=Kc)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    step_len = float(light.c) * 1e-3
+    s.add_step(2, light.ImportanceSplitStep(
+        lambda x, y, z: 2.0 ** jnp.floor(x / (Kc * step_len) + 0.5),
+        roulette=False, at="chunk"))
+    s.add_photons(light.generate_photon_state(4096, E=1.0))
+    s.start(); s.join()
+    check("chunk-boundary split keeps fused", s.used_fused,
+          f"{s.used_fused}")
+    w = np.asarray(s.sim_state.w, np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    check("chunk-boundary split: population doubles per boundary",
+          int(alive.sum()) == 4096 * 2 ** 3,
+          f"{int(alive.sum())} vs {4096 * 2 ** 3}")
+    check("chunk-boundary split: total weight exact",
+          abs(w[alive].sum() - 4096.0) < 0.5,
+          f"{w[alive].sum():.2f} vs 4096")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

@@ -168,3 +168,47 @@ def test_real_pallas_mixed_species_on_hardware():
     assert alive[otype != 1].sum() == n_ch
     sp = np.linalg.norm(v[:, otype != 1], axis=0)
     np.testing.assert_allclose(sp, 2.0, rtol=3e-5)
+
+
+def test_real_exponential_transform_on_hardware():
+    """Exponential transform with the hardware PRNG: biased-kill population
+    law and the deterministic per-photon likelihood-ratio weight."""
+    n0, k, p, b = 500_000, 50, 0.1, 0.8
+    s = phys.Simulation(until_t=1e-3 * k * 0.9999, seed=21)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(p / (float(light.c) * 1e-3)), stretch=b))
+    s.add_photons(light.generate_photon_state(n0, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    w = np.asarray(jax.device_get(s.sim_state.w), np.float64)
+    alive = np.asarray(jax.device_get(s.sim_state.alive))
+    exp_w = n0 * (1 - p) ** k
+    exp_n = n0 * (1 - p * (1 - b)) ** k
+    assert abs(w[alive].sum() - exp_w) / exp_w < 0.05
+    assert abs(alive.sum() - exp_n) / exp_n < 0.02
+    w_exact = ((1 - p) / (1 - p * (1 - b))) ** k
+    np.testing.assert_allclose(w[alive], w_exact, rtol=1e-4)
+
+
+def test_real_chunk_boundary_split_on_hardware():
+    """ImportanceSplitStep(at='chunk') on the real fused kernel: boundary
+    doublings with exact total-weight conservation."""
+    import jax.numpy as jnp
+    K = 32
+    step_len = float(light.c) * 1e-3
+    s = phys.Simulation(until_t=4 * K * 1e-3 * 0.9999, seed=23,
+                        capacity=131072, chunk_steps=K)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ImportanceSplitStep(
+        lambda x, y, z: 2.0 ** jnp.floor(x / (K * step_len) + 0.5),
+        roulette=False, at="chunk"))
+    s.add_photons(light.generate_photon_state(4096, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    w = np.asarray(jax.device_get(s.sim_state.w), np.float64)
+    alive = np.asarray(jax.device_get(s.sim_state.alive))
+    assert int(alive.sum()) == 4096 * 2 ** 3
+    np.testing.assert_allclose(w[alive].sum(), 4096.0, atol=0.5)
