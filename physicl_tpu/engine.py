@@ -1510,20 +1510,39 @@ class Simulation(threading.Thread):
         plan = self._build_execution(steps, state)
         self.used_fused = plan.provider is not None
         pop = PopulationManager(self, steps)
+        # chunk-boundary importance snapshots start from the INITIAL
+        # positions on both paths (the fused loop's pre-dispatch maintain
+        # would prime them anyway; the generic loop maintains only after
+        # the first chunk and would otherwise lose its climb)
+        pop.prime_boundary_snapshots(state)
 
+        skip_maintain_once = False
         while True:
             if plan.provider is not None:
                 state, finished = self._drive_fused(plan, pop, steps, state,
                                                     dev_keys)
                 if finished:
                     break
+                # the fallback happened INSIDE a maintain() call — don't
+                # run a second one (boundary splits would apply twice at
+                # the same boundary) before the first generic chunk
+                skip_maintain_once = True
                 continue  # plan fell back to the generic scan mid-run
             if not plan.exit_traced:
+                # host-exact predicate checked BEFORE maintenance, so
+                # chunk-boundary population control never runs after the
+                # final iteration (it would alter the user-visible final
+                # state; the fused path gets the same guarantee via
+                # provider.exit_pending)
                 view = _HostView(self, self._host_t, self._host_dt,
                                  self._host_n_alive)
                 if bool(self.exit(view)):
                     break
-            pop.check_divergence()  # multi-host: queued edits must match
+            if skip_maintain_once:
+                skip_maintain_once = False
+            else:
+                pop.check_divergence()  # multi-host: queued edits must match
+                state = pop.maintain(state, plan)
             state, done, records, valid = plan.chunk_fn(state)
             # one batched transfer: each separate device_get is a full relay
             # round trip (~tens of ms of dead time on tunneled devices)
@@ -1542,7 +1561,6 @@ class Simulation(threading.Thread):
                 break
             if not plan.exit_traced and n_valid == 0:
                 break
-            state = pop.maintain(state, plan)
 
         state = pop.flush_removals(state)
         with self._state_lock:

@@ -736,6 +736,15 @@ class ScatterDeleteStep(MeasureStep):
                   / jnp.maximum(norm, tiny))
             p_true = jnp.clip(pcoll, 0.0, 1.0)
             p_bias = jnp.clip(pcoll * (1.0 - b * mu), 0.0, 1.0)
+            # unbiasedness requires survivors to exist wherever p_true < 1:
+            # cap the biased kill so the likelihood ratio stays finite.
+            # The cap engages exactly where the uncapped transform would
+            # LOSE the surviving weight (p_bias saturating at 1 against
+            # p_true < 1, e.g. backward movers in a thick medium), and
+            # bounds the weight amplification at 8x(1 - p_true)
+            # (a gentler cap keeps the rare-survivor lottery variance low).
+            p_bias = jnp.where(p_true < 1.0,
+                               jnp.minimum(p_bias, 7.0 / 8.0), p_bias)
             hit = (p_bias >= u) & sel
             # survivors carry the likelihood ratio; killed dump w*E*(p/p')
             ratio = (1.0 - p_true) / jnp.maximum(1.0 - p_bias, tiny)
@@ -1813,6 +1822,13 @@ class ImportanceSplitStep(_SplitBase):
 
     def _ratios(self, state: SimState):
         return self._q(state, state.r - state.dr)
+
+    def prime_snapshot(self, state: SimState) -> None:
+        """Seed the ``at="chunk"`` boundary snapshot from the initial
+        positions (called by the PopulationManager before any transport,
+        on both execution paths)."""
+        if self.at_boundary and self._prev_r is None:
+            self._prev_r = state.r
 
     def boundary_apply(self, state: SimState, key) -> SimState:
         if self._prev_r is None:

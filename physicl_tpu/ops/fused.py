@@ -387,6 +387,13 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 p_true = jnp.clip(pcoll, jnp.float32(0.0), one)
                 p_bias = jnp.clip(pcoll * (one - b * mu),
                                   jnp.float32(0.0), one)
+                # cap saturating biased kills (p_true < 1 must keep a
+                # survivor branch or its weight is lost — see the generic
+                # apply's comment; bound: 8x weight amplification)
+                p_bias = jnp.where(p_true < one,
+                                   jnp.minimum(p_bias,
+                                               jnp.float32(7.0 / 8.0)),
+                                   p_bias)
                 hit = (p_bias >= u) & sel
                 ratio = (one - p_true) / jnp.maximum(one - p_bias, tiny)
                 f[_W] = jnp.where(sel & jnp.logical_not(hit),

@@ -224,14 +224,18 @@ class FusedProvider:
         return (self.exit_mode == "t"
                 and bool(self.exit_fn(_TOnly(self.t_h, self.dt_h))))
 
-    def resync(self, state: SimState) -> None:
+    def resync(self, state: SimState, counts=None) -> None:
         """Re-read host mirrors after an out-of-band state edit that kept
-        the capacity (e.g. slot-recycling compaction); kernel stays compiled."""
+        the capacity (e.g. slot-recycling compaction); kernel stays
+        compiled. ``counts=(n_alive, n_spawned)`` skips the device fetch
+        when the caller already paid for it (each device_get is a full
+        relay round trip)."""
         self._last_state = None
         self._last_packed = None
-        n_h, hwm_h = jax.device_get((state.n_alive, state.n_spawned))
-        self.n_h = int(n_h)
-        self.hwm_h = int(hwm_h)
+        if counts is None:
+            counts = jax.device_get((state.n_alive, state.n_spawned))
+        self.n_h = int(counts[0])
+        self.hwm_h = int(counts[1])
 
     def _host_schedule(self):
         """Replay K iterations of the time stepping on the host.

@@ -97,6 +97,15 @@ class PopulationManager:
 
         self._applied_h = hashlib.blake2b(digest_size=8)
 
+    def prime_boundary_snapshots(self, state: SimState) -> None:
+        """Initialize chunk-boundary importance snapshots from the INITIAL
+        positions (before any transport) so the first chunk's climb is
+        credited identically on the fused and generic paths."""
+        for s in self.split_steps:
+            prime = getattr(s, "prime_snapshot", None)
+            if prime is not None:
+                prime(state)
+
     def _reset_split_snapshots(self) -> None:
         """Slot-moving edits (compaction, shrink, injection) invalidate any
         per-slot boundary snapshot (ImportanceSplitStep(at="chunk")._prev_r):
@@ -454,7 +463,17 @@ class PopulationManager:
             return state
         sim = self.sim
         provider = plan.provider
-        if provider is not None and provider.exit_pending():
+        exit_now = False
+        if provider is not None:
+            exit_now = provider.exit_pending()
+        elif plan.exit_fn is not None:
+            # generic path with a traced exit: one eager evaluation on the
+            # current state answers "would the next chunk run anything?"
+            from physicl_tpu.engine import _TracedView
+
+            exit_now = bool(jax.device_get(
+                plan.exit_fn(_TracedView(state, sim))))
+        if exit_now:
             # the run exits before another iteration executes: applying
             # population control now would alter the final state the user
             # reads with zero variance benefit
@@ -469,12 +488,20 @@ class PopulationManager:
                 state, jax.random.fold_in(self._split_key, self._split_idx))
         if state is before:  # e.g. first-boundary snapshot only
             return state
+        if sim.mesh is not None:
+            # the boundary op's global cumsum + scatters can leave outputs
+            # replicated: restore particle-axis placement before the next
+            # dispatch packs from these arrays (same as _recycle)
+            from physicl_tpu.parallel.sharding import shard_state
+
+            state = shard_state(state, sim.mesh)
         with sim._state_lock:
             sim.sim_state = state
-        sim._host_n_alive = int(jax.device_get(state.n_alive))
-        sim._hwm = max(sim._hwm, int(jax.device_get(state.n_spawned)))
+        n_h, hwm_h = jax.device_get((state.n_alive, state.n_spawned))
+        sim._host_n_alive = int(n_h)
+        sim._hwm = max(sim._hwm, int(hwm_h))
         if plan.provider is not None:
-            plan.provider.resync(state)
+            plan.provider.resync(state, counts=(int(n_h), int(hwm_h)))
         return state
 
     def flush_removals(self, state: SimState) -> SimState:

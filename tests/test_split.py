@@ -268,3 +268,73 @@ def test_chunk_boundary_matches_per_step_on_smooth_importance():
 def test_at_validation():
     with pytest.raises(ValueError, match="at"):
         light.WeightWindowStep(0.5, 2.0, at="sometimes")
+
+
+def test_no_boundary_pass_after_final_iteration_host_exact():
+    """Review fix: on the generic HOST-EXACT path (chunk=1) the boundary
+    pass must not run after the final iteration — the exit check happens
+    before maintenance, matching the fused path's exit_pending guard."""
+    K = 5
+    s = phys.Simulation(
+        exit=lambda c: c.t >= K * DT * 0.9999 and len(c.objects) > -1,
+        seed=0, capacity=65536)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ImportanceSplitStep(
+        lambda x, y, z: 2.0 ** jnp.floor(x / (C_CODE * DT) + 0.5),
+        roulette=False, at="chunk"))
+    s.add_photons(light.generate_photon_state(16, E=1.0))
+    s.start(); s.join()
+    assert not s.used_fused
+    wsum, n = _wsum(s)
+    # host-exact => one boundary per iteration: splits before iterations
+    # 2..K only (primed snapshot makes the first pass a no-op, and the
+    # pass after iteration K is suppressed by the pre-maintain exit check)
+    assert n == 16 * 2 ** (K - 1)
+    np.testing.assert_allclose(wsum, 16.0, rtol=1e-5)
+
+
+def test_chunk_boundary_generic_matches_fused_population():
+    """Review fix: a declared t-exit landing exactly on a chunk edge must
+    not trigger a trailing boundary pass on the generic path either — the
+    fused and generic runs of the same at='chunk' config end with the
+    same population law."""
+    K = 16
+    pops = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=3 * K * DT * 0.9999, seed=1,
+                            capacity=65536, chunk_steps=K, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ImportanceSplitStep(
+            lambda x, y, z: 2.0 ** jnp.floor(x / (K * C_CODE * DT) + 0.5),
+            roulette=False, at="chunk"))
+        s.add_photons(light.generate_photon_state(64, E=1.0))
+        s.start(); s.join()
+        assert (s.used_fused) == (fuse == "auto")
+        pops[fuse] = _wsum(s)
+    assert pops["auto"][1] == pops["off"][1] == 64 * 2 ** 2
+    assert pops["auto"][0] == pytest.approx(64.0, rel=1e-5)
+    assert pops["off"][0] == pytest.approx(64.0, rel=1e-5)
+
+
+def test_chunk_boundary_split_on_sharded_mesh():
+    """Review fix: at='chunk' under a particle-sharded mesh re-shards the
+    state after each boundary pass; weight stays exactly conserved."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from physicl_tpu.parallel import make_mesh
+    K = 16
+    s = phys.Simulation(until_t=3 * K * DT * 0.9999, seed=5,
+                        capacity=131072, chunk_steps=K, mesh=make_mesh())
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ImportanceSplitStep(
+        lambda x, y, z: 2.0 ** jnp.floor(x / (K * C_CODE * DT) + 0.5),
+        roulette=False, at="chunk"))
+    s.add_photons(light.generate_photon_state(1024, E=1.0))
+    s.start(); s.join()
+    wsum, n = _wsum(s)
+    assert n == 1024 * 2 ** 2
+    np.testing.assert_allclose(wsum, 1024.0, rtol=1e-5)
