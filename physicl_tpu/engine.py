@@ -1289,6 +1289,14 @@ class Simulation(threading.Thread):
                 notes.append(
                     "packed per-particle planes: 15 core + "
                     + " + ".join(provider.plan.extras))
+            boundary = [type(s).__name__ for s in steps
+                        if getattr(s, "at_boundary", False)]
+            if boundary:
+                notes.append(
+                    "chunk-boundary population control between dispatches: "
+                    + ", ".join(boundary)
+                    + " (applied once per chunk; drains the dispatch "
+                    "pipeline each boundary)")
             self.plan_report = PlanReport(
                 mode="fused", chunk=provider.plan.chunk,
                 fuse_setting=self.fuse, allow_fuse=allow_fuse,
@@ -1317,10 +1325,18 @@ class Simulation(threading.Thread):
             chunk = max(1, min(chunk,
                                (state.capacity // 2) // emit_per_iter))
         self.chunk_used = chunk  # observability: 1 == host-exact mode
+        gen_notes = []
+        boundary = [type(s).__name__ for s in steps
+                    if getattr(s, "at_boundary", False)]
+        if boundary:
+            gen_notes.append(
+                "chunk-boundary population control between chunks: "
+                + ", ".join(boundary))
         self.plan_report = PlanReport(
             mode="host-exact" if chunk == 1 and not exit_traced
             else "generic", chunk=chunk, fuse_setting=self.fuse,
-            allow_fuse=allow_fuse, exit_tier=exit_tier, refusals=refusals)
+            allow_fuse=allow_fuse, exit_tier=exit_tier, refusals=refusals,
+            notes=gen_notes)
         if warn and not self._warned_fallback:
             msg = None
             if not exit_traced:

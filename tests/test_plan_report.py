@@ -318,3 +318,20 @@ def test_generic_path_report_when_fuse_off():
     assert s.plan_report.mode == "generic"
     assert s.plan_report.refusals == []
     assert "fuse" in s.explain_plan()
+
+
+def test_report_names_chunk_boundary_steps():
+    """at='chunk' population control shows up in explain_plan on both the
+    fused and generic plans (the prover skips the step, so the report is
+    the only surface that says where it went)."""
+    import jax.numpy as jnp
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.002, seed=0, capacity=16384,
+                            fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.WeightWindowStep(0.5, 2.0, at="chunk"))
+        s.add_photons(light.generate_photon_state(64, E=1.0))
+        s.start(); s.join()
+        rep = str(s.explain_plan())
+        assert "WeightWindowStep" in rep and "boundary" in rep, rep
