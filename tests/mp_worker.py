@@ -124,4 +124,35 @@ assert set(np.unique(counts)) == {N, 2 * N}, np.unique(counts)
 print(f"[{pid}] consensus-gated staggered injection applied identically "
       f"PASS", flush=True)
 
+
+# --- chunk-boundary population control over the pod mesh ------------------
+# Boundary splits use a deterministic (seed, boundary-index) key stream, so
+# every process applies the identical control pass in lockstep — no edit
+# queue, no divergence traffic; the state is re-placed after each pass.
+import jax.numpy as jnp  # noqa: E402
+
+Kc = 8
+s5 = phys.Simulation(until_t=3 * Kc * 1e-3 * 0.9999, seed=7, mesh=mesh,
+                     chunk_steps=Kc, capacity=8 * N)
+s5.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s5.add_step(1, phys.newton.NewtonianKinematicsStep())
+_step_len = float(light.c) * 1e-3
+s5.add_step(2, light.ImportanceSplitStep(
+    lambda x, y, z: 2.0 ** jnp.floor(x / (Kc * _step_len) + 0.5),
+    roulette=False, at="chunk"))
+s5.add_photons(light.generate_photon_state(N, E=1.0))
+s5.start(); s5.join()
+assert s5.used_fused, "at-chunk split pod run must stay fused"
+st5 = s5.sim_state
+# global pod-sharded state: reduce on device (a host fetch of
+# non-addressable shards is impossible), scalars come back replicated
+tot_w, tot_n = jax.jit(lambda st: (
+    jnp.sum(jnp.where(st.alive, st.w, 0.0)),
+    jnp.sum(st.alive.astype(jnp.int32))))(st5)
+n5, w5sum = int(jax.device_get(tot_n)), float(jax.device_get(tot_w))
+assert n5 == N * 2 ** 2, n5  # interior boundaries double; final suppressed
+assert abs(w5sum - N) < 0.01 * N
+print(f"[{pid}] chunk-boundary splitting over the pod mesh PASS",
+      flush=True)
+
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)
