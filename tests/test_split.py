@@ -338,3 +338,40 @@ def test_chunk_boundary_split_on_sharded_mesh():
     wsum, n = _wsum(s)
     assert n == 1024 * 2 ** 2
     np.testing.assert_allclose(wsum, 1024.0, rtol=1e-5)
+
+
+def test_split_checkpoint_resume_conserves_weight(tmp_path):
+    """Checkpoint/resume across an at='chunk' split run: the boundary
+    snapshot is step-local state NOT in the checkpoint — the resumed run
+    re-primes from the restored positions (documented: at most one chunk
+    of splitting deferred) and total weight stays exactly conserved."""
+    K = 8
+    imp = lambda x, y, z: 2.0 ** jnp.floor(x / (K * C_CODE * DT) + 0.5)
+    ckpt = str(tmp_path / "split.npz")
+
+    def build(T, restore=None):
+        s = phys.Simulation(until_t=T * 0.9999, seed=9, capacity=65536,
+                            chunk_steps=K)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(DT)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ImportanceSplitStep(imp, roulette=False,
+                                                at="chunk"))
+        if restore is None:
+            s.add_photons(light.generate_photon_state(128, E=1.0))
+        else:
+            s.restore_checkpoint(restore)
+        return s
+
+    b1 = build(2 * K * DT)
+    b1.start(); b1.join()
+    b1.save_checkpoint(ckpt)
+    w1, n1 = _wsum(b1)
+    assert n1 == 128 * 2  # one interior boundary so far
+
+    b2 = build(4 * K * DT, restore=ckpt)
+    b2.start(); b2.join()
+    w2, n2 = _wsum(b2)
+    np.testing.assert_allclose(w2, 128.0, rtol=1e-5)
+    # resumed run re-primes at t=2K (one boundary of splitting deferred),
+    # then doubles at its remaining interior boundary
+    assert n2 == 128 * 2 * 2
