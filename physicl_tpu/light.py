@@ -53,6 +53,7 @@ __all__ = [
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
+    "ScatterPhaseFunctionStep",
     "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
     "TracePathMeasureStep",
@@ -997,6 +998,101 @@ class ScatterHenyeyGreensteinStep(Step):
         cos_t = self._cos_theta(u3[1], dtype)
         v, dv = self._rotated_velocity(state, scatter, cos_t, u3[2], dtype)
         return state.replace(v=v, dv=dv)
+
+
+def _tabulated_cos_icdf(mu, pdf, bins=64):
+    """Build a traced inverse CDF ``u -> cos(theta)`` from a tabulated phase
+    function ``pdf(mu)`` over a grid ``mu`` in [-1, 1].
+
+    Host precompute: trapezoid CDF, inverted onto ``bins`` uniform-in-u
+    knots. The returned closure is GATHER-FREE (uniform knots => the
+    segment index is ``floor(u * bins)``; evaluation is a mask-multiply
+    over folded scalar knots) so it traces into the Pallas kernel the same
+    way PlanckSampler.icdf does — Mosaic handles no in-kernel table
+    gathers."""
+    mu = np.asarray(mu, np.float64)
+    pdf = np.asarray(pdf, np.float64)
+    if mu.ndim != 1 or mu.size < 2 or pdf.shape != mu.shape:
+        raise ValueError("phase_table needs matching 1-D (mu, pdf) arrays "
+                         "with >= 2 points")
+    if not (np.all(np.diff(mu) > 0) and mu[0] >= -1.0 - 1e-9
+            and mu[-1] <= 1.0 + 1e-9):
+        raise ValueError("phase_table mu grid must be strictly increasing "
+                         "within [-1, 1]")
+    if np.any(pdf < 0) or not np.isfinite(pdf).all():
+        raise ValueError("phase_table pdf must be finite and nonnegative")
+    areas = 0.5 * (pdf[1:] + pdf[:-1]) * np.diff(mu)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("phase_table pdf integrates to zero")
+    cdf = np.concatenate([[0.0], np.cumsum(areas)]) / total
+    knots = np.interp(np.linspace(0.0, 1.0, int(bins) + 1), cdf, mu)
+    m0 = tuple(float(x) for x in knots[:-1])
+    dm = tuple(float(b - a) for a, b in zip(knots[:-1], knots[1:]))
+    nb = int(bins)
+
+    def icdf(u):
+        x = u * nb
+        acc = None
+        for k in range(nb):
+            lo = (x >= k) if k else (x >= -1.0)  # u=0 falls in segment 0
+            sel = lo & (x < k + 1) if k < nb - 1 else lo
+            val = jnp.where(sel, m0[k] + (x - k) * dm[k], 0.0)
+            acc = val if acc is None else acc + val
+        return acc
+
+    return icdf
+
+
+class ScatterPhaseFunctionStep(ScatterHenyeyGreensteinStep):
+    """Anisotropic scattering with a USER-DEFINED phase function — Mie
+    lookup tables, measured aerosol/tissue phase functions, any analytic
+    form beyond HG/Rayleigh (TPU extension; no reference counterpart).
+
+    Same collision model and relative-frame rotation as the HG/Rayleigh
+    family (``pcoll = A * n(r) * |dr|``, optional lambda^-4 weighting,
+    azimuth uniform); the polar angle comes from the user, one of:
+
+    * ``cos_theta_icdf`` — a traced callable ``u -> cos(theta)`` mapping a
+      uniform in [0, 1) to the scattering cosine (the exact-inverse-CDF
+      route; must be pure jnp, like ``variable_n_fn`` callables);
+    * ``phase_table=(mu_grid, pdf)`` — a tabulated phase function,
+      converted at construction into a gather-free piecewise-linear
+      inverse CDF over ``table_bins`` (default 64) uniform-in-u knots
+      (inversion error ~ O(bins^-2) in the CDF).
+
+    Fuses (op kind "phase": the callable traces straight into the Pallas
+    kernel, the same mechanism as PlanckSampler.icdf emitters) and runs
+    the generic scan identically. Unknown options raise (the strict
+    Compton convention).
+    """
+
+    _OPTIONS = {"n", "A", "wavelength_dep_scattering", "variable_n",
+                "variable_n_fn", "cos_theta_icdf", "phase_table",
+                "table_bins"}
+
+    def __init__(self, **kwargs):
+        unknown = set(kwargs) - self._OPTIONS
+        if unknown:
+            raise ValueError(f"unknown option(s) {sorted(unknown)}; "
+                             f"supported: {sorted(self._OPTIONS)}")
+        icdf = kwargs.pop("cos_theta_icdf", None)
+        table = kwargs.pop("phase_table", None)
+        bins = int(kwargs.pop("table_bins", 64))
+        if (icdf is None) == (table is None):
+            raise ValueError("pass exactly one of cos_theta_icdf= or "
+                             "phase_table=(mu_grid, pdf)")
+        if icdf is not None:
+            if not callable(icdf):
+                raise TypeError("cos_theta_icdf must be a callable "
+                                "u -> cos(theta)")
+            self._icdf = icdf
+        else:
+            self._icdf = _tabulated_cos_icdf(table[0], table[1], bins)
+        super().__init__(**kwargs)
+
+    def _cos_theta(self, u, dtype):
+        return jnp.clip(jnp.asarray(self._icdf(u), dtype), -1.0, 1.0)
 
 
 def _rayleigh_cos_theta(u, dtype):

@@ -487,7 +487,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
                                         jnp.float32(0.0))
             f[_E] = jnp.where(scatter, E_new, f[_E])
-        elif op.kind in ("hg", "rayl", "compton"):
+        elif op.kind in ("hg", "rayl", "compton", "phase"):
             # Anisotropic scatter: same collision model as "iso", outgoing
             # direction drawn RELATIVE to the incoming one. "hg": exact
             # Henyey-Greenstein inverse CDF (<cos theta> == g). "rayl":
@@ -525,6 +525,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 scatter = (pcoll >= u) & ph_alive()
             if op.kind == "compton":
                 pass  # cos_t already sampled above
+            elif op.kind == "phase":
+                # user inverse CDF traced into the kernel (gather-free by
+                # contract: callable or the tabulated mask-multiply form)
+                cos_t = jnp.clip(op.custom_fn(cu).astype(jnp.float32),
+                                 jnp.float32(-1.0), jnp.float32(1.0))
             elif op.kind == "rayl":
                 from physicl_tpu.light import _rayleigh_cos_theta
 
@@ -1219,7 +1224,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind in ("hg", "rayl", "compton", "fresnel")
+    if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase")
            for op in plan.ops):
         # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
         # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8

@@ -7,7 +7,7 @@ Fusability requirements (everything else falls back to the generic scan):
   most ``(t, dt)``, plus any mix of ``NewtonianKinematicsStep``,
   ``ScatterDeleteStep``, ``ScatterIsotropicStep``,
   ``ScatterHenyeyGreensteinStep``, ``ScatterRayleighStep``,
-  ``ScatterComptonStep``,
+  ``ScatterPhaseFunctionStep``, ``ScatterComptonStep``,
   ``AbsorbingBoundaryStep``, ``ReflectingBoundaryStep``,
   ``PhotonEmitterStep``, ``ElementwiseStep``, ``ReduceMeasureStep``,
   ``TracePathMeasureStep``, ``ScatterSignMeasureStep`` and
@@ -552,6 +552,7 @@ def try_build_fused(sim, steps, state: SimState,
         ScatterComptonStep,
         ScatterDeleteStep,
         ScatterHenyeyGreensteinStep,
+        ScatterPhaseFunctionStep,
         ScatterRayleighStep,
         ScatterIsotropicStep,
         ScatterMeasureStep,
@@ -727,6 +728,12 @@ def try_build_fused(sim, steps, state: SimState,
                 "hg", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c, g=s.g,
             ))
+        elif type(s) is ScatterPhaseFunctionStep:
+            s.setup(sim)
+            ops.append(F._Op(
+                "phase", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
+                c_val=s._c, custom_fn=s._icdf,
+            ))
         elif type(s) is ScatterRayleighStep:
             s.setup(sim)
             ops.append(F._Op(
@@ -859,7 +866,7 @@ def try_build_fused(sim, steps, state: SimState,
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/Lorentz/"
                        "ScatterDelete/ScatterIsotropic/"
-                       "ScatterHenyeyGreenstein/ScatterRayleigh/"
+                       "ScatterHenyeyGreenstein/ScatterRayleigh/PhaseFunction/"
                        "ScatterCompton/RefractiveInterface/boundaries/"
                        "PhotonEmitter/Sign+Cross+Reduce measures/"
                        "Elementwise/TracePath")

@@ -41,6 +41,25 @@ def _random_pipeline(rng, fuse, seed):
                 kn_cross_section=bool(rng.random() < 0.5),
                 theta_e=(float(rng.uniform(0.001, 0.05))
                          if rng.random() < 0.5 else None)))
+        elif pick < 0.75:  # round 3 cont.: user phase function
+            if rng.random() < 0.5:
+                import jax.numpy as jnp
+                a = float(rng.uniform(-0.9, 0.9))
+
+                def icdf(u, a=a):  # exact inverse of p(mu) = (1+a*mu)/2
+                    disc = 1.0 - a * (2.0 - a - 4.0 * u)
+                    return (jnp.sqrt(jnp.maximum(disc, 0.0)) - 1.0) / a
+
+                step = light.ScatterPhaseFunctionStep(
+                    A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
+                    cos_theta_icdf=icdf)
+            else:
+                mu = np.linspace(-1, 1, 101)
+                step = light.ScatterPhaseFunctionStep(
+                    A=float(rng.uniform(2e-4, 2e-3)), n=0.001,
+                    phase_table=(mu, 1.0 + rng.random() * mu ** 2),
+                    table_bins=32)
+            s.add_step(idx, step)
         else:
             s.add_step(idx, light.ScatterIsotropicStep(
                 A=float(rng.uniform(2e-4, 2e-3)), n=0.001,

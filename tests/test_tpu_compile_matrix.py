@@ -159,6 +159,17 @@ def _ops(kind):
         return [kin, F._Op("del", coef=0.1 * _EPS, implicit_capture=True,
                            roulette=(1e-3, 2e-3)),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "phase":
+        # user phase function: a 64-bin tabulated inverse CDF unrolls 64
+        # mask-multiply segments per draw — the vmem-heavy tail of the
+        # relative-frame scatter family (unroll capped at 4 with hg/rayl)
+        import physicl_tpu.light as L
+
+        mu = np.linspace(-1, 1, 101)
+        icdf = L._tabulated_cos_icdf(mu, 1.0 + _EPS * mu ** 2, bins=64)
+        return [kin, F._Op("phase", coef=1e-6 * _EPS, c_val=c,
+                           custom_fn=icdf),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "stretch":
         # exponential transform: direction-cosine reweighting on the del
         # op (mu from the dr planes + two likelihood ratios per iter)
@@ -190,7 +201,7 @@ def _ops(kind):
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
-                                  "mixed", "stretch"])
+                                  "mixed", "stretch", "phase"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
