@@ -342,6 +342,29 @@ def main():
     check("transform: per-photon weight exactly ((1-p)/(1-p'))^k",
           werr < 1e-4, f"max rel err {werr:.1e}")
 
+    # --- user phase function (tabulated): forward-peaked exp(3 mu) has
+    # the Langevin mean <cos theta> = coth(3) - 1/3 (hardware PRNG)
+    mu_g = np.linspace(-1, 1, 501)
+    s = phys.Simulation(until_t=1e-3 * 0.9999, seed=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterPhaseFunctionStep(
+        A=np.double(1.0 / (float(light.c) * 1e-3)), n=np.double(1.0),
+        phase_table=(mu_g, np.exp(3.0 * mu_g)), table_bins=128))
+    s.add_photons(light.generate_photon_state(200_000, E=1.0))
+    s.start(); s.join()
+    check("tabulated phase function stays fused", s.used_fused,
+          f"{s.used_fused}")
+    v = np.asarray(s.sim_state.v, np.float64)[:, :200_000]
+    m = float((v[0] / np.linalg.norm(v, axis=0)).mean())
+    expect_m = 1.0 / np.tanh(3.0) - 1.0 / 3.0
+    check("phase table: <cos theta> == coth(3) - 1/3",
+          abs(m - expect_m) < 0.006, f"{m:.4f} vs {expect_m:.4f}")
+    spd = np.linalg.norm(v, axis=0) / float(light.c)
+    check("phase table: |v| = c exact",
+          float(np.abs(spd - 1).max()) < 3e-5,
+          f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
+
     # --- chunk-boundary splitting: fused transport + boundary population
     # control (ImportanceSplitStep(at="chunk"))
     import jax.numpy as jnp

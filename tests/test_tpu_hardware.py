@@ -212,3 +212,23 @@ def test_real_chunk_boundary_split_on_hardware():
     alive = np.asarray(jax.device_get(s.sim_state.alive))
     assert int(alive.sum()) == 4096 * 2 ** 3
     np.testing.assert_allclose(w[alive].sum(), 4096.0, atol=0.5)
+
+
+def test_real_tabulated_phase_function_on_hardware():
+    """Gather-free tabulated inverse CDF inside the REAL kernel: the
+    forward-peaked exp(3 mu) table lands the Langevin mean."""
+    mu = np.linspace(-1, 1, 501)
+    s = phys.Simulation(until_t=1e-3 * 0.9999, seed=4)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterPhaseFunctionStep(
+        A=np.double(1.0 / (float(light.c) * 1e-3)), n=np.double(1.0),
+        phase_table=(mu, np.exp(3.0 * mu)), table_bins=128))
+    s.add_photons(light.generate_photon_state(200_000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused, s.explain_plan()
+    v = np.asarray(jax.device_get(s.sim_state.v), np.float64)[:, :200_000]
+    m = (v[0] / np.linalg.norm(v, axis=0)).mean()
+    assert abs(m - (1.0 / np.tanh(3.0) - 1.0 / 3.0)) < 0.006
+    np.testing.assert_allclose(np.linalg.norm(v, axis=0), float(light.c),
+                               rtol=3e-5)
