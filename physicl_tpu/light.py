@@ -53,7 +53,7 @@ __all__ = [
     "ScatterDeleteStep", "ScatterDeleteStepReference",
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
-    "ScatterPhaseFunctionStep",
+    "ScatterPhaseFunctionStep", "mie_phase_table",
     "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
     "TracePathMeasureStep",
@@ -1042,6 +1042,84 @@ def _tabulated_cos_icdf(mu, pdf, bins=64):
         return acc
 
     return icdf
+
+
+def mie_phase_table(x, m=1.33 + 0.0j, n_mu=361):
+    """Mie scattering phase function for a homogeneous sphere — the
+    standard Bohren & Huffman series — as a ``(mu_grid, pdf)`` pair ready
+    for :class:`ScatterPhaseFunctionStep` (host-side numpy; computed once
+    at construction, like the reference's host-side Planck CDF).
+
+    ``x = 2 pi a / lambda`` is the size parameter, ``m`` the (complex)
+    refractive index of the sphere relative to the medium. The unpolarized
+    phase function is ``p(mu) ~ (|S1|^2 + |S2|^2) / 2`` with the amplitude
+    functions built from the Mie coefficients ``a_n, b_n`` (logarithmic-
+    derivative downward recurrence) and the angular functions ``pi_n,
+    tau_n`` (upward recurrence in mu). Also returns the asymmetry
+    parameter ``g = <cos theta>`` from the closed-form coefficient series
+    — the classic self-consistency check against the table's own first
+    moment (pinned in tests to 1e-3).
+
+    Returns ``(mu, pdf, g)``. In the Rayleigh limit (``x -> 0``) the shape
+    reduces to the dipole ``1 + mu^2``; large ``x`` gives the strong Mie
+    forward peak (use more ``table_bins`` to resolve it).
+    """
+    x = float(x)
+    if x <= 0:
+        raise ValueError(f"size parameter x must be positive, got {x}")
+    m = complex(m)
+    mu = np.linspace(-1.0, 1.0, int(n_mu))
+    N = max(3, int(np.ceil(x + 4.05 * x ** (1.0 / 3.0) + 2)))
+
+    # logarithmic derivative D_n(mx) by downward recurrence (stable)
+    mx = m * x
+    nmx = max(N, int(np.ceil(abs(mx)))) + 16
+    D = np.zeros(nmx + 1, np.complex128)
+    for k in range(nmx, 0, -1):
+        D[k - 1] = k / mx - 1.0 / (D[k] + k / mx)
+
+    # Riccati-Bessel psi, chi by upward recurrence; xi = psi - i*chi
+    psi = np.zeros(N + 1)
+    chi = np.zeros(N + 1)
+    psi_m1, chi_m1 = np.cos(x), -np.sin(x)  # psi_{-1}, chi_{-1}
+    psi[0], chi[0] = np.sin(x), np.cos(x)
+    for k in range(1, N + 1):
+        psi[k] = (2 * k - 1) / x * psi[k - 1] - (psi[k - 2]
+                                                 if k >= 2 else psi_m1)
+        chi[k] = (2 * k - 1) / x * chi[k - 1] - (chi[k - 2]
+                                                 if k >= 2 else chi_m1)
+    xi = psi - 1j * chi
+    n_arr = np.arange(1, N + 1)
+    Dn = D[1:N + 1]
+    fa = Dn / m + n_arr / x
+    fb = Dn * m + n_arr / x
+    a = (fa * psi[1:] - psi[:-1]) / (fa * xi[1:] - xi[:-1])
+    b = (fb * psi[1:] - psi[:-1]) / (fb * xi[1:] - xi[:-1])
+
+    # angular functions pi_n, tau_n and the amplitude sums
+    S1 = np.zeros_like(mu, np.complex128)
+    S2 = np.zeros_like(mu, np.complex128)
+    pi_nm1 = np.zeros_like(mu)   # pi_0
+    pi_n = np.ones_like(mu)      # pi_1
+    for k in range(1, N + 1):
+        tau_n = k * mu * pi_n - (k + 1) * pi_nm1
+        f = (2 * k + 1) / (k * (k + 1))
+        S1 += f * (a[k - 1] * pi_n + b[k - 1] * tau_n)
+        S2 += f * (a[k - 1] * tau_n + b[k - 1] * pi_n)
+        pi_nm1, pi_n = pi_n, ((2 * k + 1) * mu * pi_n
+                              - (k + 1) * pi_nm1) / k
+    pdf = 0.5 * (np.abs(S1) ** 2 + np.abs(S2) ** 2)
+
+    # asymmetry parameter from the coefficient series (BH eq. 4.63)
+    qsca = (2.0 / x ** 2) * np.sum((2 * n_arr + 1)
+                                   * (np.abs(a) ** 2 + np.abs(b) ** 2))
+    g_sum = np.sum(n_arr[:-1] * (n_arr[:-1] + 2) / (n_arr[:-1] + 1)
+                   * np.real(a[:-1] * np.conj(a[1:])
+                             + b[:-1] * np.conj(b[1:])))
+    g_sum += np.sum((2 * n_arr + 1) / (n_arr * (n_arr + 1))
+                    * np.real(a * np.conj(b)))
+    g = (4.0 / (x ** 2 * qsca)) * g_sum
+    return mu, pdf, float(g)
 
 
 class ScatterPhaseFunctionStep(ScatterHenyeyGreensteinStep):

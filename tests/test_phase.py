@@ -107,3 +107,40 @@ def test_validation_and_explain():
     with pytest.raises(ValueError, match="nonnegative"):
         light.ScatterPhaseFunctionStep(
             phase_table=(np.array([-1.0, 1.0]), np.array([1.0, -2.0])))
+
+
+def test_mie_rayleigh_limit():
+    """x << 1 reduces to the dipole (1 + mu^2) shape with g ~ 0."""
+    mu, pdf, g = light.mie_phase_table(0.01, 1.5)
+    pdf_n = pdf / np.trapezoid(pdf, mu)
+    dip = (3.0 / 8.0) * (1 + mu ** 2)
+    assert np.abs(pdf_n - dip).max() / dip.max() < 1e-3
+    assert abs(g) < 1e-3
+
+
+def test_mie_asymmetry_self_consistency():
+    """g from the Mie coefficient series (BH 4.63) equals the table's own
+    first moment — requires a_n/b_n AND the angular sums to be right."""
+    for x, m in ((0.5, 1.33), (3.0, 1.33), (10.0, 1.5 + 0.01j)):
+        mu, pdf, g = light.mie_phase_table(x, m, n_mu=4001)
+        g_tab = np.trapezoid(mu * pdf, mu) / np.trapezoid(pdf, mu)
+        assert abs(g - g_tab) < 1e-3, (x, g, g_tab)
+
+
+def test_mie_table_transport_lands_g():
+    """End to end: Mie table -> ScatterPhaseFunctionStep; the sampled
+    <cos theta> after one forced scatter is the Mie asymmetry parameter."""
+    mu, pdf, g = light.mie_phase_table(3.0, 1.33, n_mu=2001)
+    step = light.ScatterPhaseFunctionStep(
+        A=np.double(1.0 / (C * DT)), n=np.double(1.0),
+        phase_table=(mu, pdf), table_bins=256)
+    s, v = _run(step, n=80_000, k=1, seed=12)
+    assert s.used_fused
+    m_s = (v[0] / np.linalg.norm(v, axis=0)).mean()
+    # forward peak: the 256-bin inversion carries most of the tolerance
+    assert abs(m_s - g) < 0.02, (m_s, g)
+
+
+def test_mie_validation():
+    with pytest.raises(ValueError, match="positive"):
+        light.mie_phase_table(0.0)
