@@ -1495,6 +1495,15 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
                 "ScatterComptonStep has no lambda^-4 option; use "
                 "kn_cross_section=True for the physical Klein-Nishina "
                 "energy dependence")
+        # Compton heating tally: per-iteration NET energy transferred to
+        # the electrons, sum(w * (E - E')) over scatters — the Compton
+        # analog of ScatterDeleteStep(measure_deposition=True). Signed:
+        # negative when thermal electrons pump the photons (inverse
+        # Compton / SZ). data rows [t, E_dep]; CSV via out_fn.
+        self.measure_deposition = bool(kwargs.pop("measure_deposition",
+                                                  False))
+        self.out_fn = kwargs.pop("out_fn", None)
+        self.data = []
         if "g" in kwargs:
             raise ValueError(
                 "ScatterComptonStep has no anisotropy parameter g: the "
@@ -1591,6 +1600,10 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
             v = jnp.where(scatter, v_new, state.v)
             dv = jnp.where(scatter, v_new - state.v,
                            jnp.zeros_like(state.v))
+            if self.measure_deposition:
+                ctx.record(self, "t", state.t)
+                ctx.record(self, "dep", jnp.sum(jnp.where(
+                    scatter, state.w * (state.E - E_new), 0.0)))
             E = jnp.where(scatter, E_new, state.E)
             return state.replace(v=v, dv=dv, E=E)
 
@@ -1602,8 +1615,22 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
                    & state.alive & accepted)
 
         v, dv = self._rotated_velocity(state, scatter, cos_t, u[1], dtype)
+        if self.measure_deposition:
+            ctx.record(self, "t", state.t)
+            ctx.record(self, "dep", jnp.sum(jnp.where(
+                scatter, state.w * (state.E - state.E / eta), 0.0)))
         E = jnp.where(scatter, state.E / eta, state.E)
         return state.replace(v=v, dv=dv, E=E)
+
+    def collect(self, sim, records) -> None:
+        if not self.measure_deposition:
+            return
+        for i in range(len(records["t"])):
+            self.data.append([float(records["t"][i]),
+                              float(records["dep"][i])])
+
+    # CSV at terminate, identical surface to every MeasureStep
+    terminate = MeasureStep.terminate
 
 
 class RefractiveInterfaceStep(Step):

@@ -486,6 +486,10 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_VX + d] = jnp.where(scatter, n_new[d] * cval, old)
                 f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
                                         jnp.float32(0.0))
+            if op.cols:  # Compton heating: net energy to electrons
+                # (signed: negative when inverse Compton pumps photons)
+                row_f = put_f(row_f, op.cols[0], jnp.sum(
+                    jnp.where(scatter, f[_W] * (f[_E] - E_new), 0.0)))
             f[_E] = jnp.where(scatter, E_new, f[_E])
         elif op.kind in ("hg", "rayl", "compton", "phase"):
             # Anisotropic scatter: same collision model as "iso", outgoing
@@ -581,6 +585,9 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_DVX + d] = jnp.where(scatter, n_new[d] * cval - old,
                                         jnp.float32(0.0))
             if eta is not None:  # Compton recoil: E' = E / eta
+                if op.cols:  # heating tally: w * (E - E') over scatters
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
+                        scatter, f[_W] * (f[_E] - f[_E] / eta), 0.0)))
                 f[_E] = jnp.where(scatter, f[_E] / eta, f[_E])
         elif op.kind == "emit":
             # inactive iterations use a far-negative start (never overlaps);

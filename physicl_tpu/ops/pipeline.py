@@ -201,7 +201,8 @@ class FusedProvider:
                 e_col >= 0 for (_, _, _, e_col, _ecap) in op.axes)))
             or op.kind == "reduce"
             or (op.kind == "sign" and op.weighted)
-            or (op.kind == "del" and bool(op.cols))   # deposition channel
+            # deposition / Compton-heating channels
+            or (op.kind in ("del", "compton") and bool(op.cols))
             for op in plan.ops)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
@@ -742,10 +743,18 @@ def try_build_fused(sim, steps, state: SimState,
             ))
         elif type(s) is ScatterComptonStep:
             s.setup(sim)
+            dep_cols = ()
+            if getattr(s, "measure_deposition", False):
+                dep_cols = (next_fcol,)   # Compton heating per iteration
+                next_fcol += 1
+                rec_map.append({"uid": uid, "kind": "dep",
+                                "col": dep_cols[0]})
+                measure_after_update[uid] = update_seen
             ops.append(F._Op(
                 "compton", coef=s._coef, n_fn=s._n_fn, c_val=s._c,
                 inv_mec2=s._inv_mec2, kn_xsec=s.kn_cross_section,
                 kn_tries=s.kn_max_tries, theta_e=float(s._theta_e or 0.0),
+                cols=dep_cols,
             ))
         elif type(s) is RefractiveInterfaceStep:
             s.setup(sim)

@@ -289,3 +289,52 @@ def test_compton_multiple_scatters_degrade_energy():
     # scattered several times; the mean energy must have dropped hard
     assert E.mean() < 0.35, E.mean()
     assert (E < 0.999).mean() > 0.999
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_compton_heating_energy_conservation(fuse):
+    """measure_deposition on Compton: photons never die, so the heating
+    tally closes the energy budget EXACTLY per realization —
+    sum(w*E)_initial == sum(w*E)_final + cumulative deposition."""
+    c = float(light.c)
+    mec2 = 2.0  # E/mec2 = 0.5: strong recoil
+    s = phys.Simulation(until_t=0.012, seed=3, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    comp = light.ScatterComptonStep(
+        A=np.double(0.25 / (c * 1e-3)), n=np.double(1.0), mec2=mec2,
+        measure_deposition=True)
+    s.add_step(2, comp)
+    s.add_photons(light.generate_photon_state(40_000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    E = np.asarray(s.sim_state.E, np.float64)[:40_000]
+    dep = np.array(comp.data, dtype=float)
+    assert dep.shape[0] == len(s.ts)
+    budget = E.sum() + dep[:, 1].sum()
+    np.testing.assert_allclose(budget, 40_000.0, rtol=1e-5)
+    assert dep[:, 1].min() > 0  # cold electrons only absorb energy
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_thermal_compton_heating_signed(fuse):
+    """Thermal Comptonization of COLD photons (alpha << 4 theta_e): the
+    net 'heating' is negative — electrons pump the photons (inverse
+    Compton) — and the budget still closes exactly."""
+    c = float(light.c)
+    theta_e = 0.02
+    mec2 = 1000.0  # alpha = 1e-3 << 4 theta_e = 0.08
+    s = phys.Simulation(until_t=0.012, seed=5, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    comp = light.ScatterComptonStep(
+        A=np.double(0.3 / (c * 1e-3)), n=np.double(1.0), mec2=mec2,
+        theta_e=theta_e, measure_deposition=True)
+    s.add_step(2, comp)
+    s.add_photons(light.generate_photon_state(40_000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    E = np.asarray(s.sim_state.E, np.float64)[:40_000]
+    dep = np.array(comp.data, dtype=float)[:, 1]
+    np.testing.assert_allclose(E.sum() + dep.sum(), 40_000.0, rtol=1e-4)
+    assert dep.sum() < 0  # net inverse-Compton gain for cold photons
