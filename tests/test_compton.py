@@ -338,3 +338,26 @@ def test_thermal_compton_heating_signed(fuse):
     dep = np.array(comp.data, dtype=float)[:, 1]
     np.testing.assert_allclose(E.sum() + dep.sum(), 40_000.0, rtol=1e-4)
     assert dep.sum() < 0  # net inverse-Compton gain for cold photons
+
+
+def test_compton_heating_on_mesh_psums_globally():
+    """The heating channel crosses shards as one psum: the budget closes
+    on the full global population."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from physicl_tpu.parallel import make_mesh
+    c = float(light.c)
+    n = 131072
+    s = phys.Simulation(until_t=0.008, seed=2, mesh=make_mesh(),
+                        capacity=n)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    comp = light.ScatterComptonStep(
+        A=np.double(0.25 / (c * 1e-3)), n=np.double(1.0), mec2=2.0,
+        measure_deposition=True)
+    s.add_step(2, comp)
+    s.add_photons(light.generate_photon_state(n, E=1.0))
+    s.start(); s.join()
+    E = np.asarray(jax.device_get(s.sim_state.E), np.float64)[:n]
+    dep = np.array(comp.data, dtype=float)[:, 1].sum()
+    np.testing.assert_allclose(E.sum() + dep, float(n), rtol=1e-5)

@@ -40,6 +40,29 @@ expect = 5 * 299792458.0 * 1e-3
 assert abs(r - expect) < 1e-6, (r, expect)  # far below f32 resolution (~100)
 counts = [int(row[2]) for row in meas.data]
 assert counts == [0, 0, 100, 0, 0], counts
+
+# round-3 features under f64: exponential transform + importance split
+s = phys.Simulation(until_t=0.01 * 0.9999, seed=1, fuse="off",
+                    dtype=jnp.float64, capacity=65536)
+s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+s.add_step(1, phys.newton.NewtonianKinematicsStep())
+s.add_step(2, light.ScatterDeleteStep(
+    np.double(1.0), np.double(0.1 / (299792458.0 * 1e-3)), stretch=0.8))
+s.add_step(3, light.ImportanceSplitStep(
+    lambda x, y, z: 2.0 ** jnp.floor(x / (4 * 299792458.0 * 1e-3) + 0.5),
+    roulette=False))
+s.add_photons(light.generate_photon_state(2000, E=1.0))
+s.start(); s.join()
+w = np.asarray(s.sim_state.w, np.float64)
+alive = np.asarray(s.sim_state.alive)
+assert s.sim_state.w.dtype == jnp.float64
+# mu=1 beam: per-photon weight law in f64, split factors exact
+k = len(s.ts)
+wl = ((1 - 0.1) / (1 - 0.1 * 0.2)) ** k
+ws = np.unique(np.round(np.log2(w[alive] / wl)))
+assert np.allclose(ws, np.round(ws)), ws  # weights = wl / 2^splits exactly
+exp_w = 2000 * (1 - 0.1) ** k
+assert abs(w[alive].sum() - exp_w) / exp_w < 0.05
 print("X64 OK")
 """
 
