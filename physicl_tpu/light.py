@@ -56,6 +56,7 @@ __all__ = [
     "ScatterPhaseFunctionStep", "mie_phase_table",
     "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
+    "SphericalShellMeasureStep",
     "TracePathMeasureStep",
 ]
 
@@ -2243,6 +2244,62 @@ class ScatterMeasureStep(MeasureStep):
                 np.array(row, dtype=object)
                 if self.measure_E and self.measure_E_mode == "list"
                 else np.array(row))
+
+
+class SphericalShellMeasureStep(MeasureStep):
+    """Counts particles crossing a spherical shell ``|r - center| = radius``
+    each iteration — the escape-flux / shell-detector counterpart of the
+    plane tally (TPU extension; the reference's only detector geometry is
+    the axis-aligned plane, physicl/light.py:385-399).
+
+    Same endpoint crossing convention as :class:`ScatterMeasureStep`
+    (``|r - dr - c|`` and ``|r - c|`` straddle the radius, either
+    direction; a chord that enters AND exits within one step is not
+    counted — keep ``c*dt`` small against the shell radius).
+    ``weighted=True`` sums statistical weights (the physical tally under
+    weighted transport). ``data`` rows ``[t(, n), crossings]``; CSV via
+    ``out_fn``. Fuses (op kind "scross") and runs the generic scan.
+    """
+
+    def __init__(self, out_fn=None, radius=1.0, center=(0.0, 0.0, 0.0),
+                 measure_n: bool = True, weighted: bool = False):
+        super().__init__(out_fn)
+        self.radius = float(raw_code_value(radius))
+        if self.radius <= 0:
+            raise ValueError(f"radius must be positive, got {self.radius}")
+        self.center = tuple(
+            float(x) for x in np.asarray(raw_code_value(center),
+                                         np.float64).reshape(3))
+        self.measure_n = measure_n
+        self.weighted = bool(weighted)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        ctx.record(self, "t", state.t)
+        if self.measure_n:
+            ctx.record(self, "n", state.n_alive)
+        dtype = state.r.dtype
+        c = jnp.asarray(self.center, dtype)[:, None]
+        d1 = state.r - c
+        d0 = d1 - state.dr
+        r1 = jnp.sum(d1 * d1, axis=0)
+        r0 = jnp.sum(d0 * d0, axis=0)
+        R2 = jnp.asarray(self.radius * self.radius, dtype)
+        crossed = (((r0 <= R2) & (R2 <= r1))
+                   | ((r0 >= R2) & (R2 >= r1))) & state.alive
+        if self.weighted:
+            ctx.record(self, "count0",
+                       jnp.sum(jnp.where(crossed, state.w, 0.0)))
+        else:
+            ctx.record(self, "count0", jnp.sum(crossed.astype(jnp.int32)))
+        return state
+
+    def collect(self, sim: Simulation, records) -> None:
+        for i in range(len(records["t"])):
+            row = [records["t"][i]]
+            if self.measure_n:
+                row.append(records["n"][i])
+            row.append(records["count0"][i])
+            self.data.append(np.array(row))
 
 
 class ScatterSignMeasureStep(MeasureStep):

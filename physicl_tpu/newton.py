@@ -17,6 +17,7 @@ from physicl_tpu.state import OBJ_PHOTON, SimState
 from physicl_tpu.units import Measurement, raw_code_value
 
 __all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
+           "AbsorbingSphereStep",
            "ReflectingBoundaryStep", "PeriodicBoundaryStep",
            "ChargedObject", "LorentzForceStep", "generate_particle_state"]
 
@@ -316,3 +317,37 @@ class PeriodicBoundaryStep(Step):
         L = hi - lo
         r = lo + jnp.mod(state.r - lo, L)
         return state.replace(r=r)
+
+
+class AbsorbingSphereStep(Step):
+    """Deletes particles outside (default) or inside a sphere — escape
+    spheres and central absorbers, the spherical counterpart of
+    :class:`AbsorbingBoundaryStep` (TPU extension; the reference has no
+    geometry beyond the unused ``sim.bounds`` box).
+
+    ``kill_inside=False`` (default): particles with ``|r - center| >
+    radius`` die (an escape sphere / outer vacuum boundary).
+    ``kill_inside=True``: particles entering the sphere die (a perfectly
+    absorbing central body). Pair with
+    :class:`physicl_tpu.light.SphericalShellMeasureStep` just inside the
+    kill radius to tally the escape flux. Fuses (op kind "sabsorb").
+    """
+
+    def __init__(self, radius, center=(0.0, 0.0, 0.0),
+                 kill_inside: bool = False):
+        self.radius = float(raw_code_value(radius))
+        if self.radius <= 0:
+            raise ValueError(f"radius must be positive, got {self.radius}")
+        self.center = tuple(
+            float(x) for x in np.asarray(raw_code_value(center),
+                                         np.float64).reshape(3))
+        self.kill_inside = bool(kill_inside)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        dtype = state.r.dtype
+        c = jnp.asarray(self.center, dtype)[:, None]
+        d = state.r - c
+        inside = jnp.sum(d * d, axis=0) <= jnp.asarray(
+            self.radius * self.radius, dtype)
+        keep = jnp.logical_not(inside) if self.kill_inside else inside
+        return state.replace(alive=state.alive & keep)

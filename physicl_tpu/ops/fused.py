@@ -158,6 +158,9 @@ class _Op:
     # plane interface (light.RefractiveInterfaceStep); c_val carries c for
     # match_speed's c/n outgoing speeds
     iface: tuple = ()
+    # spherical geometry (scross/sabsorb): (cx, cy, cz, R) folded scalars
+    sphere: tuple = ()
+    inside: bool = False  # sabsorb: kill ENTRANTS instead of leavers
     # lorentz (newton.LorentzForceStep, charged populations): species-wide
     # charge-to-mass ratio + fields. Constant 3-vector fields arrive as
     # static tuples (e_const/b_const — folded as scalars, full unroll);
@@ -846,6 +849,37 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                   jnp.sum(jnp.where(pos, f[_W], 0.0)))
                 else:
                     row = put(row, sx_col + d, jnp.sum(pos, dtype=jnp.int32))
+        elif op.kind == "sabsorb":
+            # absorbing sphere (newton.AbsorbingSphereStep): kill leavers
+            # (escape sphere) or entrants (central absorber, inside=True)
+            cx, cy, cz, R = (jnp.float32(x) for x in op.sphere)
+            dx0, dy0, dz0 = f[_RX] - cx, f[_RY] - cy, f[_RZ] - cz
+            r2 = dx0 * dx0 + dy0 * dy0 + dz0 * dz0
+            in_s = r2 <= R * R
+            alive_b = alive_b & (jnp.logical_not(in_s) if op.inside
+                                 else in_s)
+            f[_ALIVE] = alive_b.astype(jnp.float32)
+        elif op.kind == "scross":
+            # spherical-shell flux tally (light.SphericalShellMeasureStep):
+            # the plane tally's endpoint convention on |r - c| vs R
+            n_col, col = op.cols
+            if n_col >= 0:
+                row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
+            cx, cy, cz, R = (jnp.float32(x) for x in op.sphere)
+            dx1, dy1, dz1 = f[_RX] - cx, f[_RY] - cy, f[_RZ] - cz
+            dx0 = dx1 - f[_DRX]
+            dy0 = dy1 - f[_DRY]
+            dz0 = dz1 - f[_DRZ]
+            r1 = dx1 * dx1 + dy1 * dy1 + dz1 * dz1
+            r0 = dx0 * dx0 + dy0 * dy0 + dz0 * dz0
+            R2 = R * R
+            crossed = (((r0 <= R2) & (R2 <= r1))
+                       | ((r0 >= R2) & (R2 >= r1))) & alive_b
+            if op.weighted:
+                row_f = put_f(row_f, col,
+                              jnp.sum(jnp.where(crossed, f[_W], 0.0)))
+            else:
+                row = put(row, col, jnp.sum(crossed, dtype=jnp.int32))
         elif op.kind == "cross":
             (n_col,) = op.cols
             if n_col >= 0:

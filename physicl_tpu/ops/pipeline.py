@@ -200,7 +200,7 @@ class FusedProvider:
             (op.kind == "cross" and (op.weighted or any(
                 e_col >= 0 for (_, _, _, e_col, _ecap) in op.axes)))
             or op.kind == "reduce"
-            or (op.kind == "sign" and op.weighted)
+            or (op.kind in ("sign", "scross") and op.weighted)
             # deposition / Compton-heating channels
             or (op.kind in ("del", "compton") and bool(op.cols))
             for op in plan.ops)
@@ -541,6 +541,7 @@ def try_build_fused(sim, steps, state: SimState,
     )
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
+        AbsorbingSphereStep,
         LorentzForceStep,
         NewtonianKinematicsStep,
         PeriodicBoundaryStep,
@@ -558,6 +559,7 @@ def try_build_fused(sim, steps, state: SimState,
         ScatterIsotropicStep,
         ScatterMeasureStep,
         ScatterSignMeasureStep,
+        SphericalShellMeasureStep,
         TracePathMeasureStep,
     )
 
@@ -671,6 +673,9 @@ def try_build_fused(sim, steps, state: SimState,
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("absorb", bounds=_static_bounds(s, sim)))
+        elif type(s) is AbsorbingSphereStep:
+            ops.append(F._Op("sabsorb", sphere=(*s.center, s.radius),
+                             inside=s.kill_inside))
         elif type(s) is ReflectingBoundaryStep:
             s.setup(sim)
             ops.append(F._Op("reflect", bounds=_static_bounds(s, sim)))
@@ -790,6 +795,22 @@ def try_build_fused(sim, steps, state: SimState,
                 emit_v=emit_v, c_val=s._c,
                 emit_sched_idx=sum(1 for o in ops if o.kind == "emit"),
             ))
+        elif type(s) is SphericalShellMeasureStep:
+            n_col = -1
+            if s.measure_n:
+                n_col = next_col
+                next_col += 1
+            if s.weighted:
+                col = next_fcol
+                next_fcol += 1
+            else:
+                col = next_col
+                next_col += 1
+            ops.append(F._Op("scross", sphere=(*s.center, s.radius),
+                             cols=(n_col, col), weighted=s.weighted))
+            rec_map.append({"uid": uid, "kind": "cross", "n_col": n_col,
+                            "cnt_cols": [col], "weighted": s.weighted})
+            measure_after_update[uid] = update_seen
         elif type(s) is ScatterSignMeasureStep:
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0

@@ -2,6 +2,7 @@
 stores but never implements)."""
 
 import numpy as np
+import pytest
 
 import physicl_tpu as phys
 import physicl_tpu.newton as newton
@@ -204,3 +205,93 @@ def test_periodic_boundary_fuses_and_matches_generic():
     # every x position wrapped into the box
     assert (res["auto"][0] >= 0).all()
     assert (res["auto"][0] <= 2.5 * c * 1e-3 * (1 + 1e-6)).all()
+
+
+# ---------------------------------------------------------------------------
+# Spherical geometry (round-3 cont.): shell flux tally + absorbing sphere
+# ---------------------------------------------------------------------------
+
+
+def _burst_sim(fuse, n=20000, seed=0, T=0.012, **kw):
+    s = phys.Simulation(until_t=T * 0.9999, seed=seed, fuse=fuse, **kw)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    return s
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_shell_tally_counts_isotropic_burst_once(fuse):
+    """A ballistic beam from the origin crosses the shell EXACTLY once
+    per photon, all at the same iteration (R/(c dt) = 4.5 -> step 5)."""
+    c = float(light.c)
+    R = 4.5 * c * 1e-3
+    s = _burst_sim(fuse)
+    shell = light.SphericalShellMeasureStep(None, radius=np.double(R))
+    s.add_step(2, shell)
+    s.add_photons(light.generate_photon_state(20000, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    rows = np.array(shell.data, dtype=float)
+    assert rows.shape[1] == 3  # [t, n, count]
+    counts = rows[:, 2].astype(int)
+    assert counts.sum() == 20000       # each photon crosses exactly once
+    assert counts[4] == 20000          # ...at iteration 5
+    np.testing.assert_allclose(rows[:, 1], 20000)
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_absorbing_sphere_escape(fuse):
+    """AbsorbingSphereStep kills leavers right after they cross R; paired
+    with a shell tally just inside, the escape flux is exact."""
+    c = float(light.c)
+    R = 6.5 * c * 1e-3
+    s = _burst_sim(fuse, T=0.015)
+    shell = light.SphericalShellMeasureStep(
+        None, radius=np.double(R * 0.999))
+    s.add_step(2, shell)
+    s.add_step(3, newton.AbsorbingSphereStep(np.double(R)))
+    s.add_photons(light.generate_photon_state(8192, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    alive = np.asarray(s.sim_state.alive)
+    assert alive.sum() == 0            # everything escaped and was killed
+    counts = np.array(shell.data, dtype=float)[:, 2]
+    assert counts.sum() == 8192        # tallied on the way out
+
+
+def test_absorbing_sphere_kill_inside():
+    """kill_inside=True: a central absorber eats inbound photons."""
+    c = float(light.c)
+    s = phys.Simulation(until_t=0.010 * 0.9999, seed=1)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, newton.NewtonianKinematicsStep())
+    s.add_step(2, newton.AbsorbingSphereStep(
+        np.double(2.0 * c * 1e-3), center=(6.0 * c * 1e-3, 0.0, 0.0),
+        kill_inside=True))
+    s.add_photons(light.generate_photon_state(512, E=1.0))  # +x beam
+    s.start(); s.join()
+    # the beam enters the absorber (centered on its path) and dies there
+    assert np.asarray(s.sim_state.alive).sum() == 0
+
+
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+def test_shell_tally_weighted(fuse):
+    """weighted=True sums statistical weights over crossers."""
+    c = float(light.c)
+    R = 3.5 * c * 1e-3
+    s = _burst_sim(fuse, T=0.006)
+    shell = light.SphericalShellMeasureStep(
+        None, radius=np.double(R), weighted=True)
+    s.add_step(2, shell)
+    s.add_photons(light.generate_photon_state(1000, E=1.0, w=0.25))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    counts = np.array(shell.data, dtype=float)[:, 2]
+    np.testing.assert_allclose(counts.sum(), 250.0, rtol=1e-6)
+
+
+def test_sphere_validation():
+    with pytest.raises(ValueError, match="positive"):
+        light.SphericalShellMeasureStep(None, radius=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        newton.AbsorbingSphereStep(-1.0)

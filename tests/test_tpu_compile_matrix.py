@@ -170,6 +170,13 @@ def _ops(kind):
         return [kin, F._Op("phase", coef=1e-6 * _EPS, c_val=c,
                            custom_fn=icdf),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "sphere":
+        # spherical geometry: shell flux tally + absorbing sphere
+        R = 0.5 * _EPS
+        return [kin, F._Op("scross", sphere=(0.0, 0.0, 0.0, R),
+                           cols=(1, 2)),
+                F._Op("sabsorb", sphere=(0.0, 0.0, 0.0, 2.0 * R)),
+                F._Op("sign", cols=(3, 4))], 5, 0
     if kind == "stretch":
         # exponential transform: direction-cosine reweighting on the del
         # op (mu from the dr planes + two likelihood ratios per iter)
@@ -201,7 +208,8 @@ def _ops(kind):
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
-                                  "mixed", "stretch", "phase"])
+                                  "mixed", "stretch", "phase",
+                                  "sphere"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
