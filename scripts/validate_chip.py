@@ -365,6 +365,28 @@ def main():
           float(np.abs(spd - 1).max()) < 3e-5,
           f"max |v|/c deviation {np.abs(spd - 1).max():.2e}")
 
+    # --- spherical geometry: every photon of a ballistic burst crosses
+    # the shell exactly once, then dies at the escape sphere
+    c_v = float(light.c)
+    Rs = 4.5 * c_v * 1e-3
+    s = phys.Simulation(until_t=0.008 * 0.9999, seed=6)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    shell = light.SphericalShellMeasureStep(None, radius=np.double(Rs))
+    s.add_step(2, shell)
+    s.add_step(3, physicl_tpu.newton.AbsorbingSphereStep(
+        np.double(1.2 * Rs)))
+    s.add_photons(light.generate_photon_state(200_000, E=1.0))
+    s.start(); s.join()
+    check("sphere pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    rows = np.array(shell.data, dtype=float)
+    check("shell tally: one crossing per photon at the ballistic step",
+          int(rows[:, 2].sum()) == 200_000 and int(rows[4, 2]) == 200_000,
+          f"total {int(rows[:, 2].sum())}, step5 {int(rows[4, 2])}")
+    check("escape sphere: everything absorbed",
+          int(np.asarray(s.sim_state.alive).sum()) == 0,
+          f"alive {int(np.asarray(s.sim_state.alive).sum())}")
+
     # --- chunk-boundary splitting: fused transport + boundary population
     # control (ImportanceSplitStep(at="chunk"))
     import jax.numpy as jnp
