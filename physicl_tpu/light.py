@@ -56,7 +56,7 @@ __all__ = [
     "ScatterPhaseFunctionStep", "mie_phase_table",
     "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
-    "SphericalShellMeasureStep",
+    "SphericalShellMeasureStep", "MeshTallyStep",
     "TracePathMeasureStep",
 ]
 
@@ -2156,6 +2156,106 @@ class SpectrumMeasureStep(ReduceMeasureStep):
                                     else jnp.where(m, val, 0.0))
             if overflow:
                 m = p.E >= e[-1]
+                out["overflow"] = (m if val is None
+                                   else jnp.where(m, val, 0.0))
+            return out
+
+        super().__init__(out_fn, contributions, outputs=names,
+                         measure_n=measure_n)
+
+
+class MeshTallyStep(ReduceMeasureStep):
+    """Per-iteration SPATIAL histogram over alive particles — the cell
+    tally / dose-map counterpart of :class:`SpectrumMeasureStep` (TPU
+    extension; the reference has only plane-crossing counters,
+    physicl/light.py:361-404). Accumulated on-device inside the fused
+    kernel via the :class:`~physicl_tpu.engine.ReduceMeasureStep`
+    record row; one psum crosses shards on mesh runs.
+
+    ``axis`` selects the binning coordinate: ``"x"``/``"y"``/``"z"``
+    (axis-aligned slabs) or ``"r"`` (spherical shells of ``|r - center|``
+    around ``center``). ``edges`` is a static increasing 1-D array of bin
+    edges with the reference lower-edge convention
+    (``edges[i] <= coord < edges[i+1]``); ``underflow``/``overflow`` add
+    capture bins outside the range.
+
+    ``value`` picks the deposited quantity per alive particle per
+    iteration, binned at the particle's END-of-iteration position:
+
+    * ``"count"`` — particle count per cell (collision-density shape);
+    * ``"energy"`` — energy content per cell, ``sum(E)``;
+    * ``"pathlength"`` — track-length estimator, ``sum(|dr|)``: the MC
+      estimate of ``flux x cell-volume x dt``. Each particle's whole step
+      lands in its endpoint cell, so keep ``c*dt`` small against the cell
+      width (the standard estimator's track splitting converges as
+      ``dt -> 0``). Steady-state scalar flux per cell =
+      ``sum-over-rows / (V_cell * t_total)``.
+
+    ``weighted=True`` multiplies every contribution by the statistical
+    weight ``w`` — required for physical tallies under
+    ``ScatterDeleteStep(implicit_capture=True)`` or population-control
+    transport. ``data`` rows are ``[t(, n), bin_0, ...,(underflow,)
+    (overflow,)]`` with CSV via ``out_fn`` like every MeasureStep.
+
+    Tallies accumulate in float32 record channels (integer-exact to 2**24
+    per iteration for counts); the fused record row is 128 channels wide,
+    so at most ~120 bins keep the fast path — beyond that the prover
+    falls back to the generic scan with a structured warning.
+    """
+
+    def __init__(self, out_fn=None, axis: str = "x", edges=None,
+                 value: str = "count", center=(0.0, 0.0, 0.0),
+                 measure_n: bool = False, weighted: bool = False,
+                 underflow: bool = False, overflow: bool = False):
+        edges = np.asarray(edges, dtype=np.float64)
+        if edges.ndim != 1 or edges.size < 2:
+            raise ValueError("edges must be a 1-D array of >= 2 bin edges")
+        if not (np.diff(edges) > 0).all():
+            raise ValueError("edges must be strictly increasing")
+        if axis not in ("x", "y", "z", "r"):
+            raise ValueError(f"axis must be 'x', 'y', 'z' or 'r', "
+                             f"got {axis!r}")
+        if value not in ("count", "energy", "pathlength"):
+            raise ValueError(f"value must be 'count', 'energy' or "
+                             f"'pathlength', got {value!r}")
+        if axis == "r" and (np.asarray(edges) < 0).any():
+            raise ValueError("radial bin edges must be non-negative")
+        self.axis = axis
+        self.value = value
+        self.edges = edges
+        self.center = tuple(float(_as_float(v)) for v in center)
+        names = tuple(f"bin{i}" for i in range(edges.size - 1))
+        if underflow:
+            names += ("underflow",)
+        if overflow:
+            names += ("overflow",)
+        e = tuple(float(v) for v in edges)
+        cx, cy, cz = self.center
+
+        def contributions(p):
+            if axis == "r":
+                coord = jnp.sqrt((p.rx - cx) ** 2 + (p.ry - cy) ** 2
+                                 + (p.rz - cz) ** 2)
+            else:
+                coord = {"x": p.rx, "y": p.ry, "z": p.rz}[axis]
+            if value == "energy":
+                val = p.E
+            elif value == "pathlength":
+                val = jnp.sqrt(p.drx ** 2 + p.dry ** 2 + p.drz ** 2)
+            else:
+                val = None
+            if weighted:
+                val = p.w if val is None else val * p.w
+            out = {}
+            for i in range(len(e) - 1):
+                m = (coord >= e[i]) & (coord < e[i + 1])
+                out[f"bin{i}"] = m if val is None else jnp.where(m, val, 0.0)
+            if underflow:
+                m = coord < e[0]
+                out["underflow"] = (m if val is None
+                                    else jnp.where(m, val, 0.0))
+            if overflow:
+                m = coord >= e[-1]
                 out["overflow"] = (m if val is None
                                    else jnp.where(m, val, 0.0))
             return out

@@ -610,3 +610,95 @@ def test_spectrum_measure_csv(tmp_path):
     assert len(lines) == 2
     first = [float(v) for v in lines[0].split(",")]
     assert first[1] == 32 and first[2] == 32.0 and first[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# MeshTallyStep: fused on-device spatial histograms (cell tallies)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_tally_fused_matches_generic_and_numpy():
+    """Count tally binned by y while photons stream +x: fused == generic ==
+    np.histogram with the lower-edge convention, constant over iterations."""
+    edges = np.linspace(-1.0, 1.0, 9)  # 8 bins
+    ys = np.linspace(-1.5, 1.5, 512)   # spills both sides
+    r = np.zeros((3, 512)); r[1] = ys
+    out = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.003, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        tal = light.MeshTallyStep(None, axis="y", edges=edges, measure_n=True,
+                                  underflow=True, overflow=True)
+        s.add_step(2, tal)
+        s.add_photons(light.generate_photon_state(512, E=2.0, r=r))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = np.array(tal.data, dtype=float)
+    a, g = out["auto"], out["off"]
+    assert a.shape == g.shape == (3, 12)  # [t, n, 8 bins, under, over] x 3
+    np.testing.assert_allclose(a, g, rtol=1e-6)
+    hist = np.array([((ys >= edges[i]) & (ys < edges[i + 1])).sum()
+                     for i in range(8)])
+    expect = np.concatenate([[512.0], hist,
+                             [(ys < edges[0]).sum(), (ys >= edges[-1]).sum()]])
+    for row in a:  # motion is +x: the y histogram never changes
+        np.testing.assert_allclose(row[1:], expect, rtol=1e-6)
+
+
+def test_mesh_tally_pathlength_and_weighted():
+    """Track-length estimator: each alive photon deposits |dr| = c*dt into
+    its endpoint cell; weighted=True multiplies by w."""
+    c_dt = float(light.c) * 0.001
+    ys = np.array([0.25, 0.25, 0.75, 0.25])
+    ws = np.array([1.0, 0.5, 2.0, 0.25])
+    r = np.zeros((3, 4)); r[1] = ys
+    edges = np.array([0.0, 0.5, 1.0])
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.001, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        tal = light.MeshTallyStep(None, axis="y", edges=edges,
+                                  value="pathlength", weighted=True)
+        s.add_step(2, tal)
+        s.add_photons(light.generate_photon_state(4, E=1.0, r=r, w=ws))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        row = np.array(tal.data, dtype=float)[0]
+        np.testing.assert_allclose(
+            row[1:], [(1.0 + 0.5 + 0.25) * c_dt, 2.0 * c_dt], rtol=1e-5)
+
+
+def test_mesh_tally_radial_and_energy():
+    """axis='r' bins by |r - center|; value='energy' accumulates E sums.
+    Photons at x0 > 0 streaming +x sit at radius x0 + c*dt after the first
+    kinematics step (center at origin)."""
+    c_dt = float(light.c) * 0.001
+    x0 = np.array([0.5, 0.5, 1.5]) * c_dt
+    Es = np.array([1.0, 2.0, 4.0])
+    r = np.zeros((3, 3)); r[0] = x0
+    edges = np.array([0.0, 2.0, 3.0]) * c_dt
+    s = phys.Simulation(exit=lambda c: c.t >= 0.001, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    tal = light.MeshTallyStep(None, axis="r", edges=edges, value="energy")
+    s.add_step(2, tal)
+    s.add_photons(light.generate_photon_state(3, E=Es, r=r))
+    s.start(); s.join()
+    assert s.used_fused
+    row = np.array(tal.data, dtype=float)[0]
+    # radii after iteration 1: 1.5, 1.5, 2.5 (in c_dt units)
+    np.testing.assert_allclose(row[1:], [3.0, 4.0], rtol=1e-5)
+
+
+def test_mesh_tally_validation():
+    with pytest.raises(ValueError, match="increasing"):
+        light.MeshTallyStep(None, edges=[1.0, 1.0, 2.0])
+    with pytest.raises(ValueError, match="axis"):
+        light.MeshTallyStep(None, axis="w", edges=[0.0, 1.0])
+    with pytest.raises(ValueError, match="value"):
+        light.MeshTallyStep(None, edges=[0.0, 1.0], value="dose")
+    with pytest.raises(ValueError, match="non-negative"):
+        light.MeshTallyStep(None, axis="r", edges=[-1.0, 1.0])
+    with pytest.raises(ValueError, match=">= 2"):
+        light.MeshTallyStep(None, edges=[1.0])
