@@ -412,6 +412,37 @@ def main():
           abs(w[alive].sum() - 4096.0) < 0.5,
           f"{w[alive].sum():.2f} vs 4096")
 
+    # --- mesh tally: track-length estimator in a scattering slab conserves
+    # total path (every alive photon deposits exactly c*dt per iteration
+    # somewhere; with under/overflow capture the cells sum to N_alive*c*dt)
+    c_dt = float(light.c) * 1e-3
+    iters = 8
+    s = phys.Simulation(until_t=iters * 1e-3 * 0.9999, seed=31)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterIsotropicStep(n=np.double(1e-3),
+                                             A=np.double(1e-3)))
+    tal = light.MeshTallyStep(None, axis="x",
+                              edges=np.linspace(0, 6 * c_dt, 61),
+                              value="pathlength", measure_n=True,
+                              underflow=True, overflow=True)
+    s.add_step(3, tal)
+    # start half a cell in so the f32 front never straddles a bin edge
+    s.add_photons(light.generate_photon_state(
+        1_000_000, E=1.0, r=np.array([0.05 * c_dt, 0.0, 0.0])))
+    s.start(); s.join()
+    check("mesh tally pipeline stays fused", s.used_fused, f"{s.used_fused}")
+    rows = np.array(tal.data, dtype=float)
+    per_iter = rows[:, 2:].sum(axis=1) / (rows[:, 1] * c_dt)
+    check("mesh tally: track length conserved (sum cells = n*c*dt)",
+          np.allclose(per_iter, 1.0, atol=1e-3),
+          f"max |sum/(n c dt) - 1| = {np.abs(per_iter - 1).max():.2e}")
+    # ballistic front: at iteration 1 every photon sits mid-cell 10
+    # (x = 1.05*c_dt, 10 cells per c*dt)
+    k0 = int(np.argmax(rows[0, 2:]))
+    check("mesh tally: ballistic front in the right cell",
+          k0 == 10, f"iteration-1 peak cell {k0} (expect 10)")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
