@@ -156,6 +156,12 @@ class SimState:
                             constant_values=1.0)
             else:
                 w = jnp.ones((cap,), dtype)
+            dev_extras = {}
+            for name, arr in b.get("extras", {}).items():
+                arr = jnp.asarray(arr, dtype)
+                dev_extras[name] = (
+                    jnp.pad(arr, (0, cap - k)) if arr.ndim == 1
+                    else jnp.pad(arr, ((0, 0), (0, cap - k))))
             return SimState(
                 r=pad_vec(b["r"]), dr=zeros3, v=pad_vec(b["v"]),
                 dv=zeros3, a=zeros3,
@@ -167,6 +173,7 @@ class SimState:
                 t=jnp.zeros((), dtype), dt=jnp.zeros((), dtype),
                 key=SimState.make_key(seed, prng_impl),
                 n_spawned=jnp.asarray(k, jnp.int32),
+                extras=dev_extras,
             )
 
         np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
@@ -192,6 +199,13 @@ class SimState:
                     extras_spec.setdefault(name, 0)
                 elif arr.shape == (3,):
                     extras_spec.setdefault(name, 3)
+        # Bulk populations may carry per-particle extras too: (k,) scalars
+        # or (3, k) vectors under the "extras" key (e.g. Stokes planes from
+        # physicl_tpu.polarization.polarized_photon_state).
+        for b in bulks:
+            for name, arr in b.get("extras", {}).items():
+                extras_spec.setdefault(
+                    name, 0 if np.asarray(arr).ndim == 1 else 3)
         extras = {
             name: np.zeros((cap,) if dim == 0 else (3, cap), np_dtype)
             for name, dim in extras_spec.items()
@@ -220,6 +234,12 @@ class SimState:
             if "w" in b:
                 w[sl] = b["w"]
             otype[sl] = int(b["otype"])
+            for name, arr in b.get("extras", {}).items():
+                arr = np.asarray(arr, np.float64)
+                if arr.ndim == 1:
+                    extras[name][sl] = arr
+                else:
+                    extras[name][:, sl] = arr
             off += k
         alive = np.zeros((cap,), bool)
         alive[:n] = True

@@ -33,6 +33,7 @@ MODULES = [
     "physicl_tpu.state",
     "physicl_tpu.kernels",
     "physicl_tpu.light",
+    "physicl_tpu.polarization",
     "physicl_tpu.newton",
     "physicl_tpu.functional",
     "physicl_tpu.population",
