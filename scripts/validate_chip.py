@@ -443,6 +443,32 @@ def main():
     check("mesh tally: ballistic front in the right cell",
           k0 == 10, f"iteration-1 peak cell {k0} (expect 10)")
 
+    # --- polarized Rayleigh (generic jitted-scan path on the chip):
+    # one forced scatter of an unpolarized beam acquires EXACTLY
+    # Q = (c^2-1)/(1+c^2) per photon; purity of a pure state is conserved
+    import warnings as _warnings
+    import physicl_tpu.polarization as pol
+    Ap = np.sqrt(2.0 / (float(light.c) * 1e-3))
+    s = phys.Simulation(until_t=1e-3 * 0.9999, seed=41)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, pol.ScatterPolarizedRayleighStep(
+        A=np.double(Ap), n=np.double(Ap)))
+    s.add_photons(pol.polarized_photon_state(200_000, E=1.0))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        s.start(); s.join()
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)
+    v = np.asarray(s.sim_state.v, np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    cmu = v[0, alive] / np.linalg.norm(v[:, alive], axis=0)
+    dev = np.abs(st[0, alive] - (cmu ** 2 - 1) / (1 + cmu ** 2)).max()
+    check("polarized Rayleigh: single-scatter Q law exact",
+          dev < 5e-5, f"max |Q - (c^2-1)/(1+c^2)| = {dev:.2e}")
+    dev_uv = max(np.abs(st[1, alive]).max(), np.abs(st[2, alive]).max())
+    check("polarized Rayleigh: U = V = 0 for unpolarized input",
+          dev_uv < 5e-5, f"max |U|,|V| = {dev_uv:.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
