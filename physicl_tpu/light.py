@@ -54,6 +54,7 @@ __all__ = [
     "ScatterIsotropicStep", "ScatterSphericalStep",
     "ScatterHenyeyGreensteinStep", "ScatterRayleighStep",
     "ScatterPhaseFunctionStep", "mie_phase_table",
+    "layered_density", "voxel_density",
     "ScatterComptonStep", "m_e", "RefractiveInterfaceStep",
     "ScatterMeasureStep", "ScatterSignMeasureStep", "SpectrumMeasureStep",
     "SphericalShellMeasureStep", "MeshTallyStep",
@@ -817,6 +818,121 @@ def _compile_variable_n(fn_or_expr):
     """Number-density field n(r) as a jnp callable over (r0, r1, r2)."""
     return _compile_field_expr(fn_or_expr, ("r0", "r1", "r2"),
                                "variable_n_fn")
+
+
+def layered_density(edges, values, axis: str = "x",
+                    center=(0.0, 0.0, 0.0), outside: float = 0.0):
+    """Piecewise-constant layered medium as a ``variable_n_fn`` callable —
+    GATHER-FREE (mask-multiply over static layer edges, the phase-table
+    technique), so it traces into the fused Pallas kernel unchanged.
+
+    ``edges`` (increasing, layer i spans ``edges[i] <= coord < edges[i+1]``
+    — the framework-wide lower-edge convention) and ``values`` (one density
+    per layer, ``len(edges) - 1``) are static host floats. ``axis`` is
+    ``"x"``/``"y"``/``"z"`` for slab stacks or ``"r"`` for spherical shells
+    of ``|r - center|``; ``outside`` is the density beyond the edge range
+    (default vacuum). The atmosphere/shield/CT-slice counterpart of the
+    reference's analytic ``variable_n_fn`` C-expressions
+    (physicl/light.py:295-299). Keep layer count modest (each layer costs
+    one mask-multiply per particle per iteration; ~32 is free, hundreds
+    dilute the kernel) — for dense 3-D data use :func:`voxel_density`.
+    """
+    edges = [float(raw_code_value(e)) for e in np.asarray(edges).ravel()]
+    values = [float(raw_code_value(v)) for v in np.asarray(values).ravel()]
+    if len(edges) < 2 or len(values) != len(edges) - 1:
+        raise ValueError(f"need len(values) == len(edges) - 1 >= 1, got "
+                         f"{len(values)} values / {len(edges)} edges")
+    if not all(b > a for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be strictly increasing")
+    if axis not in ("x", "y", "z", "r"):
+        raise ValueError(f"axis must be 'x', 'y', 'z' or 'r', got {axis!r}")
+    cx, cy, cz = (float(raw_code_value(v)) for v in center)
+    outside = float(raw_code_value(outside))
+
+    def fn(r0, r1, r2):
+        if axis == "r":
+            coord = jnp.sqrt((r0 - cx) ** 2 + (r1 - cy) ** 2
+                             + (r2 - cz) ** 2)
+        else:
+            coord = {"x": r0, "y": r1, "z": r2}[axis]
+        out_mask = (coord < edges[0]) | (coord >= edges[-1])
+        acc = jnp.where(out_mask, jnp.asarray(outside, coord.dtype),
+                        jnp.zeros_like(coord))
+        for i, v in enumerate(values):
+            m = (coord >= edges[i]) & (coord < edges[i + 1])
+            acc = acc + jnp.asarray(v, coord.dtype) * m.astype(coord.dtype)
+        return acc
+
+    return fn
+
+
+def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
+                  interp: str = "nearest", outside: float = 0.0):
+    """3-D gridded medium (CT phantom / simulation snapshot) as a
+    ``variable_n_fn`` callable: ``grid[ix, iy, iz]`` is the density at
+    ``origin + (ix, iy, iz) * spacing``.
+
+    ``interp="nearest"`` snaps to the closest voxel center (coverage
+    ``origin - spacing/2`` to ``origin + (shape - 1/2) * spacing``);
+    ``"trilinear"`` interpolates the 8 surrounding voxels (coverage the
+    voxel-center hull; exact for fields linear in position). Positions
+    outside the coverage read ``outside`` (default vacuum).
+
+    Voxel lookups are array GATHERS, which do not trace into the Mosaic
+    (Pallas TPU) kernel — the callable is marked ``pallas_incompatible``
+    and the planner reports a structured ``field-fn-gather`` refusal: the
+    pipeline runs on the generic jitted-scan path (XLA lowers the gathers
+    natively there). For fusable layered media use :func:`layered_density`.
+    """
+    grid = jnp.asarray(raw_code_value(grid), jnp.float32)
+    if grid.ndim != 3:
+        raise ValueError(f"grid must be 3-D (nx, ny, nz), got {grid.shape}")
+    if interp not in ("nearest", "trilinear"):
+        raise ValueError(f"interp must be 'nearest' or 'trilinear', "
+                         f"got {interp!r}")
+    origin = np.asarray(raw_code_value(origin), np.float64).reshape(3)
+    spacing = np.broadcast_to(
+        np.asarray(raw_code_value(spacing), np.float64).ravel(), (3,))
+    if (spacing <= 0).any():
+        raise ValueError("spacing must be positive")
+    nx, ny, nz = grid.shape
+    outside = float(raw_code_value(outside))
+
+    def fn(r0, r1, r2):
+        dtype = r0.dtype
+        fx = (r0 - origin[0]) / spacing[0]
+        fy = (r1 - origin[1]) / spacing[1]
+        fz = (r2 - origin[2]) / spacing[2]
+        if interp == "nearest":
+            inside = ((fx >= -0.5) & (fx < nx - 0.5)
+                      & (fy >= -0.5) & (fy < ny - 0.5)
+                      & (fz >= -0.5) & (fz < nz - 0.5))
+            ix = jnp.clip(jnp.round(fx).astype(jnp.int32), 0, nx - 1)
+            iy = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, ny - 1)
+            iz = jnp.clip(jnp.round(fz).astype(jnp.int32), 0, nz - 1)
+            val = grid[ix, iy, iz].astype(dtype)
+            return jnp.where(inside, val, jnp.asarray(outside, dtype))
+        inside = ((fx >= 0) & (fx <= nx - 1) & (fy >= 0) & (fy <= ny - 1)
+                  & (fz >= 0) & (fz <= nz - 1))
+        x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+        y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
+        z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, nz - 2)
+        tx = jnp.clip(fx - x0, 0.0, 1.0).astype(dtype)
+        ty = jnp.clip(fy - y0, 0.0, 1.0).astype(dtype)
+        tz = jnp.clip(fz - z0, 0.0, 1.0).astype(dtype)
+        val = jnp.zeros_like(tx)
+        for dx_ in (0, 1):
+            wx = (1.0 - tx) if dx_ == 0 else tx
+            for dy_ in (0, 1):
+                wy = (1.0 - ty) if dy_ == 0 else ty
+                for dz_ in (0, 1):
+                    wz = (1.0 - tz) if dz_ == 0 else tz
+                    corner = grid[x0 + dx_, y0 + dy_, z0 + dz_].astype(dtype)
+                    val = val + wx * wy * wz * corner
+        return jnp.where(inside, val, jnp.asarray(outside, dtype))
+
+    fn.pallas_incompatible = True
+    return fn
 
 
 class ScatterIsotropicStep(Step):

@@ -620,6 +620,20 @@ def try_build_fused(sim, steps, state: SimState,
             # at="chunk"): applied between dispatches by the
             # PopulationManager, not inside the kernel — contributes no op
             continue
+        # field callables that declare they cannot trace into the Mosaic
+        # kernel (e.g. light.voxel_density's array gathers) force the
+        # generic scan with a structured reason instead of a compile crash
+        for attr in ("_n_fn", "_a_fn"):
+            f = getattr(s, attr, None)
+            if f is not None and getattr(f, "pallas_incompatible", False):
+                return _no("field-fn-gather",
+                           f"{type(s).__name__}'s "
+                           f"{'density' if attr == '_n_fn' else 'cross-'}"
+                           f"{'' if attr == '_n_fn' else 'section'} field "
+                           "callable declares pallas_incompatible (array "
+                           "gathers do not trace into the Mosaic kernel); "
+                           "the pipeline runs on the generic scan — use "
+                           "light.layered_density for a fusable medium")
         if isinstance(s, photon_only):
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
                 # unreachable for PhotonEmitterStep (promoted to a mixed

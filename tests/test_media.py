@@ -1,0 +1,122 @@
+"""Gridded-media density fields: layered_density (gather-free, fused) and
+voxel_density (3-D grids, generic path with a structured refusal)."""
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+
+jnp = pytest.importorskip("jax.numpy")
+
+
+def test_layered_density_values():
+    fn = light.layered_density([0.0, 1.0, 3.0], [2.0, 5.0], axis="y",
+                               outside=0.25)
+    y = jnp.asarray([-0.5, 0.0, 0.5, 1.0, 2.9, 3.0, 10.0])
+    z = jnp.zeros_like(y)
+    out = np.asarray(fn(z, y, z))
+    np.testing.assert_allclose(out, [0.25, 2.0, 2.0, 5.0, 5.0, 0.25, 0.25])
+
+    rfn = light.layered_density([1.0, 2.0], [7.0], axis="r",
+                                center=(1.0, 0.0, 0.0))
+    x = jnp.asarray([1.0, 2.5, 4.0])   # radii 0, 1.5, 3
+    out = np.asarray(rfn(x, jnp.zeros_like(x), jnp.zeros_like(x)))
+    np.testing.assert_allclose(out, [0.0, 7.0, 0.0])
+
+    with pytest.raises(ValueError, match="increasing"):
+        light.layered_density([1.0, 1.0], [2.0])
+    with pytest.raises(ValueError, match="len\\(values\\)"):
+        light.layered_density([0.0, 1.0], [1.0, 2.0])
+    with pytest.raises(ValueError, match="axis"):
+        light.layered_density([0.0, 1.0], [1.0], axis="q")
+
+
+def test_layered_density_fused_exact_attenuation():
+    """Implicit-capture transport through a two-layer slab stays FUSED and
+    reproduces the exact per-layer weight decay w = prod(1 - A*n(x_k)*c*dt)
+    on both execution paths."""
+    c_dt = float(light.c) * 0.001
+    A = 0.3 / c_dt
+    # layers aligned to flight steps: iterations 1-3 inside n=1 (x = 1..3
+    # c_dt), iterations 4-6 inside n=2, beyond = vacuum
+    nfn = light.layered_density(
+        np.array([0.5, 3.5, 6.5]) * c_dt, [1.0, 2.0])
+    expect = (1 - 0.3) ** 3 * (1 - 0.6) ** 3
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(until_t=0.008 * 0.9999, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(A), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_photons(light.generate_photon_state(256, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        w = np.asarray(s.sim_state.w, np.float64)
+        alive = np.asarray(s.sim_state.alive)
+        np.testing.assert_allclose(w[alive], expect, rtol=1e-5)
+
+
+def test_voxel_density_nearest_and_trilinear():
+    grid = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    fn = light.voxel_density(grid, origin=(10.0, 0.0, 0.0),
+                             spacing=(1.0, 2.0, 0.5), outside=-1.0)
+    x = jnp.asarray([10.0, 11.0, 10.4, 9.0])
+    y = jnp.asarray([0.0, 4.0, 1.1, 0.0])
+    z = jnp.asarray([0.0, 1.5, 0.2, 0.0])
+    out = np.asarray(fn(x, y, z))
+    # [0,0,0]=0; [1,2,3]=23; nearest of (0.4, 0.55, 0.4) -> [0,1,0]=4;
+    # x=9 is outside
+    np.testing.assert_allclose(out, [0.0, 23.0, 4.0, -1.0])
+
+    # trilinear reproduces a linear field exactly at arbitrary points
+    ii, jj, kk = np.meshgrid(np.arange(5), np.arange(6), np.arange(7),
+                             indexing="ij")
+    lin = (2.0 * ii - 3.0 * jj + 0.5 * kk + 1.0).astype(np.float32)
+    tfn = light.voxel_density(lin, origin=(0, 0, 0), spacing=1.0,
+                              interp="trilinear")
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 4, 64), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, 5, 64), jnp.float32)
+    pz = jnp.asarray(rng.uniform(0, 6, 64), jnp.float32)
+    got = np.asarray(tfn(px, py, pz), np.float64)
+    want = (2.0 * np.asarray(px, np.float64)
+            - 3.0 * np.asarray(py, np.float64)
+            + 0.5 * np.asarray(pz, np.float64) + 1.0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="3-D"):
+        light.voxel_density(np.zeros((2, 2)))
+    with pytest.raises(ValueError, match="interp"):
+        light.voxel_density(np.zeros((2, 2, 2)), interp="cubic")
+    with pytest.raises(ValueError, match="positive"):
+        light.voxel_density(np.zeros((2, 2, 2)), spacing=0.0)
+
+
+def test_voxel_density_in_transport_refuses_fused_with_reason():
+    """A voxel medium forces the generic scan via the structured
+    field-fn-gather refusal, and a CONSTANT grid reproduces the exact
+    constant-density implicit-capture decay."""
+    c_dt = float(light.c) * 0.001
+    A = 0.2 / c_dt
+    grid = np.full((2, 2, 2), 1.0, np.float32)
+    # voxel centers at 0 and 9*c_dt per axis: nearest-neighbor coverage
+    # spans x in [-4.5, 13.5] * c_dt, all density 1
+    nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=9 * c_dt)
+    s = phys.Simulation(until_t=0.005 * 0.9999, seed=0)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(A), variable_n=True, variable_n_fn=nfn,
+        implicit_capture=True))
+    s.add_photons(light.generate_photon_state(128, E=1.0))
+    with pytest.warns(RuntimeWarning, match="field-fn-gather"):
+        s.start(); s.join()
+    assert not s.used_fused
+    assert any(code == "field-fn-gather"
+               for code, _ in s.plan_report.refusals)
+    w = np.asarray(s.sim_state.w, np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    np.testing.assert_allclose(w[alive], (1 - 0.2) ** 5, rtol=1e-5)

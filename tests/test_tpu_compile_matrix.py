@@ -177,6 +177,15 @@ def _ops(kind):
                            cols=(1, 2)),
                 F._Op("sabsorb", sphere=(0.0, 0.0, 0.0, 2.0 * R)),
                 F._Op("sign", cols=(3, 4))], 5, 0
+    if kind == "layered":
+        # light.layered_density: 8 layers of mask-multiply density terms
+        # folded into the del op's n(r) — the gather-free gridded medium
+        import physicl_tpu.light as L
+
+        nfn = L.layered_density(np.linspace(0.0, 8.0, 9) * _EPS,
+                                [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.5])
+        return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "stretch":
         # exponential transform: direction-cosine reweighting on the del
         # op (mu from the dr planes + two likelihood ratios per iter)
@@ -209,7 +218,7 @@ def _ops(kind):
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
                                   "mixed", "stretch", "phase",
-                                  "sphere"])
+                                  "sphere", "layered"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
