@@ -74,10 +74,17 @@ def _random_pipeline(rng, fuse, seed):
                 A_fn="pow(fmax(E[gid], 1e-6), -1.0)"))
         elif pick < 0.4:  # round 3 late: variable density absorption
             meta["deaths"] = True
+            if rng.random() < 0.5:  # r3 cont.: gather-free layered medium
+                L = float(light.c) * 0.001
+                k = int(rng.integers(2, 9))
+                nfn = light.layered_density(
+                    np.linspace(0.0, (k + 2) * L, k + 1),
+                    rng.uniform(2e-4, 2e-3, k), outside=1e-4)
+            else:
+                nfn = "0.001 * exp(-fabs(r0[gid]) / 1e9)"
             s.add_step(idx, light.ScatterDeleteStep(
                 n=0.001, A=np.double(rng.uniform(2e-4, 1e-3)),
-                variable_n=True,
-                variable_n_fn="0.001 * exp(-fabs(r0[gid]) / 1e9)"))
+                variable_n=True, variable_n_fn=nfn))
         elif pick < 0.6:  # round 3 final: weighted transport — pure
             # implicit capture kills NOBODY, so the exact deterministic
             # population assertion below still applies; with roulette the
@@ -142,7 +149,20 @@ def _random_pipeline(rng, fuse, seed):
         spec = light.SpectrumMeasureStep(
             None, edges=np.linspace(0.0, 10.0, int(rng.integers(3, 12))),
             measure_n=True, underflow=True, overflow=True)
-        s.add_step(idx, spec)
+        s.add_step(idx, spec); idx += 1
+    if rng.random() < 0.35:  # r3 cont.: spatial cell tally — full capture
+        # (under/overflow; radius >= 0 never underflows edges[0] = 0), so
+        # the spectrum partition assertion applies: bins + capture bins
+        # cover the alive population exactly every iteration
+        axis = str(rng.choice(["x", "y", "z", "r"]))
+        L = float(light.c) * 0.001
+        tal = light.MeshTallyStep(
+            None, axis=axis,
+            edges=np.linspace(0.0 if axis == "r" else -4 * L, 8 * L,
+                              int(rng.integers(3, 12))),
+            measure_n=True, underflow=(axis != "r"), overflow=True)
+        s.add_step(idx, tal)
+        meta["tally"] = tal
     meta["n0"] = int(rng.integers(3000, 8000))
     s.add_photons(light.generate_photon_state(meta["n0"], E=1.0))
     return s, sign, cross, trace, red, spec, meta
@@ -173,6 +193,11 @@ def test_random_pipeline_fused_matches_generic(trial):
             # histogram self-consistency: bins + capture bins partition the
             # alive population EXACTLY every iteration (E is covered by the
             # underflow/overflow capture whatever the physics did to it)
+            np.testing.assert_allclose(rows[:, 2:].sum(axis=1), rows[:, 1],
+                                       rtol=1e-5)
+        if "tally" in meta:
+            rows = np.array(meta["tally"].data, dtype=float)
+            # cells + capture bins partition the alive population exactly
             np.testing.assert_allclose(rows[:, 2:].sum(axis=1), rows[:, 1],
                                        rtol=1e-5)
         if trace is not None:
