@@ -199,6 +199,25 @@ def main():
     emit("kernelstep_drag_generic_1e7", generic_steady_rate(kstep, N),
          "photon-steps/s", 2.0e4)
 
+    # 3d. polarized Rayleigh transport (Stokes vectors: generic-only by
+    # design — 6 extra per-photon planes + the 26-step azimuth bisection)
+    def polarized():
+        import warnings
+
+        import physicl_tpu.polarization as pol
+
+        warnings.filterwarnings("ignore", message=".*unsupported-step.*")
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, pol.ScatterPolarizedRayleighStep(A=np.double(0.001),
+                                                       n=np.double(0.001)))
+        s.add_photons(pol.polarized_photon_state(N, E=1.0, device=True))
+        return s
+
+    emit("polarized_rayleigh_generic_1e7", generic_steady_rate(polarized, N),
+         "photon-steps/s", 2.0e4)
+
     # 4. lambda^-4 + variable-n + delete (with auto-shrink compaction)
     def wl():
         s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
