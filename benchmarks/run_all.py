@@ -199,14 +199,13 @@ def main():
     emit("kernelstep_drag_generic_1e7", generic_steady_rate(kstep, N),
          "photon-steps/s", 2.0e4)
 
-    # 3d. polarized Rayleigh transport (Stokes vectors: generic-only by
-    # design — 6 extra per-photon planes + the 26-step azimuth bisection)
+    # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
+    # "pol" with a 21-plane packed state — the heaviest fused op after
+    # thermal Compton: 26-step azimuth bisection + frame/Mueller algebra,
+    # unroll 1) plus the generic-scan rate for the ratio
     def polarized():
-        import warnings
-
         import physicl_tpu.polarization as pol
 
-        warnings.filterwarnings("ignore", message=".*unsupported-step.*")
         s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
         s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
         s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
@@ -215,8 +214,13 @@ def main():
         s.add_photons(pol.polarized_photon_state(N, E=1.0, device=True))
         return s
 
-    emit("polarized_rayleigh_generic_1e7", generic_steady_rate(polarized, N),
+    pol_fused = steady_rate(polarized, N)
+    emit("polarized_rayleigh_1e7", pol_fused, "photon-steps/s", 2.0e4)
+    pol_generic = generic_steady_rate(polarized, N)
+    emit("polarized_rayleigh_generic_1e7", pol_generic,
          "photon-steps/s", 2.0e4)
+    emit("fused_over_generic_ratio_polarized", pol_fused / pol_generic,
+         "x", 1.0)
 
     # 4. lambda^-4 + variable-n + delete (with auto-shrink compaction)
     def wl():

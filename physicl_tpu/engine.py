@@ -1311,6 +1311,14 @@ class Simulation(threading.Thread):
         _, _, emit_per_iter = self._population_policies()
         exit_fn, exit_tier = self._exit_traced_fn(state)
         exit_traced = exit_fn is not None
+        # provisional report BEFORE anything traces user step code
+        # (_auto_chunk / _build_chunk_fn): a step that raises at trace time
+        # (e.g. polarization's missing-planes error) still leaves the fused
+        # refusal trail readable through sim.explain_plan()
+        self.plan_report = PlanReport(
+            mode="generic", chunk=-1, fuse_setting=self.fuse,
+            allow_fuse=allow_fuse, exit_tier=exit_tier, refusals=refusals,
+            notes=["provisional: step compilation did not finish"])
         if not exit_traced:
             # host-exact mode: the predicate must be checked every iteration;
             # a larger chunk_steps would overshoot the exit

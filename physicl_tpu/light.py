@@ -1960,6 +1960,20 @@ class PhotonEmitterStep(Step):
                 # recycled slots may carry a stale roulette/capture weight
                 # (the fused kernel resets it the same way, ops/fused.py)
                 w=put1(state.w, jnp.ones((k,), dtype)),
+                # ... and stale per-particle aux planes (Stokes vectors,
+                # charge data): fresh photons start with zeroed extras
+                # (unpolarized, degenerate frame -> the polarized scatter's
+                # fallback frame; q/m = 0 -> never Lorentz-pushed). The
+                # fused kernel zeroes its packed extras copies identically.
+                extras={
+                    name: (lax.dynamic_update_slice(
+                        arr, jnp.zeros((k,), arr.dtype), (start,))
+                        if arr.ndim == 1 else
+                        lax.dynamic_update_slice(
+                            arr, jnp.zeros((arr.shape[0], k), arr.dtype),
+                            (0, start)))
+                    for name, arr in state.extras.items()
+                },
                 n_spawned=start + k,
             )
 

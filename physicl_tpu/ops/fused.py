@@ -176,6 +176,11 @@ class _Op:
     # sign/cross: tallies are statistical-weight sums into FLOAT record
     # channels (cols/axes then index rec_f) instead of int counts
     weighted: bool = False
+    # pol/polmeas (polarization.ScatterPolarizedRayleighStep /
+    # StokesMeasureStep): absolute packed-plane indices of the first Stokes
+    # plane and the first pol_ref plane — (stokes0,) for polmeas (read-only)
+    # or (stokes0, pol_ref0) for pol (both triples rewritten in-kernel)
+    pol_planes: tuple = ()
     # emit: photons appear in slots [emit_starts[k], +n) each iteration —
     # the schedule is host-precomputed (slot allocation is contiguous from
     # the spawn mark), so in-kernel emission is one masked write per tile.
@@ -206,9 +211,16 @@ class FusedPlan:
     # per-particle planes packed AFTER the 15 core planes: names resolve
     # against state.extras at pack time ("qm" is the derived charge-to-mass
     # ratio q/m, 0 where m == 0; "otype" is the species code on mixed
-    # plans). Ops address extras[j] as field plane _NF + j; the kernel
-    # copies them through unchanged, except emit retyping otype to photon.
+    # plans; "name:i" is row i of a multi-row extras array, e.g. "stokes:0").
+    # Ops address extras[j] as field plane _NF + j; the kernel copies them
+    # through unchanged unless the base name is listed in extras_writeback.
     extras: tuple = ()
+    # base names of extras whose packed planes the kernel MUTATES (e.g. the
+    # "pol" op rewrites the Stokes and frame triples): unpack_state
+    # reconstructs these into state.extras after every chunk so boundary
+    # passes (compaction, injection, checkpoint) see the kernel's writes.
+    # Everything not listed stays read-only (single source of truth: host).
+    extras_writeback: tuple = ()
     # |dr| == c*dt for every particle (all photons at speed c): replaces the
     # per-photon norm (sqrt + 5 flops) with one scalar per iteration. The
     # prover enables this only after validating every particle speed.
@@ -296,6 +308,52 @@ def _unit_dir(f):
         f[_VX] * f[_VX] + f[_VY] * f[_VY] + f[_VZ] * f[_VZ],
         jnp.float32(1e-30)))
     return f[_VX] * inv_v, f[_VY] * inv_v, f[_VZ] * inv_v
+
+
+def _bisect_phi_sincos(u, a, b, iters: int = 26):
+    """(sin phi, cos phi) of the polarized-azimuth inverse CDF: solve
+    ``phi + (a/2) sin 2phi + (b/2)(1 - cos 2phi) = 2pi u`` on [0, 2pi] by
+    monotone bisection (the kernel twin of polarization._bisect_phi, same
+    iteration count => same 2pi*2^-iters resolution).
+
+    Mosaic-friendly trick: instead of evaluating sin/cos of the midpoint
+    each step, carry ``(sin lo, cos lo)`` and ROTATE by the static half-
+    interval angle ``delta_k = pi/2^k`` — the rotation coefficients
+    ``(sin delta_k, cos delta_k)`` are compile-time f32 constants, so the
+    whole inversion is multiply-adds with zero in-loop transcendentals.
+    Doubles come from the double-angle identities. f32 rotation drift over
+    26 composed rotations is ~3e-6 — far below the 2^-16 granularity of the
+    packed-angle uniform that feeds ``u``.
+    """
+    two_pi = jnp.float32(2.0 * np.pi)
+    target = u * two_pi
+    lo = jnp.zeros_like(u)
+    s_lo = jnp.zeros_like(u)
+    c_lo = jnp.ones_like(u)
+    half = jnp.float32(0.5)
+    for k in range(iters):
+        delta = np.pi / (1 << k)
+        sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
+        mid = lo + jnp.float32(delta)
+        s_m = s_lo * cd + c_lo * sd
+        c_m = c_lo * cd - s_lo * sd
+        sin2 = 2.0 * s_m * c_m
+        cos2 = c_m * c_m - s_m * s_m
+        fv = mid + half * a * sin2 + half * b * (1.0 - cos2)
+        go_hi = fv < target
+        lo = jnp.where(go_hi, mid, lo)
+        s_lo = jnp.where(go_hi, s_m, s_lo)
+        c_lo = jnp.where(go_hi, c_m, c_lo)
+    # final midpoint: one more half-interval rotation
+    delta = np.pi / (1 << iters)
+    sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
+    s_f = s_lo * cd + c_lo * sd
+    c_f = c_lo * cd - s_lo * sd
+    # renormalize the pair so the composed-rotation drift cannot leak into
+    # the direction/Stokes algebra downstream
+    inv = jax.lax.rsqrt(jnp.maximum(s_f * s_f + c_f * c_f,
+                                    jnp.float32(1e-30)))
+    return s_f * inv, c_f * inv
 
 
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
@@ -592,6 +650,147 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
                         scatter, f[_W] * (f[_E] - f[_E] / eta), 0.0)))
                 f[_E] = jnp.where(scatter, f[_E] / eta, f[_E])
+        elif op.kind == "pol":
+            # Stokes-polarized Rayleigh/Thomson scatter (polarization.
+            # ScatterPolarizedRayleighStep): same collision model as "rayl",
+            # but (theta, phi) drawn from the FULL polarized intensity and
+            # the Stokes + frame triples (packed extras planes, writeback)
+            # rewritten per scatter. Mirrors the generic apply exactly
+            # (same masks, same clips, same frame fallback) up to PRNG
+            # stream and the bisection's in-kernel trig recurrences.
+            from physicl_tpu.light import _rayleigh_cos_theta
+
+            st_p, pr_p = op.pol_planes
+            pcoll = jnp.float32(op.coef) * dr_norm()
+            if op.n_fn is not None:
+                pcoll = pcoll * op.n_fn(f[_RX], f[_RY], f[_RZ]).astype(
+                    jnp.float32)
+            if op.wl_base is not None:
+                base = f[_E] * jnp.float32(op.wl_base)
+                b2 = base * base
+                pcoll = pcoll * (b2 * b2)
+            u = rng.uniform(shape)
+            if plan.packed_angles:
+                cu, pu = rng.uniform_pair(shape)
+            else:
+                cu, pu = rng.uniform(shape), rng.uniform(shape)
+            scatter = (pcoll >= u) & ph_alive()
+
+            # local right-handed frame (e1, e2, d): stored pol_ref
+            # re-orthonormalized against d, fresh perpendicular where
+            # degenerate (zero-filled slots / unpolarized injections)
+            dx, dy, dz = _unit_dir(f)
+            q = f[st_p]
+            u_st = f[st_p + 1]
+            v_st = f[st_p + 2]
+            dot = dx * f[pr_p] + dy * f[pr_p + 1] + dz * f[pr_p + 2]
+            p0 = f[pr_p] - dot * dx
+            p1 = f[pr_p + 1] - dot * dy
+            p2 = f[pr_p + 2] - dot * dz
+            n2 = p0 * p0 + p1 * p1 + p2 * p2
+            inv_n = jax.lax.rsqrt(jnp.maximum(n2, jnp.float32(1e-30)))
+            # fallback: z-hat where |dz| < 0.9 else y-hat, orthonormalized
+            # (generic path's _perp_candidate + _orthonormal_ref)
+            use_z = jnp.abs(dz) < jnp.float32(0.9)
+            cy = jnp.where(use_z, jnp.float32(0.0), jnp.float32(1.0))
+            cz = jnp.where(use_z, jnp.float32(1.0), jnp.float32(0.0))
+            dotc = dy * cy + dz * cz
+            fb0 = -dotc * dx
+            fb1 = cy - dotc * dy
+            fb2 = cz - dotc * dz
+            inv_fb = jax.lax.rsqrt(jnp.maximum(
+                fb0 * fb0 + fb1 * fb1 + fb2 * fb2, jnp.float32(1e-30)))
+            degen = n2 < jnp.float32(1e-8)  # == (norm < 1e-4) generically
+            e1x = jnp.where(degen, fb0 * inv_fb, p0 * inv_n)
+            e1y = jnp.where(degen, fb1 * inv_fb, p1 * inv_n)
+            e1z = jnp.where(degen, fb2 * inv_fb, p2 * inv_n)
+            e2x = dy * e1z - dz * e1y
+            e2y = dz * e1x - dx * e1z
+            e2z = dx * e1y - dy * e1x
+
+            # theta from the dipole marginal (Cardano closed form), then
+            # phi | theta from 1 + a cos2phi + b sin2phi by bisection
+            cos_t = _rayleigh_cos_theta(cu, jnp.float32)
+            c2 = cos_t * cos_t
+            r_t = (c2 - 1.0) / (1.0 + c2)
+            sin_p, cos_p = _bisect_phi_sincos(pu, r_t * q, r_t * u_st)
+            cos2p = cos_p * cos_p - sin_p * sin_p
+            sin2p = 2.0 * sin_p * cos_p
+
+            # rotate Stokes into the scattering plane, apply the dipole
+            # Mueller matrix, renormalize to I = 1
+            q_r = q * cos2p + u_st * sin2p
+            u_r = u_st * cos2p - q * sin2p
+            i_new = 0.5 * (1.0 + c2) + 0.5 * (c2 - 1.0) * q_r
+            inv_i = 1.0 / jnp.maximum(i_new, jnp.float32(1e-7))
+            one = jnp.float32(1.0)
+            q_new = jnp.clip(
+                (0.5 * (c2 - 1.0) + 0.5 * (1.0 + c2) * q_r) * inv_i,
+                -one, one)
+            u_new = jnp.clip(cos_t * u_r * inv_i, -one, one)
+            v_new_st = jnp.clip(cos_t * v_st * inv_i, -one, one)
+            # over-purity clamp near the Mueller null (generic twin does
+            # the same): rescale only when f32 roundoff pushed p past 1
+            pp2 = q_new * q_new + u_new * u_new + v_new_st * v_new_st
+            pscale = jax.lax.rsqrt(jnp.maximum(pp2, one))
+            q_new = q_new * pscale
+            u_new = u_new * pscale
+            v_new_st = v_new_st * pscale
+
+            # new direction d' = cos_t d + sin_t a, frame e1' = cos_t a -
+            # sin_t d (a = cos_p e1 + sin_p e2); both renormalized
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - c2, jnp.float32(0.0)))
+            ax_ = cos_p * e1x + sin_p * e2x
+            ay_ = cos_p * e1y + sin_p * e2y
+            az_ = cos_p * e1z + sin_p * e2z
+            ndx = cos_t * dx + sin_t * ax_
+            ndy = cos_t * dy + sin_t * ay_
+            ndz = cos_t * dz + sin_t * az_
+            inv_dn = jax.lax.rsqrt(jnp.maximum(
+                ndx * ndx + ndy * ndy + ndz * ndz, jnp.float32(1e-30)))
+            cval = jnp.float32(op.c_val) * inv_dn
+            for d_i, nd in enumerate((ndx, ndy, ndz)):
+                old = f[_VX + d_i]
+                f[_VX + d_i] = jnp.where(scatter, nd * cval, old)
+                f[_DVX + d_i] = jnp.where(scatter, nd * cval - old,
+                                          jnp.float32(0.0))
+            n1x = cos_t * ax_ - sin_t * dx
+            n1y = cos_t * ay_ - sin_t * dy
+            n1z = cos_t * az_ - sin_t * dz
+            inv_e1 = jax.lax.rsqrt(jnp.maximum(
+                n1x * n1x + n1y * n1y + n1z * n1z, jnp.float32(1e-30)))
+            # non-scattering slots keep the RE-ORTHONORMALIZED frame (the
+            # generic path stores it back every iteration, which is what
+            # stops f32 frame drift from accumulating)
+            f[st_p] = jnp.where(scatter, q_new, q)
+            f[st_p + 1] = jnp.where(scatter, u_new, u_st)
+            f[st_p + 2] = jnp.where(scatter, v_new_st, v_st)
+            f[pr_p] = jnp.where(scatter, n1x * inv_e1, e1x)
+            f[pr_p + 1] = jnp.where(scatter, n1y * inv_e1, e1y)
+            f[pr_p + 2] = jnp.where(scatter, n1z * inv_e1, e1z)
+        elif op.kind == "polmeas":
+            # polarization summary (polarization.StokesMeasureStep): weight,
+            # degree-of-polarization, and Stokes component sums over alive
+            # photons into float record channels; the host divides by the
+            # weight sum to recover the generic path's means (tile sums add
+            # across the grid and psum across shards)
+            (st_p,) = op.pol_planes
+            n_col, f0 = op.cols
+            if n_col >= 0:
+                row = put(row, n_col, jnp.sum(alive_b, dtype=jnp.int32))
+            # ALL alive particles, matching the generic apply's state.alive
+            # weighting (not photon-gated)
+            wt = alive_b.astype(jnp.float32)
+            if op.weighted:
+                wt = wt * f[_W]
+            qs, us, vs = f[st_p], f[st_p + 1], f[st_p + 2]
+            pdeg = jnp.sqrt(qs * qs + us * us + vs * vs)
+            row_f = put_f(row_f, f0, jnp.sum(wt))
+            row_f = put_f(row_f, f0 + 1, jnp.sum(wt * pdeg))
+            row_f = put_f(row_f, f0 + 2, jnp.sum(wt * vs))
+            if len(op.reduce_outputs) > 3:  # local_qu: <Q>, <U>
+                row_f = put_f(row_f, f0 + 3, jnp.sum(wt * qs))
+                row_f = put_f(row_f, f0 + 4, jnp.sum(wt * us))
         elif op.kind == "emit":
             # inactive iterations use a far-negative start (never overlaps);
             # under shard_map starts are shifted into shard-local coordinates
@@ -622,6 +821,15 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     f[_VX + d] = jnp.where(mask, cval * comp, f[_VX + d])
             # recycled slots may carry a stale roulette/capture weight
             f[_W] = jnp.where(mask, jnp.float32(1.0), f[_W])
+            # ... and stale per-particle aux planes (Stokes vectors, charge
+            # data): fresh photons start with zeroed extras (unpolarized,
+            # degenerate frame -> fallback on first polarized scatter),
+            # matching the generic PhotonEmitterStep's extras reset. The
+            # derived otype plane is handled below, never zeroed.
+            for j, name in enumerate(plan.extras):
+                if name != "otype":
+                    f[_NF + j] = jnp.where(mask, jnp.float32(0.0),
+                                           f[_NF + j])
             if is_ph is not None and plan.species == SPECIES_MIXED:
                 # emitted slots become photons in the packed otype plane so
                 # same-chunk photon physics sees them immediately (the host
@@ -1265,7 +1473,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase")
+    if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase", "pol")
            for op in plan.ops):
         # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
         # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
@@ -1283,6 +1491,12 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # thermal Comptonization adds the electron draw + two Lorentz
         # boosts (~20 more live temporaries) on top of the Kahn loop:
         # no unrolling headroom left
+        plan = dataclasses.replace(plan, unroll=1)
+    if any(op.kind == "pol" for op in plan.ops):
+        # the polarized azimuth bisection (26 unrolled rotation steps) plus
+        # the frame/Mueller algebra is the largest op body after thermal
+        # Compton — unroll 1 until a fresh-compile scoped-vmem measurement
+        # on hardware says otherwise (compile-matrix combo "polarized")
         plan = dataclasses.replace(plan, unroll=1)
 
     out_specs = [
@@ -1359,7 +1573,9 @@ def pack_state(state: SimState, extras: tuple = ()) -> jax.Array:
     back out). ``extras`` names resolve against ``state.extras``; the derived
     pseudo-plane ``"qm"`` packs the charge-to-mass ratio ``q / m`` (0 where
     ``m == 0`` — uncharged/unset particles are never pushed, matching
-    newton.LorentzForceStep's generic-path guard)."""
+    newton.LorentzForceStep's generic-path guard); ``"name:i"`` packs row
+    ``i`` of a multi-row extras array (e.g. ``"stokes:1"`` -> the U Stokes
+    component plane)."""
     planes = [state.r, state.dr, state.v, state.dv,
               state.E[None].astype(jnp.float32),
               state.alive[None].astype(jnp.float32),
@@ -1372,16 +1588,41 @@ def pack_state(state: SimState, extras: tuple = ()) -> jax.Array:
             planes.append(jnp.where(m != 0, q / safe, 0.0)[None])
         elif name == "otype":  # mixed-species plans: per-particle type gate
             planes.append(state.otype.astype(jnp.float32)[None])
+        elif ":" in name:      # row of a multi-row extras array
+            base, idx = name.rsplit(":", 1)
+            planes.append(
+                state.extras[base][int(idx)].astype(jnp.float32)[None])
         else:
             planes.append(state.extras[name].astype(jnp.float32)[None])
     return jnp.concatenate(planes, axis=0)
 
 
-def unpack_state(packed: jax.Array, template: SimState) -> SimState:
-    return template.replace(
+def unpack_state(packed: jax.Array, template: SimState,
+                 extras: tuple = (), writeback: tuple = ()) -> SimState:
+    """Packed (NF, C) -> SimState. ``writeback`` lists extras BASE names the
+    kernel mutated (FusedPlan.extras_writeback): their planes are gathered
+    from the packed array (rows ordered by the ``name:i`` suffix) and
+    replace the corresponding ``template.extras`` entries; all other extras
+    stay host-authoritative."""
+    state = template.replace(
         r=packed[_RX:_RX + 3], dr=packed[_DRX:_DRX + 3],
         v=packed[_VX:_VX + 3], dv=packed[_DVX:_DVX + 3],
         E=packed[_E].astype(template.E.dtype),
         alive=packed[_ALIVE] > 0,
         w=packed[_W].astype(template.w.dtype),
     )
+    if writeback:
+        new_extras = dict(template.extras)
+        for base in writeback:
+            rows = sorted(
+                (int(n.rsplit(":", 1)[1]), j)
+                for j, n in enumerate(extras) if n.startswith(base + ":"))
+            tmpl = template.extras[base]
+            if rows:
+                new_extras[base] = jnp.stack(
+                    [packed[_NF + j] for _, j in rows]).astype(tmpl.dtype)
+            else:  # single-plane extras packed under the bare name
+                new_extras[base] = packed[
+                    _NF + extras.index(base)].astype(tmpl.dtype)
+        state = state.replace(extras=new_extras)
+    return state

@@ -203,6 +203,8 @@ class FusedProvider:
             or (op.kind in ("sign", "scross") and op.weighted)
             # deposition / Compton-heating channels
             or (op.kind in ("del", "compton") and bool(op.cols))
+            # polarization summaries (weight/p/V(/Q/U) sums)
+            or op.kind == "polmeas"
             for op in plan.ops)
         # packed-state cache: when the engine hands back the SimState we
         # returned last chunk, reuse its packed buffer instead of re-packing
@@ -365,7 +367,8 @@ class FusedProvider:
             self.sim._hwm = self.hwm_h
 
         import jax.numpy as jnp
-        new_state = F.unpack_state(packed, state).replace(
+        new_state = F.unpack_state(packed, state, self.plan.extras,
+                                   self.plan.extras_writeback).replace(
             t=jnp.asarray(float(self.t_h), state.t.dtype),
             dt=jnp.asarray(float(self.dt_h), state.dt.dtype),
             t_comp=jnp.asarray(float(self.comp_h), state.t.dtype),
@@ -374,13 +377,20 @@ class FusedProvider:
         if self.hwm_h > hwm_before:
             # retype emitted slots in state.otype: on mixed plans the kernel
             # also writes the packed otype plane (same-chunk physics), but
-            # unpack_state never reads extras planes back, and photon-only
+            # only extras_writeback planes are read back, and photon-only
             # plans carry no otype plane at all — the host mirror is the
-            # single source of truth for state.otype either way
+            # single source of truth for state.otype either way. Extras
+            # planes of emitted slots zero in the same mirror pass (the
+            # kernel zeroes its packed copies in-kernel; the generic
+            # PhotonEmitterStep zeroes state.extras directly), so a later
+            # re-pack after compaction/injection sees the same fresh slots.
             idx = jnp.arange(state.capacity)
             emitted = (idx >= hwm_before) & (idx < self.hwm_h)
-            new_state = new_state.replace(otype=jnp.where(
-                emitted, jnp.int32(OBJ_PHOTON), new_state.otype))
+            new_state = new_state.replace(
+                otype=jnp.where(emitted, jnp.int32(OBJ_PHOTON),
+                                new_state.otype),
+                extras={k: jnp.where(emitted, jnp.zeros((), v.dtype), v)
+                        for k, v in new_state.extras.items()})
         self._last_state = new_state
         self._last_packed = packed
         # start the record transfer now: it begins the moment the kernel
@@ -498,6 +508,19 @@ class FusedProvider:
                     records[f"{uid}/n"] = rec_np[:, m["n_col"]]
                 for j, name in enumerate(m["names"]):
                     records[f"{uid}/{name}"] = recf_np[:, m["f0"] + j]
+            elif kind == "polmeas":
+                # kernel tallies weight/p/V(/Q/U) SUMS; divide by the weight
+                # sum to recover the generic path's per-iteration means
+                records[f"{uid}/t"] = t_arr
+                if m["n_col"] >= 0:
+                    records[f"{uid}/n"] = rec_np[:, m["n_col"]]
+                f0 = m["f0"]
+                denom = np.maximum(recf_np[:, f0], 1e-30)
+                records[f"{uid}/p_mean"] = recf_np[:, f0 + 1] / denom
+                records[f"{uid}/V_mean"] = recf_np[:, f0 + 2] / denom
+                if m["local_qu"]:
+                    records[f"{uid}/Q_mean"] = recf_np[:, f0 + 3] / denom
+                    records[f"{uid}/U_mean"] = recf_np[:, f0 + 4] / denom
             elif kind == "trace":
                 # device-resident: the step receives the RAW stream buffer
                 # plus plane offsets and slices lazily at assembly time —
@@ -562,6 +585,20 @@ def try_build_fused(sim, steps, state: SimState,
         SphericalShellMeasureStep,
         TracePathMeasureStep,
     )
+    from physicl_tpu.polarization import (
+        ScatterPolarizedRayleighStep,
+        StokesMeasureStep,
+    )
+
+    def _population_has_stokes(sim) -> bool:
+        """At least one pending source declares the Stokes planes (state
+        assembly zero-fills the rest: unpolarized, degenerate frame)."""
+        for b in sim._pending_bulk:
+            ex = b.get("extras") or {}
+            if "stokes" in ex and "pol_ref" in ex:
+                return True
+        return any(hasattr(o, "stokes") and hasattr(o, "pol_ref")
+                   for o in sim._pending_objects)
 
     if not getattr(sim, "jit_on", True):
         return _no("jit-off", "jit_on=False: the fused Pallas pipeline "
@@ -591,7 +628,8 @@ def try_build_fused(sim, steps, state: SimState,
     ops: List[F._Op] = []
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
-    extra_names: List[str] = []  # read-only packed planes after the core 15
+    extra_names: List[str] = []  # packed planes after the core 15
+    pol_writeback = False        # a "pol" op mutates the Stokes/frame planes
     if species == F.SPECIES_MIXED:
         extra_names.append("otype")
     next_col = 1
@@ -610,6 +648,7 @@ def try_build_fused(sim, steps, state: SimState,
     # are exact no-ops there — fusing would only hide a likely user error).
     photon_only = (ScatterDeleteStep, ScatterIsotropicStep,
                    ScatterHenyeyGreensteinStep, ScatterRayleighStep,
+                   ScatterPolarizedRayleighStep,
                    ScatterComptonStep, RefractiveInterfaceStep,
                    PhotonEmitterStep)
 
@@ -760,6 +799,48 @@ def try_build_fused(sim, steps, state: SimState,
                 "rayl", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
             ))
+        elif type(s) is ScatterPolarizedRayleighStep:
+            if not _population_has_stokes(sim):
+                # the generic apply raises the instructive "build it with
+                # polarized_photon_state" error — that must surface
+                return _no("polarization-planes",
+                           "ScatterPolarizedRayleighStep but no pending "
+                           "population declares 'stokes' + 'pol_ref' extras "
+                           "(polarization.polarized_photon_state); the "
+                           "generic path raises the instructive error")
+            s.setup(sim)
+            for nm in ("stokes:0", "stokes:1", "stokes:2",
+                       "pol_ref:0", "pol_ref:1", "pol_ref:2"):
+                if nm not in extra_names:
+                    extra_names.append(nm)
+            pol_writeback = True
+            ops.append(F._Op(
+                "pol", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
+                c_val=s._c,
+                pol_planes=(F._NF + extra_names.index("stokes:0"),
+                            F._NF + extra_names.index("pol_ref:0"))))
+        elif type(s) is StokesMeasureStep:
+            if not _population_has_stokes(sim):
+                return _no("polarization-planes",
+                           "StokesMeasureStep but no pending population "
+                           "declares 'stokes' + 'pol_ref' extras "
+                           "(polarization.polarized_photon_state); the "
+                           "generic path raises the instructive error")
+            for nm in ("stokes:0", "stokes:1", "stokes:2"):
+                if nm not in extra_names:
+                    extra_names.append(nm)
+            n_col = next_col if s.measure_n else -1
+            next_col += 1 if s.measure_n else 0
+            f0 = next_fcol
+            outs = ("wt", "p", "V") + (("Q", "U") if s.local_qu else ())
+            next_fcol += len(outs)
+            ops.append(F._Op(
+                "polmeas", cols=(n_col, f0), weighted=s.weighted,
+                reduce_outputs=outs,
+                pol_planes=(F._NF + extra_names.index("stokes:0"),)))
+            rec_map.append({"uid": uid, "kind": "polmeas", "n_col": n_col,
+                            "f0": f0, "local_qu": s.local_qu})
+            measure_after_update[uid] = update_seen
         elif type(s) is ScatterComptonStep:
             s.setup(sim)
             dep_cols = ()
@@ -910,9 +991,10 @@ def try_build_fused(sim, steps, state: SimState,
                        f"{type(s).__name__} has no fused-kernel op; "
                        "supported: UpdateTime/Kinematics/Lorentz/"
                        "ScatterDelete/ScatterIsotropic/"
-                       "ScatterHenyeyGreenstein/ScatterRayleigh/PhaseFunction/"
+                       "ScatterHenyeyGreenstein/ScatterRayleigh/"
+                       "ScatterPolarizedRayleigh/PhaseFunction/"
                        "ScatterCompton/RefractiveInterface/boundaries/"
-                       "PhotonEmitter/Sign+Cross+Reduce measures/"
+                       "PhotonEmitter/Sign+Cross+Reduce+Stokes measures/"
                        "Elementwise/TracePath")
 
     if not update_seen:
@@ -934,7 +1016,7 @@ def try_build_fused(sim, steps, state: SimState,
     # |dr| consumers: the collision probability of every scatter family plus
     # the fresnel segment-remainder computation
     scatter_positions = [i for i, op in enumerate(ops)
-                         if op.kind in ("del", "iso", "hg", "rayl",
+                         if op.kind in ("del", "iso", "hg", "rayl", "pol",
                                         "compton", "fresnel")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     # dr modifiers: a reflection or an interface event folds/kinks dr, so
@@ -985,7 +1067,7 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if (op.kind in ("iso", "hg", "rayl", "compton")
+                if (op.kind in ("iso", "hg", "rayl", "pol", "compton")
                         and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:
@@ -1082,6 +1164,7 @@ def try_build_fused(sim, steps, state: SimState,
         interpret=(jax.default_backend() == "cpu"),
         species=species,
         extras=tuple(extra_names),
+        extras_writeback=(("stokes", "pol_ref") if pol_writeback else ()),
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,

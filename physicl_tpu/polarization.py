@@ -38,11 +38,15 @@ This is unbiased with NO weight change: the sampled-intensity factor
 cancels against the Stokes renormalization (standard polarized MC, cf.
 Chandrasekhar's Rayleigh phase matrix).
 
-The per-particle Stokes planes live outside the packed fused-kernel state,
-so pipelines containing these steps run on the generic jitted-scan path
-(the planner reports the structured ``unsupported-step`` refusal; every
-other feature — mesh sharding, checkpointing, measurement records,
-population injection — works unchanged).
+Both steps run on the FUSED Pallas path: the Stokes and frame triples pack
+as six writable extras planes after the 15 core ones (``FusedPlan.extras``
++ ``extras_writeback``), the dipole-marginal theta draw shares the "rayl"
+op's Cardano closed form, and the azimuth bisection runs in-kernel on
+rotation recurrences with compile-time trig constants (ops/fused.py
+``_bisect_phi_sincos`` — zero in-loop transcendentals). The generic jitted
+scan remains the oracle twin for differential tests, and every other
+feature — mesh sharding, checkpointing, measurement records, population
+injection — works unchanged on either path.
 """
 
 from __future__ import annotations
@@ -187,9 +191,12 @@ class ScatterPolarizedRayleighStep(Step):
     weights are untouched — the phase-matrix intensity factor cancels
     against the Stokes renormalization exactly.
 
-    Generic-path step (the Stokes planes live outside the packed fused
-    state); the planner reports the structured ``unsupported-step``
-    refusal and the pipeline runs as one jitted ``lax.scan``.
+    Fused-path step: the planner packs the Stokes/frame triples as
+    writable kernel planes (op kind ``"pol"``); populations built without
+    :func:`polarized_photon_state` get the structured
+    ``polarization-planes`` refusal and the generic path's instructive
+    error. This apply() is the generic/oracle twin (identical physics,
+    jax.random stream instead of the kernel PRNG).
     """
 
     _ALLOWED = {"n", "A", "wavelength_dep_scattering", "variable_n",
@@ -274,6 +281,15 @@ class ScatterPolarizedRayleighStep(Step):
                          -1.0, 1.0)
         u_new = jnp.clip(cos_t * u_r * inv_i, -1.0, 1.0)
         v_new_st = jnp.clip(cos_t * v_st * inv_i, -1.0, 1.0)
+        # physical constraint p <= 1: near the Mueller null (90-degree
+        # scatter of fully polarized light, I' -> 0) the 1/I' renorm
+        # amplifies f32 roundoff past purity 1 for rare draws; rescale
+        # over-pure states only (max(p^2, 1) == 1 leaves p <= 1 untouched)
+        p2 = q_new * q_new + u_new * u_new + v_new_st * v_new_st
+        pscale = jax.lax.rsqrt(jnp.maximum(p2, jnp.asarray(1.0, dtype)))
+        q_new = q_new * pscale
+        u_new = u_new * pscale
+        v_new_st = v_new_st * pscale
 
         # new direction and frame: d' = c d + sin a, e1' = c a - sin d
         # (both exactly unit up to f32 roundoff; renormalized anyway)
@@ -310,8 +326,9 @@ class StokesMeasureStep(MeasureStep):
 
     ``data`` rows are ``[t(, n), p_mean, V_mean(, Q_mean, U_mean)]``; CSV
     via ``out_fn`` like every MeasureStep. ``weighted=True`` weights every
-    mean by the statistical weight ``w``. Generic-path step (reads the
-    Stokes extras planes)."""
+    mean by the statistical weight ``w``. Fused-path step (op kind
+    ``"polmeas"``: the kernel tallies weight/p/V(/Q/U) sums into float
+    record channels — psum-correct on meshes — and the host divides)."""
 
     def __init__(self, out_fn=None, measure_n: bool = True,
                  weighted: bool = False, local_qu: bool = True):

@@ -443,10 +443,10 @@ def main():
     check("mesh tally: ballistic front in the right cell",
           k0 == 10, f"iteration-1 peak cell {k0} (expect 10)")
 
-    # --- polarized Rayleigh (generic jitted-scan path on the chip):
-    # one forced scatter of an unpolarized beam acquires EXACTLY
-    # Q = (c^2-1)/(1+c^2) per photon; purity of a pure state is conserved
-    import warnings as _warnings
+    # --- polarized Rayleigh (FUSED Pallas op "pol" on the chip — the
+    # Stokes/frame triples ride writable packed extras planes): one forced
+    # scatter of an unpolarized beam acquires EXACTLY Q = (c^2-1)/(1+c^2)
+    # per photon; purity of a pure state is conserved
     import physicl_tpu.polarization as pol
     Ap = np.sqrt(2.0 / (float(light.c) * 1e-3))
     s = phys.Simulation(until_t=1e-3 * 0.9999, seed=41)
@@ -455,9 +455,9 @@ def main():
     s.add_step(2, pol.ScatterPolarizedRayleighStep(
         A=np.double(Ap), n=np.double(Ap)))
     s.add_photons(pol.polarized_photon_state(200_000, E=1.0))
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore")
-        s.start(); s.join()
+    s.start(); s.join()
+    check("polarized pipeline runs FUSED (pol op, 21-plane state)",
+          s.used_fused, f"used_fused={s.used_fused}")
     st = np.asarray(s.sim_state.extras["stokes"], np.float64)
     v = np.asarray(s.sim_state.v, np.float64)
     alive = np.asarray(s.sim_state.alive)
@@ -468,6 +468,36 @@ def main():
     dev_uv = max(np.abs(st[1, alive]).max(), np.abs(st[2, alive]).max())
     check("polarized Rayleigh: U = V = 0 for unpolarized input",
           dev_uv < 5e-5, f"max |U|,|V| = {dev_uv:.2e}")
+
+    # fused multi-scatter + in-kernel Stokes summary (polmeas op): the
+    # local-frame <Q> fixed point is -1/2 from the first scatter on
+    # (E[Q'] = ∫(c^2-1)dc / ∫(1+c^2)dc), purity of pure states stays 1,
+    # and the Q=1 azimuth anisotropy matches the 1e7-sample numpy oracle
+    # E[cos 2phi] = E[r(theta)/2 ...] ≈ -0.17348
+    s = phys.Simulation(until_t=8e-3 * 0.9999, seed=43)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, pol.ScatterPolarizedRayleighStep(
+        A=np.double(Ap), n=np.double(Ap)))
+    sm = pol.StokesMeasureStep(None)
+    s.add_step(3, sm)
+    s.add_photons(pol.polarized_photon_state(200_000, E=1.0,
+                                             stokes=(1.0, 0.0, 0.0)))
+    s.start(); s.join()
+    check("polarized + Stokes summary stays fused", s.used_fused,
+          f"used_fused={s.used_fused}")
+    rows = np.array(sm.data, dtype=float)  # [t, n, p, V, Q, U]
+    check("polmeas: purity of pure states == 1 over 8 scatters",
+          np.abs(rows[:, 2] - 1.0).max() < 5e-4,
+          f"max |<p>-1| = {np.abs(rows[:, 2] - 1.0).max():.2e}")
+    check("polmeas: local-frame <Q> at the -1/2 fixed point",
+          np.abs(rows[:, 4] + 0.5).max() < 0.01,
+          f"max |<Q>+0.5| = {np.abs(rows[:, 4] + 0.5).max():.3f}")
+    v1 = np.asarray(s.sim_state.v, np.float64)
+    spd = np.linalg.norm(v1[:, :200_000], axis=0) / float(light.c)
+    check("polarized: |v| = c preserved over 8 fused scatters",
+          np.abs(spd - 1).max() < 3e-6,
+          f"max | |v|/c - 1 | = {np.abs(spd - 1).max():.2e}")
 
     print()
     if FAILURES:

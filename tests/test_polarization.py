@@ -12,6 +12,10 @@ Validation targets (all analytic):
 * multiple scattering depolarizes: <p> decays monotonically toward 0;
 * frame/metric invariants: |v| = c, pol_ref unit and perpendicular to v,
   degree of polarization <= 1.
+
+The physics tests parametrize over BOTH execution paths — the fused Pallas
+kernel (op kind "pol"; emulated jnp twin on CPU) and the generic jitted
+scan — so each analytic target doubles as a fused-vs-generic differential.
 """
 
 import numpy as np
@@ -22,9 +26,12 @@ import physicl_tpu.newton
 import physicl_tpu.light as light
 import physicl_tpu.polarization as pol
 
+BOTH = pytest.mark.parametrize("fuse", ["auto", "off"])
 
-def _sim(t_end, seed=0, **kw):
+
+def _sim(t_end, seed=0, fuse="auto", **kw):
     s = phys.Simulation(exit=lambda c: c.t >= t_end, seed=seed, **kw)
+    s.fuse = fuse
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
     s.add_step(1, phys.newton.NewtonianKinematicsStep())
     return s
@@ -62,17 +69,17 @@ def test_polarized_state_planes_and_frames():
         pol.ScatterPolarizedRayleighStep(g=0.5)
 
 
-def test_single_scatter_polarization_exact():
+@BOTH
+def test_single_scatter_polarization_exact(fuse):
     """One guaranteed scatter of an unpolarized +x beam: each photon's
     Q equals (c^2-1)/(1+c^2) with c = vx'/|v| (the scattering cosine),
     U = V = 0 — exact per photon, not just in distribution."""
     n, A = _always_scatter_nA()
-    s = _sim(0.001, seed=7)
+    s = _sim(0.001, seed=7, fuse=fuse)
     s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
     s.add_photons(pol.polarized_photon_state(4096, E=1.0))
-    with pytest.warns(RuntimeWarning, match="unsupported-step"):
-        s.start(); s.join()
-    assert not s.used_fused
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
     st = np.asarray(s.sim_state.extras["stokes"], np.float64)
     v = np.asarray(s.sim_state.v, np.float64)
     alive = np.asarray(s.sim_state.alive)
@@ -87,15 +94,15 @@ def test_single_scatter_polarization_exact():
     assert (st[0, alive][near_90] < -0.99).all()
 
 
-def test_single_scatter_circular_transfer_exact():
+@BOTH
+def test_single_scatter_circular_transfer_exact(fuse):
     """Incoming V = 1: after one scatter V' = c*V/I' = 2c/(1+c^2)."""
     n, A = _always_scatter_nA()
-    s = _sim(0.001, seed=11)
+    s = _sim(0.001, seed=11, fuse=fuse)
     s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
     s.add_photons(pol.polarized_photon_state(4096, E=1.0,
                                              stokes=(0.0, 0.0, 1.0)))
-    with pytest.warns(RuntimeWarning):
-        s.start(); s.join()
+    s.start(); s.join()
     st = np.asarray(s.sim_state.extras["stokes"], np.float64)
     v = np.asarray(s.sim_state.v, np.float64)
     alive = np.asarray(s.sim_state.alive)
@@ -104,19 +111,19 @@ def test_single_scatter_circular_transfer_exact():
     np.testing.assert_allclose(st[1, alive], 0.0, atol=3e-5)
 
 
-def test_dipole_radiation_pattern():
+@BOTH
+def test_dipole_radiation_pattern(fuse):
     """Fully Q-polarized light (E-field along z): scattered directions
     follow the dipole pattern — E[(dz')^2] = 1/5, and nothing scatters
     straight along the polarization axis; unpolarized gives 3/10."""
     n, A = _always_scatter_nA()
     out = {}
     for name, st in (("pol", (1.0, 0.0, 0.0)), ("unpol", (0.0, 0.0, 0.0))):
-        s = _sim(0.001, seed=13)
+        s = _sim(0.001, seed=13, fuse=fuse)
         s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
         # pol_ref defaults to z-hat for a +x beam: Q=1 = E-field along z
         s.add_photons(pol.polarized_photon_state(100_000, E=1.0, stokes=st))
-        with pytest.warns(RuntimeWarning):
-            s.start(); s.join()
+        s.start(); s.join()
         v = np.asarray(s.sim_state.v, np.float64)
         alive = np.asarray(s.sim_state.alive)
         dz = v[2, alive] / np.linalg.norm(v[:, alive], axis=0)
@@ -152,8 +159,8 @@ def test_multiple_scattering_invariants_and_ensemble_depolarization():
     s.add_step(3, meas)
     s.add_photons(pol.polarized_photon_state(20_000, E=1.0,
                                              stokes=(1.0, 0.0, 0.0)))
-    with pytest.warns(RuntimeWarning):
-        s.start(); s.join()
+    s.start(); s.join()
+    assert s.used_fused  # pol + polmeas both fuse
     rows = np.array(meas.data, dtype=float)   # [t, n, p, V, Q, U]
     assert rows.shape == (10, 6)
     np.testing.assert_allclose(rows[:, 2], 1.0, atol=5e-4)   # purity
@@ -207,8 +214,7 @@ def test_azimuth_distribution_polarized():
     s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
     s.add_photons(pol.polarized_photon_state(200_000, E=1.0,
                                              stokes=(1.0, 0.0, 0.0)))
-    with pytest.warns(RuntimeWarning):
-        s.start(); s.join()
+    s.start(); s.join()
     v = np.asarray(s.sim_state.v, np.float64)
     alive = np.asarray(s.sim_state.alive)
     vhat = v[:, alive] / np.linalg.norm(v[:, alive], axis=0)
@@ -250,17 +256,17 @@ def _numpy_polarized_oracle(n, q):
     return float(np.cos(lo + hi).mean())  # cos(2 * mid)
 
 
-def test_stokes_measure_csv_and_weighted(tmp_path):
+@BOTH
+def test_stokes_measure_csv_and_weighted(tmp_path, fuse):
     out = tmp_path / "stokes.csv"
     n, A = _always_scatter_nA()
-    s = _sim(0.002, seed=23)
+    s = _sim(0.002, seed=23, fuse=fuse)
     s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
     s.add_step(3, pol.StokesMeasureStep(str(out), weighted=True,
                                         local_qu=False))
     s.add_photons(pol.polarized_photon_state(
         1000, E=1.0, w=np.linspace(0.5, 2.0, 1000)))
-    with pytest.warns(RuntimeWarning):
-        s.start(); s.join()
+    s.start(); s.join()
     lines = out.read_text().strip().splitlines()
     assert len(lines) == 2 and len(lines[0].split(",")) == 4
 
@@ -288,11 +294,159 @@ def test_polarized_on_mesh_shards():
     s = _sim(0.001, seed=29, mesh=make_mesh(8))
     s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
     s.add_photons(pol.polarized_photon_state(32768, E=1.0))
-    with pytest.warns(RuntimeWarning):
-        s.start(); s.join()
+    s.start(); s.join()
+    assert s.used_fused  # sharded fused kernel with Stokes planes
     st = np.asarray(s.sim_state.extras["stokes"], np.float64)
     v = np.asarray(s.sim_state.v, np.float64)
     alive = np.asarray(s.sim_state.alive)
     c = v[0, alive] / np.linalg.norm(v[:, alive], axis=0)
     np.testing.assert_allclose(st[0, alive],
                                (c ** 2 - 1) / (1 + c ** 2), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused-path specifics: plan acceptance, extras writeback across chunk
+# boundaries, emitter slot recycling, structured refusal, record parity.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_fused_plan_report_and_refusal():
+    """A polarized pipeline plans fused; one built without the Stokes
+    planes gets the structured polarization-planes refusal (and then the
+    generic path's instructive error)."""
+    n, A = _always_scatter_nA()
+    s = _sim(0.001, seed=31)
+    s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
+    s.add_photons(pol.polarized_photon_state(256, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused and s.plan_report.mode == "fused"
+    assert any("stokes:0" in n_ for n_ in s.plan_report.notes[1:2])
+
+    s2 = _sim(0.001, seed=31)
+    s2.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
+    s2.add_photons(light.generate_photon_state(256, E=1.0))
+    s2.start()
+    with pytest.raises(ValueError, match="polarized_photon_state"):
+        s2.join()
+    assert any(code == "polarization-planes"
+               for code, _ in s2.plan_report.refusals)
+
+
+def test_fused_writeback_across_chunks():
+    """Stokes/frame planes mutated in-kernel are written back into
+    state.extras at chunk boundaries. Sharp detector: absorption +
+    auto-shrink compaction PERMUTES the arena mid-run — if the kernel's
+    frame writes were lost, compaction would pair photon i's velocity with
+    a stale (or another photon's) pol_ref and the frame orthogonality
+    pol_ref . v == 0 would break by O(1). Also pins determinism: identical
+    configs produce bitwise-identical Stokes planes."""
+    n, A = _always_scatter_nA()
+
+    def run():
+        s = _sim(0.030, seed=37, chunk_steps=2)
+        s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
+        # 12.5% absorption per iteration: shrink fires mid-run (enough
+        # chunks that the harvest mirror sees the decay despite the
+        # dispatch pipeline running ahead) with ~2700 survivors at t-end
+        s.add_step(3, light.ScatterDeleteStep(
+            n=np.double(float(n) / 4), A=np.double(float(A) / 4)))
+        s.add_photons(pol.polarized_photon_state(150_000, E=1.0,
+                                                 stokes=(1.0, 0.0, 0.0)))
+        s.start(); s.join()
+        assert s.used_fused
+        return s
+
+    s = run()
+    assert s.sim_state.capacity < 150_000  # compaction actually fired
+    alive = np.asarray(s.sim_state.alive)
+    assert alive.sum() > 100
+    v = np.asarray(s.sim_state.v, np.float64)[:, alive]
+    pr = np.asarray(s.sim_state.extras["pol_ref"], np.float64)[:, alive]
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)[:, alive]
+    vhat = v / np.linalg.norm(v, axis=0)
+    np.testing.assert_allclose((pr * vhat).sum(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose((pr ** 2).sum(0), 1.0, atol=1e-5)
+    # pure states stay pure through every boundary pass
+    np.testing.assert_allclose(np.sqrt((st ** 2).sum(0)), 1.0, atol=1e-4)
+
+    s2 = run()
+    np.testing.assert_array_equal(np.asarray(s.sim_state.extras["stokes"]),
+                                  np.asarray(s2.sim_state.extras["stokes"]))
+
+
+@BOTH
+def test_emitter_resets_recycled_stokes(fuse):
+    """Photons emitted into a polarized arena start unpolarized with a
+    degenerate frame (zeroed extras), on both paths: slots past the initial
+    population carry stokes == 0 when nothing scatters (A = 0)."""
+    N = 64
+    s = phys.Simulation(until_t=0.003, seed=41,
+                        capacity=16384, auto_shrink=False)
+    s.fuse = fuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.PhotonEmitterStep(8, E=2.0))
+    s.add_step(3, pol.ScatterPolarizedRayleighStep(n=np.double(0.0),
+                                                   A=np.double(0.0)))
+    s.add_photons(pol.polarized_photon_state(N, E=1.0,
+                                             stokes=(1.0, 0.0, 0.0)))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    n_spawned = int(np.asarray(s.sim_state.n_spawned))
+    assert n_spawned == N + 3 * 8
+    np.testing.assert_allclose(st[0, :N], 1.0)          # originals keep Q=1
+    np.testing.assert_allclose(st[:, N:n_spawned], 0.0)  # emitted: reset
+    assert alive[:n_spawned].all()
+
+
+def test_fused_stokes_measure_exact_parity_zero_scatter():
+    """With pcoll = 0 nothing is stochastic: the fused polmeas record rows
+    must match the generic path's means exactly (same beam every
+    iteration)."""
+    rows = {}
+    for fuse in ("auto", "off"):
+        s = _sim(0.004, seed=43, fuse=fuse)
+        s.add_step(2, pol.ScatterPolarizedRayleighStep(n=np.double(0.0),
+                                                       A=np.double(0.0)))
+        meas = pol.StokesMeasureStep(None)
+        s.add_step(3, meas)
+        s.add_photons(pol.polarized_photon_state(
+            512, E=1.0, stokes=(0.6, 0.0, 0.8),
+            w=np.linspace(0.25, 1.75, 512)))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        rows[fuse] = np.array(meas.data, dtype=float)
+    assert rows["auto"].shape == rows["off"].shape == (4, 6)
+    np.testing.assert_allclose(rows["auto"], rows["off"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(rows["auto"][:, 2], 1.0, atol=1e-6)  # p
+    np.testing.assert_allclose(rows["auto"][:, 3], 0.8, atol=1e-6)  # V
+
+
+def test_fused_generic_distribution_parity():
+    """One guaranteed scatter of a fully Q-polarized beam: fused and
+    generic paths draw from the same polarized joint (theta, phi) law.
+    Compared via <cos^2 theta> (= 2/5 analytically) and the azimuth
+    anisotropy <cos 2phi> — both within combined 4-sigma at 60k photons."""
+    n, A = _always_scatter_nA()
+    stats = {}
+    for fuse in ("auto", "off"):
+        s = _sim(0.001, seed=47, fuse=fuse)
+        s.add_step(2, pol.ScatterPolarizedRayleighStep(n=n, A=A))
+        s.add_photons(pol.polarized_photon_state(60_000, E=1.0,
+                                                 stokes=(1.0, 0.0, 0.0)))
+        s.start(); s.join()
+        v = np.asarray(s.sim_state.v, np.float64)[:, :60_000]
+        d = v / np.linalg.norm(v, axis=0)
+        ct = d[0]
+        s2 = np.maximum(1 - ct ** 2, 1e-12)
+        cos2phi = 2 * d[2] ** 2 / s2 - 1.0
+        stats[fuse] = (ct.mean(), (ct ** 2).mean(), cos2phi.mean())
+    for a, b, tol in zip(stats["auto"], stats["off"],
+                         (0.012, 0.01, 0.012)):
+        assert abs(a - b) < tol, (stats, tol)
+    assert abs(stats["auto"][1] - 0.4) < 0.01

@@ -192,6 +192,16 @@ def _ops(kind):
         return [kin, F._Op("del", coef=0.1 * _EPS,
                            stretch=(0.7, 1.0, 0.0, 0.0)),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "polarized":
+        # Stokes-polarized Rayleigh: 21-plane packed state (15 core + the
+        # writable stokes/pol_ref triples), the 26-step azimuth bisection
+        # (rotation recurrences), frame algebra, and the polmeas reduction
+        # — the largest op body in the matrix (unroll forced to 1)
+        nf = 15
+        return [kin, F._Op("pol", coef=1e-6 * _EPS, c_val=c,
+                           pol_planes=(nf, nf + 3)),
+                F._Op("polmeas", cols=(1, 0), pol_planes=(nf,),
+                      reduce_outputs=("wt", "p", "V", "Q", "U"))], 2, 0
     if kind == "spectrum_wide":
         # light.SpectrumMeasureStep near the 120-bin fast-path ceiling: 100
         # float record channels stress the rec_f row at fresh compile
@@ -218,7 +228,7 @@ def _ops(kind):
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
                                   "mixed", "stretch", "phase",
-                                  "sphere", "layered"])
+                                  "sphere", "layered", "polarized"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -231,7 +241,10 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     stream_dtype = cfg[3] if len(cfg) > 3 else "float32"
     chunk = 32  # small: compile dominates; the matrix probes fit, not perf
     stream_every = max([getattr(o, "stream_every", 1) for o in ops])
-    extras = {"lorentz_qm": ("qm",), "mixed": ("otype",)}.get(kind, ())
+    extras = {"lorentz_qm": ("qm",), "mixed": ("otype",),
+              "polarized": ("stokes:0", "stokes:1", "stokes:2",
+                            "pol_ref:0", "pol_ref:1", "pol_ref:2"),
+              }.get(kind, ())
     species = F.SPECIES_MIXED if kind == "mixed" else 1
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
