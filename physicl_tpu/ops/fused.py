@@ -650,15 +650,18 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
                         scatter, f[_W] * (f[_E] - f[_E] / eta), 0.0)))
                 f[_E] = jnp.where(scatter, f[_E] / eta, f[_E])
-        elif op.kind == "pol":
-            # Stokes-polarized Rayleigh/Thomson scatter (polarization.
-            # ScatterPolarizedRayleighStep): same collision model as "rayl",
-            # but (theta, phi) drawn from the FULL polarized intensity and
-            # the Stokes + frame triples (packed extras planes, writeback)
-            # rewritten per scatter. Mirrors the generic apply exactly
-            # (same masks, same clips, same frame fallback) up to PRNG
-            # stream and the bisection's in-kernel trig recurrences.
-            from physicl_tpu.light import _rayleigh_cos_theta
+        elif op.kind in ("pol", "polc"):
+            # Stokes-polarized scatter (polarization module): "pol" is
+            # Rayleigh/Thomson (dipole theta marginal, kappa = 2), "polc"
+            # is Compton (Klein-Nishina theta + Fano matrix with
+            # kappa = eta + 1/eta and the E' = E/eta recoil). (theta, phi)
+            # are drawn from the FULL polarized intensity; the Stokes +
+            # frame triples (packed extras planes, writeback) rewrite per
+            # scatter. Mirrors the generic _apply_phase_matrix exactly
+            # (same masks, clips, frame fallback) up to PRNG stream and
+            # the bisection's in-kernel trig recurrences.
+            from physicl_tpu.light import (_kn_cos_eta, _kn_sigma_ratio,
+                                           _rayleigh_cos_theta)
 
             st_p, pr_p = op.pol_planes
             pcoll = jnp.float32(op.coef) * dr_norm()
@@ -669,12 +672,26 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 base = f[_E] * jnp.float32(op.wl_base)
                 b2 = base * base
                 pcoll = pcoll * (b2 * b2)
-            u = rng.uniform(shape)
-            if plan.packed_angles:
-                cu, pu = rng.uniform_pair(shape)
+            eta = None
+            if op.kind == "polc":
+                alpha = f[_E] * jnp.float32(op.inv_mec2)
+                if op.kn_xsec:
+                    pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
+                u = rng.uniform(shape)
+                pu = rng.uniform(shape)
+                triples = _kn_triples(rng, plan, shape, op.kn_tries)
+                cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples,
+                                                jnp.float32)
+                kappa = eta + 1.0 / eta
+                scatter = (pcoll >= u) & ph_alive() & kn_ok
             else:
-                cu, pu = rng.uniform(shape), rng.uniform(shape)
-            scatter = (pcoll >= u) & ph_alive()
+                u = rng.uniform(shape)
+                if plan.packed_angles:
+                    cu, pu = rng.uniform_pair(shape)
+                else:
+                    cu, pu = rng.uniform(shape), rng.uniform(shape)
+                kappa = jnp.float32(2.0)
+                scatter = (pcoll >= u) & ph_alive()
 
             # local right-handed frame (e1, e2, d): stored pol_ref
             # re-orthonormalized against d, fresh perpendicular where
@@ -708,27 +725,29 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             e2y = dz * e1x - dx * e1z
             e2z = dx * e1y - dy * e1x
 
-            # theta from the dipole marginal (Cardano closed form), then
-            # phi | theta from 1 + a cos2phi + b sin2phi by bisection
-            cos_t = _rayleigh_cos_theta(cu, jnp.float32)
+            # theta: dipole marginal (pol, Cardano) already or KN (polc,
+            # sampled above); then phi | theta from the exact conditional
+            # 1 + a cos2phi + b sin2phi by recurrence bisection, with
+            # r = -sin^2/(kappa - sin^2) (kappa = 2 == the dipole limit)
+            if op.kind == "pol":
+                cos_t = _rayleigh_cos_theta(cu, jnp.float32)
             c2 = cos_t * cos_t
-            r_t = (c2 - 1.0) / (1.0 + c2)
+            s2_ = 1.0 - c2
+            r_t = -s2_ / (kappa - s2_)
             sin_p, cos_p = _bisect_phi_sincos(pu, r_t * q, r_t * u_st)
             cos2p = cos_p * cos_p - sin_p * sin_p
             sin2p = 2.0 * sin_p * cos_p
 
-            # rotate Stokes into the scattering plane, apply the dipole
-            # Mueller matrix, renormalize to I = 1
+            # rotate Stokes into the scattering plane, apply the Fano
+            # phase matrix (Thomson rows at kappa = 2), renormalize to I=1
             q_r = q * cos2p + u_st * sin2p
             u_r = u_st * cos2p - q * sin2p
-            i_new = 0.5 * (1.0 + c2) + 0.5 * (c2 - 1.0) * q_r
+            i_new = (kappa - s2_) - s2_ * q_r
             inv_i = 1.0 / jnp.maximum(i_new, jnp.float32(1e-7))
             one = jnp.float32(1.0)
-            q_new = jnp.clip(
-                (0.5 * (c2 - 1.0) + 0.5 * (1.0 + c2) * q_r) * inv_i,
-                -one, one)
-            u_new = jnp.clip(cos_t * u_r * inv_i, -one, one)
-            v_new_st = jnp.clip(cos_t * v_st * inv_i, -one, one)
+            q_new = jnp.clip((-s2_ + (1.0 + c2) * q_r) * inv_i, -one, one)
+            u_new = jnp.clip(2.0 * cos_t * u_r * inv_i, -one, one)
+            v_new_st = jnp.clip(kappa * cos_t * v_st * inv_i, -one, one)
             # over-purity clamp near the Mueller null (generic twin does
             # the same): rescale only when f32 roundoff pushed p past 1
             pp2 = q_new * q_new + u_new * u_new + v_new_st * v_new_st
@@ -768,6 +787,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             f[pr_p] = jnp.where(scatter, n1x * inv_e1, e1x)
             f[pr_p + 1] = jnp.where(scatter, n1y * inv_e1, e1y)
             f[pr_p + 2] = jnp.where(scatter, n1z * inv_e1, e1z)
+            if eta is not None:  # polc: Compton recoil E' = E / eta
+                if op.cols:  # heating tally: w * (E - E') over scatters
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
+                        scatter, f[_W] * (f[_E] - f[_E] / eta), 0.0)))
+                f[_E] = jnp.where(scatter, f[_E] / eta, f[_E])
         elif op.kind == "polmeas":
             # polarization summary (polarization.StokesMeasureStep): weight,
             # degree-of-polarization, and Stokes component sums over alive
@@ -1473,8 +1497,8 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
-    if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase", "pol")
-           for op in plan.ops):
+    if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase", "pol",
+                       "polc") for op in plan.ops):
         # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
         # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
         # with 256-row tiles the Mosaic stack measured 16.61M against the
@@ -1492,11 +1516,12 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # boosts (~20 more live temporaries) on top of the Kahn loop:
         # no unrolling headroom left
         plan = dataclasses.replace(plan, unroll=1)
-    if any(op.kind == "pol" for op in plan.ops):
+    if any(op.kind in ("pol", "polc") for op in plan.ops):
         # the polarized azimuth bisection (26 unrolled rotation steps) plus
         # the frame/Mueller algebra is the largest op body after thermal
-        # Compton — unroll 1 until a fresh-compile scoped-vmem measurement
-        # on hardware says otherwise (compile-matrix combo "polarized")
+        # Compton (polc additionally stacks the Kahn loop on top) — unroll
+        # 1 until a fresh-compile scoped-vmem measurement on hardware says
+        # otherwise (compile-matrix combos "polarized"/"polarized_compton")
         plan = dataclasses.replace(plan, unroll=1)
 
     out_specs = [

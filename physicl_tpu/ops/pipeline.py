@@ -202,7 +202,7 @@ class FusedProvider:
             or op.kind == "reduce"
             or (op.kind in ("sign", "scross") and op.weighted)
             # deposition / Compton-heating channels
-            or (op.kind in ("del", "compton") and bool(op.cols))
+            or (op.kind in ("del", "compton", "polc") and bool(op.cols))
             # polarization summaries (weight/p/V(/Q/U) sums)
             or op.kind == "polmeas"
             for op in plan.ops)
@@ -586,6 +586,7 @@ def try_build_fused(sim, steps, state: SimState,
         TracePathMeasureStep,
     )
     from physicl_tpu.polarization import (
+        ScatterPolarizedComptonStep,
         ScatterPolarizedRayleighStep,
         StokesMeasureStep,
     )
@@ -648,7 +649,7 @@ def try_build_fused(sim, steps, state: SimState,
     # are exact no-ops there — fusing would only hide a likely user error).
     photon_only = (ScatterDeleteStep, ScatterIsotropicStep,
                    ScatterHenyeyGreensteinStep, ScatterRayleighStep,
-                   ScatterPolarizedRayleighStep,
+                   ScatterPolarizedRayleighStep, ScatterPolarizedComptonStep,
                    ScatterComptonStep, RefractiveInterfaceStep,
                    PhotonEmitterStep)
 
@@ -817,6 +818,32 @@ def try_build_fused(sim, steps, state: SimState,
             ops.append(F._Op(
                 "pol", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
+                pol_planes=(F._NF + extra_names.index("stokes:0"),
+                            F._NF + extra_names.index("pol_ref:0"))))
+        elif type(s) is ScatterPolarizedComptonStep:
+            if not _population_has_stokes(sim):
+                return _no("polarization-planes",
+                           "ScatterPolarizedComptonStep but no pending "
+                           "population declares 'stokes' + 'pol_ref' extras "
+                           "(polarization.polarized_photon_state); the "
+                           "generic path raises the instructive error")
+            s.setup(sim)
+            for nm in ("stokes:0", "stokes:1", "stokes:2",
+                       "pol_ref:0", "pol_ref:1", "pol_ref:2"):
+                if nm not in extra_names:
+                    extra_names.append(nm)
+            pol_writeback = True
+            dep_cols = ()
+            if s.measure_deposition:
+                dep_cols = (next_fcol,)   # Compton heating per iteration
+                next_fcol += 1
+                rec_map.append({"uid": uid, "kind": "dep",
+                                "col": dep_cols[0]})
+                measure_after_update[uid] = update_seen
+            ops.append(F._Op(
+                "polc", coef=s._coef, n_fn=s._n_fn, c_val=s._c,
+                inv_mec2=s._inv_mec2, kn_xsec=s.kn_cross_section,
+                kn_tries=s.kn_max_tries, cols=dep_cols,
                 pol_planes=(F._NF + extra_names.index("stokes:0"),
                             F._NF + extra_names.index("pol_ref:0"))))
         elif type(s) is StokesMeasureStep:
@@ -992,7 +1019,7 @@ def try_build_fused(sim, steps, state: SimState,
                        "supported: UpdateTime/Kinematics/Lorentz/"
                        "ScatterDelete/ScatterIsotropic/"
                        "ScatterHenyeyGreenstein/ScatterRayleigh/"
-                       "ScatterPolarizedRayleigh/PhaseFunction/"
+                       "ScatterPolarized(Rayleigh|Compton)/PhaseFunction/"
                        "ScatterCompton/RefractiveInterface/boundaries/"
                        "PhotonEmitter/Sign+Cross+Reduce+Stokes measures/"
                        "Elementwise/TracePath")
@@ -1017,7 +1044,7 @@ def try_build_fused(sim, steps, state: SimState,
     # the fresnel segment-remainder computation
     scatter_positions = [i for i, op in enumerate(ops)
                          if op.kind in ("del", "iso", "hg", "rayl", "pol",
-                                        "compton", "fresnel")]
+                                        "polc", "compton", "fresnel")]
     emit_positions = [i for i, op in enumerate(ops) if op.kind == "emit"]
     # dr modifiers: a reflection or an interface event folds/kinks dr, so
     # any |dr| consumer downstream of one must use the computed norm
@@ -1067,7 +1094,8 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if (op.kind in ("iso", "hg", "rayl", "pol", "compton")
+                if (op.kind in ("iso", "hg", "rayl", "pol", "polc",
+                                "compton")
                         and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:

@@ -38,7 +38,12 @@ This is unbiased with NO weight change: the sampled-intensity factor
 cancels against the Stokes renormalization (standard polarized MC, cf.
 Chandrasekhar's Rayleigh phase matrix).
 
-Both steps run on the FUSED Pallas path: the Stokes and frame triples pack
+Two scatter families share the formalism: :class:`ScatterPolarizedRayleighStep`
+(Thomson/Rayleigh, the dipole matrix) and :class:`ScatterPolarizedComptonStep`
+(Compton off cold electrons — Klein-Nishina angles, the Fano/McMaster phase
+matrix, and the E' = E/eta recoil; the dipole matrix is its kappa = 2 limit).
+
+All the steps run on the FUSED Pallas path: the Stokes and frame triples pack
 as six writable extras planes after the 15 core ones (``FusedPlan.extras``
 + ``extras_writeback``), the dipole-marginal theta draw shares the "rayl"
 op's Cardano closed form, and the azimuth bisection runs in-kernel on
@@ -65,6 +70,7 @@ from physicl_tpu.units import raw_code_value
 __all__ = [
     "polarized_photon_state",
     "ScatterPolarizedRayleighStep",
+    "ScatterPolarizedComptonStep",
     "StokesMeasureStep",
 ]
 
@@ -243,77 +249,231 @@ class ScatterPolarizedRayleighStep(Step):
         u3 = jax.random.uniform(k, (3,) + norm.shape, dtype)
         scatter = (pcoll >= u3[0]) & (state.otype == OBJ_PHOTON) & state.alive
 
-        # local right-handed frame (e1, e2, d); re-orthonormalize e1 and
-        # fall back to a fresh perpendicular where the stored reference is
-        # degenerate (e.g. zero-filled slots from an unpolarized injection)
-        inv_v = jax.lax.rsqrt(jnp.maximum(
-            jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
-        d = tuple(state.v[i] * inv_v for i in range(3))
-        st = state.extras["stokes"]
-        pr = state.extras["pol_ref"]
-        e1, e1n = _orthonormal_ref(d, (pr[0], pr[1], pr[2]), jnp, eps=1e-20)
-        cand = _perp_candidate(d, jnp)
-        fb, _ = _orthonormal_ref(d, cand, jnp, eps=1e-20)
-        degen = e1n < 1e-4
-        e1 = tuple(jnp.where(degen, fb[i], e1[i]) for i in range(3))
-        e2 = (d[1] * e1[2] - d[2] * e1[1],
-              d[2] * e1[0] - d[0] * e1[2],
-              d[0] * e1[1] - d[1] * e1[0])
-
-        # exact polarized angle sampling: theta from the dipole marginal,
-        # phi | theta from the 1 + a cos2phi + b sin2phi conditional
-        q, u_st, v_st = st[0], st[1], st[2]
+        # theta from the dipole marginal (the Thomson limit of the Fano
+        # matrix: kappa = 2); phi | theta and the Stokes/frame/direction
+        # update in the shared phase-matrix core
         cos_t = _rayleigh_cos_theta(u3[1], dtype)
-        c2 = cos_t * cos_t
-        r_t = (c2 - 1.0) / (1.0 + c2)
-        phi = _bisect_phi(u3[2], r_t * q, r_t * u_st)
-        cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
-        cos2p = cos_p * cos_p - sin_p * sin_p
-        sin2p = 2.0 * sin_p * cos_p
-
-        # rotate Stokes into the scattering plane, apply the dipole Mueller
-        # matrix, renormalize to I = 1
-        q_r = q * cos2p + u_st * sin2p
-        u_r = u_st * cos2p - q * sin2p
-        i_new = 0.5 * (1.0 + c2) + 0.5 * (c2 - 1.0) * q_r
-        inv_i = 1.0 / jnp.maximum(i_new, jnp.asarray(1e-7, dtype))
-        q_new = jnp.clip((0.5 * (c2 - 1.0) + 0.5 * (1.0 + c2) * q_r) * inv_i,
-                         -1.0, 1.0)
-        u_new = jnp.clip(cos_t * u_r * inv_i, -1.0, 1.0)
-        v_new_st = jnp.clip(cos_t * v_st * inv_i, -1.0, 1.0)
-        # physical constraint p <= 1: near the Mueller null (90-degree
-        # scatter of fully polarized light, I' -> 0) the 1/I' renorm
-        # amplifies f32 roundoff past purity 1 for rare draws; rescale
-        # over-pure states only (max(p^2, 1) == 1 leaves p <= 1 untouched)
-        p2 = q_new * q_new + u_new * u_new + v_new_st * v_new_st
-        pscale = jax.lax.rsqrt(jnp.maximum(p2, jnp.asarray(1.0, dtype)))
-        q_new = q_new * pscale
-        u_new = u_new * pscale
-        v_new_st = v_new_st * pscale
-
-        # new direction and frame: d' = c d + sin a, e1' = c a - sin d
-        # (both exactly unit up to f32 roundoff; renormalized anyway)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - c2, 0.0))
-        a_vec = tuple(cos_p * e1[i] + sin_p * e2[i] for i in range(3))
-        d_new = tuple(cos_t * d[i] + sin_t * a_vec[i] for i in range(3))
-        inv_dn = jax.lax.rsqrt(jnp.maximum(
-            sum(x * x for x in d_new), jnp.asarray(1e-30, dtype)))
-        c_val = jnp.asarray(self._c, dtype) * inv_dn
-        v_new = jnp.stack([x * c_val for x in d_new])
-        e1_new = tuple(cos_t * a_vec[i] - sin_t * d[i] for i in range(3))
-        inv_e1 = jax.lax.rsqrt(jnp.maximum(
-            sum(x * x for x in e1_new), jnp.asarray(1e-30, dtype)))
-        e1_new = jnp.stack([x * inv_e1 for x in e1_new])
-
-        v_out = jnp.where(scatter, v_new, state.v)
-        dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
-        st_out = jnp.where(scatter,
-                           jnp.stack([q_new, u_new, v_new_st]), st)
-        pr_out = jnp.where(scatter, e1_new, jnp.stack(e1))
+        v_out, dv, st_out, pr_out = _apply_phase_matrix(
+            state, scatter, cos_t, u3[2], jnp.asarray(2.0, dtype),
+            self._c, dtype)
         extras = dict(state.extras)
         extras["stokes"] = st_out
         extras["pol_ref"] = pr_out
         return state.replace(v=v_out, dv=dv, extras=extras)
+
+
+def _apply_phase_matrix(state, scatter, cos_t, u_phi, kappa, c_speed,
+                        dtype):
+    """Shared polarized-scatter core: given the sampled scattering cosine
+    and the Compton energy-ratio sum ``kappa = E/E' + E'/E`` (== 2 in the
+    Thomson/Rayleigh limit), draw ``phi | theta`` from the exact
+    conditional ``1 + a cos2phi + b sin2phi`` with ``a = r Q``, ``b = r U``,
+    ``r = -sin^2 theta / (kappa - sin^2 theta)``, apply the Fano phase
+    matrix in the scattering-plane frame::
+
+        I' = (kappa - s2) -       s2  * Q_r        (s2 = sin^2 theta)
+        Q' =         -s2  + (1 + c^2) * Q_r
+        U' =                   2 cos  * U_r
+        V' =               kappa cos  * V_r
+
+    (Thomson limit kappa = 2 reduces every row to the dipole Mueller
+    matrix), renormalize to I = 1 with the over-purity clamp, and rotate
+    the direction and frame. Returns ``(v_out, dv, st_out, pr_out)``; the
+    caller handles the energy recoil (Compton) and writes extras."""
+    # local right-handed frame (e1, e2, d); re-orthonormalize e1 and fall
+    # back to a fresh perpendicular where the stored reference is
+    # degenerate (e.g. zero-filled slots from an unpolarized injection)
+    inv_v = jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(state.v * state.v, axis=0), jnp.asarray(1e-30, dtype)))
+    d = tuple(state.v[i] * inv_v for i in range(3))
+    st = state.extras["stokes"]
+    pr = state.extras["pol_ref"]
+    e1, e1n = _orthonormal_ref(d, (pr[0], pr[1], pr[2]), jnp, eps=1e-20)
+    cand = _perp_candidate(d, jnp)
+    fb, _ = _orthonormal_ref(d, cand, jnp, eps=1e-20)
+    degen = e1n < 1e-4
+    e1 = tuple(jnp.where(degen, fb[i], e1[i]) for i in range(3))
+    e2 = (d[1] * e1[2] - d[2] * e1[1],
+          d[2] * e1[0] - d[0] * e1[2],
+          d[0] * e1[1] - d[1] * e1[0])
+
+    q, u_st, v_st = st[0], st[1], st[2]
+    c2 = cos_t * cos_t
+    s2_ = 1.0 - c2
+    r_t = -s2_ / (kappa - s2_)
+    phi = _bisect_phi(u_phi, r_t * q, r_t * u_st)
+    cos_p, sin_p = jnp.cos(phi), jnp.sin(phi)
+    cos2p = cos_p * cos_p - sin_p * sin_p
+    sin2p = 2.0 * sin_p * cos_p
+
+    # rotate Stokes into the scattering plane, apply the phase matrix,
+    # renormalize to I = 1
+    q_r = q * cos2p + u_st * sin2p
+    u_r = u_st * cos2p - q * sin2p
+    i_new = (kappa - s2_) - s2_ * q_r
+    inv_i = 1.0 / jnp.maximum(i_new, jnp.asarray(1e-7, dtype))
+    q_new = jnp.clip((-s2_ + (1.0 + c2) * q_r) * inv_i, -1.0, 1.0)
+    u_new = jnp.clip(2.0 * cos_t * u_r * inv_i, -1.0, 1.0)
+    v_new_st = jnp.clip(kappa * cos_t * v_st * inv_i, -1.0, 1.0)
+    # physical constraint p <= 1: near the Mueller null (90-degree
+    # scatter of fully polarized light, I' -> 0) the 1/I' renorm
+    # amplifies f32 roundoff past purity 1 for rare draws; rescale
+    # over-pure states only (max(p^2, 1) == 1 leaves p <= 1 untouched)
+    p2 = q_new * q_new + u_new * u_new + v_new_st * v_new_st
+    pscale = jax.lax.rsqrt(jnp.maximum(p2, jnp.asarray(1.0, dtype)))
+    q_new = q_new * pscale
+    u_new = u_new * pscale
+    v_new_st = v_new_st * pscale
+
+    # new direction and frame: d' = c d + sin a, e1' = c a - sin d
+    # (both exactly unit up to f32 roundoff; renormalized anyway)
+    sin_t = jnp.sqrt(jnp.maximum(s2_, 0.0))
+    a_vec = tuple(cos_p * e1[i] + sin_p * e2[i] for i in range(3))
+    d_new = tuple(cos_t * d[i] + sin_t * a_vec[i] for i in range(3))
+    inv_dn = jax.lax.rsqrt(jnp.maximum(
+        sum(x * x for x in d_new), jnp.asarray(1e-30, dtype)))
+    c_val = jnp.asarray(c_speed, dtype) * inv_dn
+    v_new = jnp.stack([x * c_val for x in d_new])
+    e1_new = tuple(cos_t * a_vec[i] - sin_t * d[i] for i in range(3))
+    inv_e1 = jax.lax.rsqrt(jnp.maximum(
+        sum(x * x for x in e1_new), jnp.asarray(1e-30, dtype)))
+    e1_new = jnp.stack([x * inv_e1 for x in e1_new])
+
+    v_out = jnp.where(scatter, v_new, state.v)
+    dv = jnp.where(scatter, v_new - state.v, jnp.zeros_like(state.v))
+    st_out = jnp.where(scatter, jnp.stack([q_new, u_new, v_new_st]), st)
+    pr_out = jnp.where(scatter, e1_new, jnp.stack(e1))
+    return v_out, dv, st_out, pr_out
+
+
+class ScatterPolarizedComptonStep(Step):
+    """Compton scattering with the FULL Stokes phase matrix (Fano 1949 /
+    McMaster 1961) off cold electrons — the physics of X-ray polarimetry
+    (IXPE-class instruments, polarized gamma transport).
+
+    TPU extension with no reference counterpart. The scattering angle is
+    drawn from the exact unpolarized Klein-Nishina law (Kahn < 1+sqrt(3)
+    <= Koblinger per photon, shared with
+    :class:`physicl_tpu.light.ScatterComptonStep` — valid because the
+    phi-dependent phase-matrix term integrates to zero, so the polarized
+    theta-marginal IS the unpolarized KN distribution), then
+    ``phi | theta`` from the exact conditional with
+    ``r = -sin^2 theta / (kappa - sin^2 theta)``, ``kappa = eta + 1/eta``,
+    ``eta = E/E' = 1 + alpha (1 - cos theta)``. The Stokes update applies
+    the Fano matrix (see :func:`_apply_phase_matrix`): in the Thomson
+    limit ``alpha -> 0`` it reduces EXACTLY to
+    :class:`ScatterPolarizedRayleighStep`'s dipole matrix, and at finite
+    energy the extra ``kappa - 2`` in the intensity row is the textbook
+    Compton depolarization. The recoil ``E' = E / eta`` applies per
+    scatter; ``kn_cross_section=True`` multiplies ``pcoll`` by the exact
+    ``sigma_KN(E)/sigma_T`` (the unpolarized total — correct for any
+    input polarization, since the azimuthal term carries no net cross
+    section).
+
+    Per-photon exact laws pinned by the tests: unpolarized input acquires
+    ``Q' = -sin^2 theta / (kappa - sin^2 theta)`` (the classic
+    polarization-vs-angle curve of Compton polarimetry); circular input
+    transfers ``V' = kappa cos theta V / (kappa - sin^2 theta)``.
+
+    Options: ``A`` (cross-section scale), ``n`` / ``variable_n`` /
+    ``variable_n_fn`` (electron density), ``mec2`` (electron rest energy
+    in code units; defaults to the physical m_e c^2), ``kn_max_tries``,
+    ``kn_cross_section``, ``measure_deposition`` (per-iteration net
+    heating ``sum w (E - E')``). Thermal electrons are NOT supported here
+    (boosting Stokes frames between electron rest frames is out of scope;
+    use the scalar :class:`~physicl_tpu.light.ScatterComptonStep` with
+    ``T_e=`` when polarization is not tracked). Fused-path step (op kind
+    ``"polc"``); requires :func:`polarized_photon_state` planes.
+    """
+
+    _ALLOWED = {"n", "A", "variable_n", "variable_n_fn", "mec2",
+                "kn_max_tries", "kn_cross_section", "measure_deposition",
+                "out_fn"}
+
+    def __init__(self, **kwargs):
+        unknown = set(kwargs) - self._ALLOWED
+        if unknown:
+            raise ValueError(
+                f"unknown option(s) {sorted(unknown)}; supported: "
+                f"{sorted(self._ALLOWED)}")
+        self.out_fn = kwargs.get("out_fn", None)  # deposition CSV target
+        self.n = _as_code(kwargs.get("n", 1))
+        self.A = _as_code(kwargs.get("A", 1))
+        self.wavelength_dep_scattering = False
+        self.variable_n = kwargs.get("variable_n", False)
+        self.variable_n_fn = kwargs.get("variable_n_fn", None)
+        self._n_fn = (_compile_variable_n(self.variable_n_fn)
+                      if self.variable_n else None)
+        self.mec2 = kwargs.get("mec2", None)
+        self.kn_max_tries = int(kwargs.get("kn_max_tries", 12))
+        self.kn_cross_section = bool(kwargs.get("kn_cross_section", False))
+        self.measure_deposition = bool(kwargs.get("measure_deposition",
+                                                  False))
+        self.data = []
+        self._c = None
+        self._coef = None
+        self._wl_base = None
+        self._inv_mec2 = None
+
+    def setup(self, sim) -> None:
+        ScatterIsotropicStep.setup(self, sim)
+        # late imports: light.refresh_constants() rebinds these on
+        # code-scale changes, so read them at setup time, not import time
+        from physicl_tpu.light import c as _c, m_e
+        mec2 = (_as_code(self.mec2) if self.mec2 is not None
+                else float(raw_code_value(m_e))
+                * float(raw_code_value(_c)) ** 2)
+        if mec2 <= 0:
+            raise ValueError("mec2 must be positive")
+        self._inv_mec2 = 1.0 / float(mec2)
+
+    def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        from physicl_tpu.light import _kn_cos_eta, _kn_sigma_ratio
+
+        if self._c is None or self._inv_mec2 is None:
+            self.setup(None)
+        if "stokes" not in state.extras or "pol_ref" not in state.extras:
+            raise ValueError(_MISSING_PLANES_MSG)
+        dtype = state.r.dtype
+        norm = _dr_norm(state)
+        pcoll = jnp.asarray(self._coef, dtype) * norm
+        if self._n_fn is not None:
+            pcoll = pcoll * jnp.asarray(
+                self._n_fn(state.r[0], state.r[1], state.r[2]), dtype)
+        alpha = state.E * jnp.asarray(self._inv_mec2, dtype)
+        if self.kn_cross_section:
+            pcoll = pcoll * _kn_sigma_ratio(alpha, dtype)
+
+        k = ctx.next_key()
+        T = self.kn_max_tries
+        u = jax.random.uniform(k, (2 + 3 * T,) + norm.shape, dtype)
+        triples = [(u[2 + 3 * i], u[3 + 3 * i], u[4 + 3 * i])
+                   for i in range(T)]
+        cos_t, eta, accepted = _kn_cos_eta(alpha, triples, dtype)
+        scatter = ((pcoll >= u[0]) & (state.otype == OBJ_PHOTON)
+                   & state.alive & accepted)
+
+        kappa = eta + 1.0 / eta
+        v_out, dv, st_out, pr_out = _apply_phase_matrix(
+            state, scatter, cos_t, u[1], kappa, self._c, dtype)
+        if self.measure_deposition:
+            ctx.record(self, "t", state.t)
+            ctx.record(self, "dep", jnp.sum(jnp.where(
+                scatter, state.w * (state.E - state.E / eta), 0.0)))
+        E = jnp.where(scatter, state.E / eta, state.E)
+        extras = dict(state.extras)
+        extras["stokes"] = st_out
+        extras["pol_ref"] = pr_out
+        return state.replace(v=v_out, dv=dv, E=E, extras=extras)
+
+    def collect(self, sim, records) -> None:
+        if not self.measure_deposition:
+            return
+        for i in range(len(records["t"])):
+            self.data.append([float(records["t"][i]),
+                              float(records["dep"][i])])
+
+    terminate = MeasureStep.terminate
 
 
 class StokesMeasureStep(MeasureStep):

@@ -499,6 +499,41 @@ def main():
           np.abs(spd - 1).max() < 3e-6,
           f"max | |v|/c - 1 | = {np.abs(spd - 1).max():.2e}")
 
+    # --- polarized Compton (fused op "polc": Fano/McMaster matrix +
+    # Klein-Nishina angles + recoil): one forced scatter at alpha = 1 —
+    # the exact per-photon Q' = -s^2/(kappa - s^2) polarimetry law, the
+    # eta-angle relation, and the heating tally
+    s = phys.Simulation(until_t=1e-3 * 0.9999, seed=47)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(1e-3)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    pc = pol.ScatterPolarizedComptonStep(
+        A=np.double(Ap), n=np.double(Ap), mec2=1.0,
+        measure_deposition=True)
+    s.add_step(2, pc)
+    s.add_photons(pol.polarized_photon_state(200_000, E=1.0))
+    s.start(); s.join()
+    check("polarized Compton pipeline runs FUSED", s.used_fused,
+          f"used_fused={s.used_fused}")
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)[:, :200_000]
+    v = np.asarray(s.sim_state.v, np.float64)[:, :200_000]
+    E = np.asarray(s.sim_state.E, np.float64)[:200_000]
+    cm = v[0] / np.linalg.norm(v, axis=0)
+    sc = E < 1.0 - 1e-9
+    eta = 1.0 / E[sc]
+    dev = np.abs(eta - (1.0 + (1.0 - cm[sc]))).max()
+    check("polarized Compton: eta = 1 + alpha(1-cos) exact",
+          dev < 1e-5, f"max dev = {dev:.2e}")
+    kap = eta + 1.0 / eta
+    s2 = 1.0 - cm[sc] ** 2
+    dev = np.abs(st[0][sc] + s2 / (kap - s2)).max()
+    check("polarized Compton: Q' = -s^2/(kappa - s^2) exact",
+          dev < 1e-5, f"max dev = {dev:.2e}")
+    rows = np.array(pc.data, dtype=float)
+    dep_dev = abs(rows[0, 1] - (1.0 - E[sc]).sum()) / max(
+        (1.0 - E[sc]).sum(), 1e-30)
+    check("polarized Compton: heating tally == sum w(E - E')",
+          dep_dev < 1e-3, f"rel dev = {dep_dev:.2e}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

@@ -1,0 +1,183 @@
+"""Polarized Compton scattering (Fano/McMaster phase matrix, cold e-).
+
+Validation targets (all analytic, all per-photon EXACT where marked):
+
+* eta-angle relation: eta = E/E' = 1 + alpha (1 - cos theta) (exact);
+* unpolarized input acquires Q' = -sin^2/(kappa - sin^2),
+  kappa = eta + 1/eta (exact — the textbook Compton-polarimetry curve);
+* circular transfer V' = kappa cos V / (kappa - sin^2) (exact);
+* Thomson limit alpha -> 0: identical statistics to the polarized
+  Rayleigh step (<cos^2> = 2/5, <Q'> = -1/2 local fixed point);
+* Compton DEPOLARIZES linear polarization at finite alpha (purity < 1
+  after one scatter of a pure state — the kappa-2 term), while purity
+  never exceeds 1;
+* Compton edge: E' >= 1/(1 + 2 alpha);
+* heating tally = sum w (E - E') exactly at one forced scatter.
+
+Parametrized over the fused Pallas op "polc" and the generic scan.
+"""
+
+import numpy as np
+import pytest
+
+import physicl_tpu as phys
+import physicl_tpu.newton
+import physicl_tpu.light as light
+import physicl_tpu.polarization as pol
+
+BOTH = pytest.mark.parametrize("fuse", ["auto", "off"])
+
+
+def _run(fuse, alpha, stokes, N=20_000, seed=5, measure_dep=False,
+         kn_xsec=False, t_end=0.001, mesh=None):
+    a = np.sqrt(2.0 / (float(light.c) * 0.001))  # pcoll = 2: always scatter
+    kw = {"mesh": mesh} if mesh is not None else {}
+    s = phys.Simulation(until_t=t_end, seed=seed, **kw)
+    s.fuse = fuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    step = pol.ScatterPolarizedComptonStep(
+        A=np.double(a), n=np.double(a), mec2=1.0 / alpha,
+        measure_deposition=measure_dep, kn_cross_section=kn_xsec)
+    s.add_step(2, step)
+    s.add_photons(pol.polarized_photon_state(N, E=1.0, stokes=stokes))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)[:, :N]
+    v = np.asarray(s.sim_state.v, np.float64)[:, :N]
+    E = np.asarray(s.sim_state.E, np.float64)[:N]
+    return s, step, st, v, E
+
+
+@BOTH
+def test_unpolarized_q_law_and_recoil_exact(fuse):
+    s, _, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 0.0))
+    cm = v[0] / np.linalg.norm(v, axis=0)
+    sc = E < 1.0 - 1e-9            # scattered (Kahn acceptance ~1-1e-4)
+    assert sc.mean() > 0.999
+    eta = 1.0 / E[sc]
+    np.testing.assert_allclose(eta, 1.0 + (1.0 - cm[sc]), atol=1e-6)
+    # Compton edge: eta <= 1 + 2 alpha
+    assert eta.max() <= 3.0 + 1e-6
+    kap = eta + 1.0 / eta
+    s2 = 1.0 - cm[sc] ** 2
+    np.testing.assert_allclose(st[0][sc], -s2 / (kap - s2), atol=1e-6)
+    np.testing.assert_allclose(st[1][sc], 0.0, atol=1e-6)
+    np.testing.assert_allclose(st[2][sc], 0.0, atol=1e-6)
+
+
+@BOTH
+def test_circular_transfer_exact(fuse):
+    s, _, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 1.0), seed=7)
+    cm = v[0] / np.linalg.norm(v, axis=0)
+    sc = E < 1.0 - 1e-9
+    eta = 1.0 / E[sc]
+    kap = eta + 1.0 / eta
+    s2 = 1.0 - cm[sc] ** 2
+    np.testing.assert_allclose(st[2][sc], kap * cm[sc] / (kap - s2),
+                               atol=1e-6)
+    purity = np.sqrt((st ** 2).sum(0))
+    assert (purity <= 1.0 + 1e-6).all()
+
+
+@BOTH
+def test_thomson_limit_matches_rayleigh(fuse):
+    """alpha -> 0: the Fano matrix reduces to the dipole Mueller matrix —
+    same <cos^2 theta> = 2/5, same local <Q'> = -1/2 fixed point, and no
+    measurable recoil."""
+    s, _, st, v, E = _run(fuse, alpha=1e-6, stokes=(1.0, 0.0, 0.0),
+                          N=60_000, seed=11)
+    cm = v[0] / np.linalg.norm(v, axis=0)
+    assert abs((cm ** 2).mean() - 0.4) < 0.01
+    assert abs(st[0].mean() + 0.5) < 0.01
+    np.testing.assert_allclose(E, 1.0, atol=1e-5)
+    purity = np.sqrt((st ** 2).sum(0))
+    np.testing.assert_allclose(purity, 1.0, atol=1e-4)  # Thomson: pure
+
+
+@BOTH
+def test_compton_depolarizes_pure_states(fuse):
+    """The kappa - 2 excess in the intensity row depolarizes: one scatter
+    of a fully linearly polarized beam at alpha = 2 leaves mean purity
+    well under 1 (Rayleigh/Thomson conserves it exactly), and purity
+    never exceeds 1."""
+    s, _, st, v, E = _run(fuse, alpha=2.0, stokes=(1.0, 0.0, 0.0), seed=13)
+    sc = E < 1.0 - 1e-9
+    purity = np.sqrt((st ** 2).sum(0))[sc]
+    assert (purity <= 1.0 + 1e-6).all()
+    assert purity.mean() < 0.9, purity.mean()
+    # per-photon depolarization bound: p' >= |Q'| trivially; check the
+    # exact I' normalization left a strictly-positive purity floor
+    assert purity.min() > 0.0
+
+
+@BOTH
+def test_heating_tally_exact(fuse):
+    s, step, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 0.0),
+                             seed=17, measure_dep=True)
+    rows = np.array(step.data, dtype=float)
+    assert rows.shape == (1, 2)
+    sc = E < 1.0 - 1e-9
+    np.testing.assert_allclose(rows[0, 1], (1.0 - E[sc]).sum(), rtol=2e-4)
+
+
+def test_kn_cross_section_composes_and_options_strict():
+    """kn_cross_section scales the collision rate by sigma_KN/sigma_T <= 1
+    (fewer scatters at high alpha); unknown options raise."""
+    _, _, _, _, E_off = _run("auto", alpha=5.0, stokes=(0.0, 0.0, 0.0),
+                             seed=19)
+    a = np.sqrt(2.0 / (float(light.c) * 0.001))
+    s = phys.Simulation(until_t=0.001, seed=19)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    # A sized so pcoll = sigma_KN/sigma_T < 1 gates the scatter rate
+    s.add_step(2, pol.ScatterPolarizedComptonStep(
+        A=np.double(a / 2), n=np.double(a / 2), mec2=0.2,
+        kn_cross_section=True))
+    s.add_photons(pol.polarized_photon_state(20_000, E=1.0))
+    s.start(); s.join()
+    E_kn = np.asarray(s.sim_state.E, np.float64)[:20_000]
+    frac_kn = (E_kn < 1.0 - 1e-9).mean()
+    frac_off = (E_off < 1.0 - 1e-9).mean()
+    # sigma_KN/sigma_T at alpha=5 ~ 0.30 => scatter fraction near 0.30 * 0.5x...
+    # just pin the ordering and a sane band
+    assert frac_kn < 0.6 * frac_off
+    with pytest.raises(ValueError, match="unknown option"):
+        pol.ScatterPolarizedComptonStep(theta_e=0.1)
+    with pytest.raises(ValueError, match="unknown option"):
+        pol.ScatterPolarizedComptonStep(T_e=1e7)
+
+
+def test_polc_missing_planes_refusal_and_error():
+    a = np.sqrt(2.0 / (float(light.c) * 0.001))
+    s = phys.Simulation(until_t=0.001, seed=3)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, pol.ScatterPolarizedComptonStep(A=np.double(a),
+                                                  n=np.double(a)))
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start()
+    with pytest.raises(ValueError, match="polarized_photon_state"):
+        s.join()
+    assert any(code == "polarization-planes"
+               for code, _ in s.plan_report.refusals)
+
+
+def test_polc_on_mesh_shards():
+    """Fused polarized-Compton under shard_map: the exact Q law holds for
+    every shard's photons and the heating psum matches the global sum."""
+    import jax
+    from physicl_tpu.parallel import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    s, step, st, v, E = _run("auto", alpha=1.0, stokes=(0.0, 0.0, 0.0),
+                             N=32768, seed=23, measure_dep=True,
+                             mesh=make_mesh(8))
+    cm = v[0] / np.linalg.norm(v, axis=0)
+    sc = E < 1.0 - 1e-9
+    eta = 1.0 / E[sc]
+    kap = eta + 1.0 / eta
+    s2 = 1.0 - cm[sc] ** 2
+    np.testing.assert_allclose(st[0][sc], -s2 / (kap - s2), atol=1e-6)
+    rows = np.array(step.data, dtype=float)
+    np.testing.assert_allclose(rows[0, 1], (1.0 - E[sc]).sum(), rtol=2e-4)

@@ -202,6 +202,16 @@ def _ops(kind):
                            pol_planes=(nf, nf + 3)),
                 F._Op("polmeas", cols=(1, 0), pol_planes=(nf,),
                       reduce_outputs=("wt", "p", "V", "Q", "U"))], 2, 0
+    if kind == "polarized_compton":
+        # the largest op body in the matrix: Klein-Nishina Kahn loop +
+        # the 26-step azimuth bisection + Fano matrix + frame rotation on
+        # the 21-plane state (unroll forced to 1)
+        nf = 15
+        return [kin, F._Op("polc", coef=1e-6 * _EPS, c_val=c,
+                           inv_mec2=1.0 / (8.187e-14 * _EPS), kn_xsec=True,
+                           kn_tries=12, cols=(0,),
+                           pol_planes=(nf, nf + 3)),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "spectrum_wide":
         # light.SpectrumMeasureStep near the 120-bin fast-path ceiling: 100
         # float record channels stress the rec_f row at fresh compile
@@ -228,7 +238,8 @@ def _ops(kind):
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
                                   "mixed", "stretch", "phase",
-                                  "sphere", "layered", "polarized"])
+                                  "sphere", "layered", "polarized",
+                                  "polarized_compton"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -241,10 +252,11 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     stream_dtype = cfg[3] if len(cfg) > 3 else "float32"
     chunk = 32  # small: compile dominates; the matrix probes fit, not perf
     stream_every = max([getattr(o, "stream_every", 1) for o in ops])
+    _POL_PLANES = ("stokes:0", "stokes:1", "stokes:2",
+                   "pol_ref:0", "pol_ref:1", "pol_ref:2")
     extras = {"lorentz_qm": ("qm",), "mixed": ("otype",),
-              "polarized": ("stokes:0", "stokes:1", "stokes:2",
-                            "pol_ref:0", "pol_ref:1", "pol_ref:2"),
-              }.get(kind, ())
+              "polarized": _POL_PLANES,
+              "polarized_compton": _POL_PLANES}.get(kind, ())
     species = F.SPECIES_MIXED if kind == "mixed" else 1
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
