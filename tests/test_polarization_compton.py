@@ -181,3 +181,25 @@ def test_polc_on_mesh_shards():
     np.testing.assert_allclose(st[0][sc], -s2 / (kap - s2), atol=1e-6)
     rows = np.array(step.data, dtype=float)
     np.testing.assert_allclose(rows[0, 1], (1.0 - E[sc]).sum(), rtol=2e-4)
+
+
+@BOTH
+def test_polc_variable_n_gates_rate(fuse):
+    """polc's n(r) callable: photons in the n = 0 half-space never
+    scatter; the n = const half matches the plain rate."""
+    a = np.sqrt(2.0 / (float(light.c) * 0.001))
+    s = phys.Simulation(until_t=0.001, seed=29)
+    s.fuse = fuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, pol.ScatterPolarizedComptonStep(
+        A=np.double(a * a), n=1.0, mec2=1.0,
+        variable_n=True, variable_n_fn=lambda x, y, z: (z > 0) * 1.0))
+    N = 8192
+    r = np.zeros((3, N)); r[2, : N // 2] = 1e9; r[2, N // 2:] = -1e9
+    s.add_photons(pol.polarized_photon_state(N, E=1.0, r=r))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    E = np.asarray(s.sim_state.E, np.float64)[:N]
+    assert (E[: N // 2] < 1.0 - 1e-9).mean() > 0.999   # n = 1: all scatter
+    np.testing.assert_array_equal(E[N // 2:], 1.0)     # n = 0: none
