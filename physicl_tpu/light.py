@@ -1883,6 +1883,26 @@ class RefractiveInterfaceStep(Step):
         return state.replace(r=r, v=v, dr=dr)
 
 
+def _emit_extras(extras, fill, start, k):
+    """Refresh emitted slots' extras planes: constants from ``fill``
+    (polarized sources' Stokes/frame rows), zeros for everything else."""
+    from jax import lax
+
+    out = {}
+    for name, arr in extras.items():
+        if name in fill:
+            block = jnp.broadcast_to(
+                jnp.asarray(fill[name], arr.dtype)[:, None],
+                (arr.shape[0], k))
+        elif arr.ndim == 1:
+            block = jnp.zeros((k,), arr.dtype)
+        else:
+            block = jnp.zeros((arr.shape[0], k), arr.dtype)
+        idx = (start,) if arr.ndim == 1 else (0, start)
+        out[name] = lax.dynamic_update_slice(arr, block, idx)
+    return out
+
+
 class PhotonEmitterStep(Step):
     """Continuous photon source: spawns ``n_per_step`` photons every iteration
     *inside the compiled loop* (no reference counterpart — the reference can
@@ -1895,25 +1915,84 @@ class PhotonEmitterStep(Step):
     ``f(key, k) -> (k,)``; ``v`` defaults to +x at c (pass ``isotropic=True``
     for angle-uniform directions, matching the scatter distribution); ``r``
     is the emission point (3-vector, default origin).
+
+    Polarized sources: ``stokes=(Q, U, V)`` emits photons carrying that
+    normalized Stokes vector (requires a population built with
+    ``physicl_tpu.polarization.polarized_photon_state`` so the Stokes
+    planes exist). For a directed source the ``Q > 0`` axis is ``pol_ref``
+    (default: z-hat where possible) projected perpendicular to ``v``;
+    an ``isotropic=True`` source may only carry circular polarization
+    (``V``; linear Q/U has no well-defined transverse frame across
+    random directions — a ValueError says so). Default: unpolarized.
     """
 
     needs_capacity_headroom = True  # engine auto-shrink would eat our slots
 
     def __init__(self, n_per_step: int, E=1.0, v=None, r=(0.0, 0.0, 0.0),
-                 isotropic: bool = False):
+                 isotropic: bool = False, stokes=None, pol_ref=None):
         self.n_per_step = int(n_per_step)
         self.E = E
         self.v = v
         self.r = np.asarray(raw_code_value(r), np.float64).reshape(3)
         self.isotropic = isotropic
+        self.stokes = (None if stokes is None else
+                       np.asarray(raw_code_value(stokes),
+                                  np.float64).reshape(3))
+        self.pol_ref = pol_ref
+        if self.stokes is not None:
+            deg = float((self.stokes ** 2).sum())
+            if deg > 1.0 + 1e-9:
+                raise ValueError(
+                    f"emitter stokes degree sqrt(Q^2+U^2+V^2) must be <= 1,"
+                    f" got {deg ** 0.5:.6f}")
+            if isotropic and (self.stokes[0] != 0 or self.stokes[1] != 0):
+                raise ValueError(
+                    "isotropic polarized emission supports circular (V) "
+                    "polarization only: linear Q/U has no well-defined "
+                    "transverse frame across random directions — use a "
+                    "directed source (v=...) for linear polarization")
+        elif pol_ref is not None:
+            raise ValueError("pol_ref= without stokes= has no effect; "
+                             "pass the emitted Stokes vector too")
         self._c = None
+        self._emit_e1 = None
 
     def setup(self, sim: Simulation) -> None:
         self._c = float(raw_code_value(c))
+        if self.stokes is None or self.isotropic:
+            # isotropic V-only: frame degenerate (zeros) — any transverse
+            # axis represents pure circular light equally well
+            self._emit_e1 = (0.0, 0.0, 0.0) if self.stokes is not None \
+                else None
+            return
+        vv = (np.array([1.0, 0.0, 0.0]) if self.v is None
+              else np.asarray(raw_code_value(self.v),
+                              np.float64).reshape(3))
+        d = vv / max(np.linalg.norm(vv), 1e-300)
+        ref = (np.asarray(raw_code_value(self.pol_ref),
+                          np.float64).reshape(3)
+               if self.pol_ref is not None
+               else (np.array([0.0, 0.0, 1.0]) if abs(d[2]) < 0.9
+                     else np.array([0.0, 1.0, 0.0])))
+        p = ref - float(ref @ d) * d
+        nrm = float(np.linalg.norm(p))
+        if nrm < 1e-6:
+            raise ValueError(
+                "emitter pol_ref is (near-)parallel to v; the Q-axis must "
+                "have a component perpendicular to the flight direction")
+        self._emit_e1 = tuple(float(x) for x in p / nrm)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         if self._c is None:
             self.setup(None)
+        if self.stokes is not None and (
+                "stokes" not in state.extras
+                or "pol_ref" not in state.extras):
+            raise ValueError(
+                "polarized emitter (stokes=) but the population carries no "
+                "Stokes planes: build the initial population with "
+                "physicl_tpu.polarization.polarized_photon_state(...) so "
+                "the 'stokes'/'pol_ref' extras exist")
         k = self.n_per_step
         dtype = state.r.dtype
         start = state.n_spawned
@@ -1938,6 +2017,10 @@ class PhotonEmitterStep(Step):
                 raw_code_value(self.v), dtype).reshape(3, -1), (3, k))
         r_new = jnp.broadcast_to(
             jnp.asarray(self.r, dtype)[:, None], (3, k))
+        fill = {}
+        if self.stokes is not None:
+            fill["stokes"] = self.stokes
+            fill["pol_ref"] = self._emit_e1
 
         def emit(state):
             from jax import lax
@@ -1963,17 +2046,10 @@ class PhotonEmitterStep(Step):
                 # ... and stale per-particle aux planes (Stokes vectors,
                 # charge data): fresh photons start with zeroed extras
                 # (unpolarized, degenerate frame -> the polarized scatter's
-                # fallback frame; q/m = 0 -> never Lorentz-pushed). The
-                # fused kernel zeroes its packed extras copies identically.
-                extras={
-                    name: (lax.dynamic_update_slice(
-                        arr, jnp.zeros((k,), arr.dtype), (start,))
-                        if arr.ndim == 1 else
-                        lax.dynamic_update_slice(
-                            arr, jnp.zeros((arr.shape[0], k), arr.dtype),
-                            (0, start)))
-                    for name, arr in state.extras.items()
-                },
+                # fallback frame; q/m = 0 -> never Lorentz-pushed) — except
+                # a polarized source (stokes=) writes its configured Stokes
+                # vector + frame instead. The fused kernel mirrors both.
+                extras=_emit_extras(state.extras, fill, start, k),
                 n_spawned=start + k,
             )
 

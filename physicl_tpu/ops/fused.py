@@ -192,6 +192,10 @@ class _Op:
     emit_r: tuple = (0.0, 0.0, 0.0)
     emit_v: Optional[tuple] = None  # None => isotropic at c_val
     emit_sched_idx: int = 0         # which emit schedule row in dts input
+    # polarized source: constant (Q, U, V) + frame row written into the
+    # packed Stokes planes for emitted slots (empty = unpolarized)
+    emit_stokes: tuple = ()
+    emit_polref: tuple = ()
 
 
 @dataclasses.dataclass
@@ -847,13 +851,21 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             f[_W] = jnp.where(mask, jnp.float32(1.0), f[_W])
             # ... and stale per-particle aux planes (Stokes vectors, charge
             # data): fresh photons start with zeroed extras (unpolarized,
-            # degenerate frame -> fallback on first polarized scatter),
+            # degenerate frame -> fallback on first polarized scatter) —
+            # except a polarized source's configured Stokes/frame rows —
             # matching the generic PhotonEmitterStep's extras reset. The
             # derived otype plane is handled below, never zeroed.
+            emit_fill = {}
+            if op.emit_stokes:
+                for i_, base in ((0, "stokes"), (1, "pol_ref")):
+                    vals = (op.emit_stokes, op.emit_polref)[i_]
+                    for row in range(3):
+                        emit_fill[f"{base}:{row}"] = jnp.float32(vals[row])
             for j, name in enumerate(plan.extras):
                 if name != "otype":
-                    f[_NF + j] = jnp.where(mask, jnp.float32(0.0),
-                                           f[_NF + j])
+                    f[_NF + j] = jnp.where(
+                        mask, emit_fill.get(name, jnp.float32(0.0)),
+                        f[_NF + j])
             if is_ph is not None and plan.species == SPECIES_MIXED:
                 # emitted slots become photons in the packed otype plane so
                 # same-chunk photon physics sees them immediately (the host

@@ -386,10 +386,15 @@ class FusedProvider:
             # re-pack after compaction/injection sees the same fresh slots.
             idx = jnp.arange(state.capacity)
             emitted = (idx >= hwm_before) & (idx < self.hwm_h)
+            # writeback planes (Stokes/frame) are already authoritative
+            # from the kernel — zeroing them here would erase a polarized
+            # source's configured emission values
+            wb = set(self.plan.extras_writeback)
             new_state = new_state.replace(
                 otype=jnp.where(emitted, jnp.int32(OBJ_PHOTON),
                                 new_state.otype),
-                extras={k: jnp.where(emitted, jnp.zeros((), v.dtype), v)
+                extras={k: (v if k in wb else
+                            jnp.where(emitted, jnp.zeros((), v.dtype), v))
                         for k, v in new_state.extras.items()})
         self._last_state = new_state
         self._last_packed = packed
@@ -908,6 +913,23 @@ def try_build_fused(sim, steps, state: SimState,
                 emit_v = tuple(
                     float(x) for x in np.asarray(
                         raw_code_value(s.v), np.float64).reshape(3))
+            emit_stokes, emit_polref = (), ()
+            if getattr(s, "stokes", None) is not None:
+                if not _population_has_stokes(sim):
+                    # the generic apply raises the instructive error
+                    return _no("polarization-planes",
+                               "polarized PhotonEmitterStep (stokes=) but "
+                               "no pending population declares 'stokes' + "
+                               "'pol_ref' extras (polarization."
+                               "polarized_photon_state); the generic path "
+                               "raises the instructive error")
+                for nm in ("stokes:0", "stokes:1", "stokes:2",
+                           "pol_ref:0", "pol_ref:1", "pol_ref:2"):
+                    if nm not in extra_names:
+                        extra_names.append(nm)
+                pol_writeback = True
+                emit_stokes = tuple(float(x) for x in s.stokes)
+                emit_polref = tuple(float(x) for x in s._emit_e1)
             ops.append(F._Op(
                 "emit", emit_n=s.n_per_step,
                 emit_E=(0.0 if callable(s.E)
@@ -916,6 +938,7 @@ def try_build_fused(sim, steps, state: SimState,
                 emit_r=tuple(float(x) for x in s.r),
                 emit_v=emit_v, c_val=s._c,
                 emit_sched_idx=sum(1 for o in ops if o.kind == "emit"),
+                emit_stokes=emit_stokes, emit_polref=emit_polref,
             ))
         elif type(s) is SphericalShellMeasureStep:
             n_col = -1

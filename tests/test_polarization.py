@@ -516,3 +516,112 @@ def test_polarized_composes_with_trace_and_measures():
     # the single-scatter law against the LAST scattering cosine only if
     # unpolarized before it — not exact here, so just pin the invariants
     assert ((st[:, alive] ** 2).sum(0) <= 1 + 1e-4).all()
+
+
+@BOTH
+def test_polarized_emitter(fuse):
+    """PhotonEmitterStep(stokes=): in-kernel sources inject POLARIZED
+    photons — emitted slots carry the configured Stokes vector with a
+    unit frame perpendicular to v, on both paths; scattering then
+    processes them like any polarized photon."""
+    s = phys.Simulation(until_t=0.003, seed=61, capacity=16384,
+                        auto_shrink=False)
+    s.fuse = fuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.PhotonEmitterStep(8, E=2.0,
+                                          stokes=(0.6, 0.0, 0.8)))
+    s.add_step(3, pol.ScatterPolarizedRayleighStep(n=np.double(0.0),
+                                                   A=np.double(0.0)))
+    s.add_photons(pol.polarized_photon_state(64, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)
+    pr = np.asarray(s.sim_state.extras["pol_ref"], np.float64)
+    n_sp = int(np.asarray(s.sim_state.n_spawned))
+    assert n_sp == 64 + 24
+    np.testing.assert_allclose(st[0, 64:n_sp], 0.6, atol=1e-6)
+    np.testing.assert_allclose(st[2, 64:n_sp], 0.8, atol=1e-6)
+    # default +x emission: pol_ref projects to exactly z-hat
+    np.testing.assert_allclose(pr[2, 64:n_sp], 1.0, atol=1e-6)
+    np.testing.assert_allclose(pr[0, 64:n_sp], 0.0, atol=1e-6)
+
+
+@BOTH
+def test_polarized_emitter_isotropic_circular(fuse):
+    """Isotropic sources may carry circular polarization (V is defined
+    without a transverse frame); the emitted V survives and linear Q/U
+    stay zero."""
+    s = phys.Simulation(until_t=0.002, seed=67, capacity=16384,
+                        auto_shrink=False)
+    s.fuse = fuse
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.PhotonEmitterStep(16, E=1.0, isotropic=True,
+                                          stokes=(0.0, 0.0, -0.9)))
+    s.add_step(3, pol.ScatterPolarizedRayleighStep(n=np.double(0.0),
+                                                   A=np.double(0.0)))
+    s.add_photons(pol.polarized_photon_state(32, E=1.0))
+    s.start(); s.join()
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)
+    n_sp = int(np.asarray(s.sim_state.n_spawned))
+    np.testing.assert_allclose(st[2, 32:n_sp], -0.9, atol=1e-6)
+    np.testing.assert_allclose(st[0, 32:n_sp], 0.0, atol=1e-6)
+
+
+def test_polarized_emitter_validation():
+    with pytest.raises(ValueError, match="circular"):
+        light.PhotonEmitterStep(8, isotropic=True, stokes=(0.5, 0, 0))
+    with pytest.raises(ValueError, match="<= 1"):
+        light.PhotonEmitterStep(8, stokes=(0.9, 0.9, 0.0))
+    with pytest.raises(ValueError, match="pol_ref= without"):
+        light.PhotonEmitterStep(8, pol_ref=(0, 0, 1))
+    st = light.PhotonEmitterStep(8, stokes=(1, 0, 0),
+                                 pol_ref=(1.0, 0.0, 0.0))
+    with pytest.raises(ValueError, match="parallel"):
+        st.setup(None)  # Q-axis parallel to the default +x direction
+
+    # planes missing: prover refusal + generic instructive error
+    s = phys.Simulation(until_t=0.001, seed=71, capacity=16384)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.PhotonEmitterStep(8, stokes=(1.0, 0.0, 0.0)))
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start()
+    with pytest.raises(ValueError, match="polarized_photon_state"):
+        s.join()
+    assert any(code == "polarization-planes"
+               for code, _ in s.plan_report.refusals)
+
+
+def test_polarized_emitter_feeds_polarimetry():
+    """End-to-end: a continuously emitting 100%-polarized source +
+    forced polarized scattering — scattered photons of the CURRENT
+    iteration obey the exact single-scatter laws (per-photon Q against
+    the scattering cosine), proving the emitted frame is consistent with
+    the scatter frame in the same fused chunk."""
+    n, A = _always_scatter_nA()
+    s = phys.Simulation(until_t=0.001, seed=73, capacity=16384,
+                        auto_shrink=False)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    # emitter BEFORE kinematics: emitted photons pick up dr = c*dt this
+    # same iteration and scatter immediately
+    s.add_step(1, light.PhotonEmitterStep(512, E=1.0,
+                                          stokes=(1.0, 0.0, 0.0)))
+    s.add_step(2, phys.newton.NewtonianKinematicsStep())
+    s.add_step(3, pol.ScatterPolarizedRayleighStep(n=n, A=A))
+    s.add_photons(pol.polarized_photon_state(64, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    st = np.asarray(s.sim_state.extras["stokes"], np.float64)
+    v = np.asarray(s.sim_state.v, np.float64)
+    n_sp = int(np.asarray(s.sim_state.n_spawned))
+    # emitted at +x fully Q-polarized along z, scattered once: the
+    # azimuthal law couples Q to the frame; check purity == 1 (pure in,
+    # pure out) and the frame-independent dipole <cos^2 theta... with
+    # polarized input E[(d'.z)^2] = 1/5 (dipole pattern about the E-axis)
+    sl = slice(64, n_sp)
+    purity = np.sqrt((st[:, sl] ** 2).sum(0))
+    np.testing.assert_allclose(purity, 1.0, atol=2e-5)
+    d = v[:, sl] / np.linalg.norm(v[:, sl], axis=0)
+    assert abs((d[2] ** 2).mean() - 0.2) < 0.02
