@@ -153,20 +153,42 @@ class ParticleView:
     ``t``/``dt``, and ``uniform()`` for per-particle U[0,1) draws. Shapes
     are opaque (the generic path passes ``(C,)`` vectors, the fused kernel
     ``(rows, 128)`` tiles) — write elementwise jnp code and it runs
-    identically on both."""
+    identically on both.
+
+    Steps constructed with ``extras=("name", ...)`` additionally expose
+    ``p.extras["name"]`` — the per-particle aux plane of that name: one
+    array for a scalar ``(C,)`` plane, a tuple of component arrays for a
+    3-row plane (e.g. ``"stokes"``)."""
 
     _FIELDS = ("rx", "ry", "rz", "drx", "dry", "drz",
                "vx", "vy", "vz", "dvx", "dvy", "dvz", "E", "alive", "w")
 
-    def __init__(self, fields: Dict[str, Any], t, dt, uniform):
+    def __init__(self, fields: Dict[str, Any], t, dt, uniform, extras=None):
         for k, v in fields.items():
             setattr(self, k, v)
         self.t = t
         self.dt = dt
         self.uniform = uniform
+        self.extras = extras or {}
 
 
-def _state_particle_view(state: "SimState", ctx: "StepContext") -> ParticleView:
+_MISSING_EXTRAS_MSG = (
+    "step declares extras={names} but the population carries no '{name}' "
+    "plane: attach it to the initial population (Object kwargs, bulk "
+    "dict 'extras', or polarization.polarized_photon_state for Stokes "
+    "planes)")
+
+
+def _check_extras_decl(extras, who: str) -> tuple:
+    extras = tuple(extras)
+    if not all(isinstance(n, str) and n for n in extras):
+        raise TypeError(f"{who} extras= must be a tuple of plane names, "
+                        f"got {extras!r}")
+    return extras
+
+
+def _state_particle_view(state: "SimState", ctx: "StepContext",
+                         extras_decl=()) -> ParticleView:
     """Generic-path ParticleView over the full SoA state (the fused kernel
     builds the same view over one VMEM tile in ops/fused.py)."""
     comp = {"rx": 0, "ry": 1, "rz": 2}
@@ -190,7 +212,15 @@ def _state_particle_view(state: "SimState", ctx: "StepContext") -> ParticleView:
             jax.random.fold_in(key, fold[0]),
             state.E.shape, state.E.dtype)
 
-    return ParticleView(fields, state.t, state.dt, uniform)
+    ex = {}
+    for name in extras_decl:
+        if name not in state.extras:
+            raise ValueError(_MISSING_EXTRAS_MSG.format(
+                names=tuple(extras_decl), name=name))
+        arr = state.extras[name]
+        ex[name] = (arr if arr.ndim == 1
+                    else tuple(arr[i] for i in range(arr.shape[0])))
+    return ParticleView(fields, state.t, state.dt, uniform, extras=ex)
 
 
 class ElementwiseStep(Step):
@@ -205,7 +235,10 @@ class ElementwiseStep(Step):
       gathers, no cross-particle communication — inside the fused kernel the
       function sees one VMEM tile, so a reduction would silently be
       tile-local);
-    * only the transport fields above (no ``a``, ``extras``, ``otype``);
+    * only the transport fields above, plus READ-ONLY aux planes declared
+      with ``extras=("name", ...)`` (exposed as ``p.extras["name"]`` — a
+      scalar plane or a 3-tuple of component planes; updates may only name
+      ``ParticleView._FIELDS``);
     * randomness only via ``p.uniform()`` (reproducible counter streams on
       the generic path, hardware PRNG in-kernel — statistically identical);
     * a returned ``alive`` can only clear (it is AND-ed with the current
@@ -221,11 +254,13 @@ class ElementwiseStep(Step):
         sim.add_step(3, ElementwiseStep(decay))
     """
 
-    def __init__(self, fn: Callable[[ParticleView], Dict[str, Any]]):
+    def __init__(self, fn: Callable[[ParticleView], Dict[str, Any]],
+                 extras: tuple = ()):
         self.fn = fn
+        self.extras = _check_extras_decl(extras, "ElementwiseStep")
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
-        upd = self.fn(_state_particle_view(state, ctx))
+        upd = self.fn(_state_particle_view(state, ctx, self.extras))
         bad = set(upd) - set(ParticleView._FIELDS)
         if bad:
             raise ValueError(f"ElementwiseStep returned unknown fields {bad}")
@@ -289,8 +324,9 @@ class ReduceMeasureStep(MeasureStep):
     user code.
 
     Same elementwise contract as ElementwiseStep (read-only: the returned
-    arrays are contributions, not field updates); reductions cross shards as
-    one psum on mesh runs. Example — radial energy flux and second moment::
+    arrays are contributions, not field updates), including read-only aux
+    planes via ``extras=("name", ...)``; reductions cross shards as one
+    psum on mesh runs. Example — radial energy flux and second moment::
 
         def moments(p):
             r2 = p.rx**2 + p.ry**2 + p.rz**2
@@ -302,12 +338,13 @@ class ReduceMeasureStep(MeasureStep):
 
     def __init__(self, out_fn=None, fn: Callable[[ParticleView],
                                                  Dict[str, Any]] = None,
-                 outputs=(), measure_n: bool = False):
+                 outputs=(), measure_n: bool = False, extras: tuple = ()):
         super().__init__(out_fn)
         if fn is None or not outputs:
             raise ValueError(
                 "ReduceMeasureStep needs fn and a non-empty outputs tuple")
         self.fn = fn
+        self.extras = _check_extras_decl(extras, "ReduceMeasureStep")
         self.outputs = tuple(outputs)
         if {"t", "n"} & set(self.outputs):
             raise ValueError(
@@ -327,7 +364,8 @@ class ReduceMeasureStep(MeasureStep):
         ctx.record(self, "t", state.t)
         if self.measure_n:
             ctx.record(self, "n", state.n_alive)
-        contrib = self._contributions(_state_particle_view(state, ctx))
+        contrib = self._contributions(
+            _state_particle_view(state, ctx, self.extras))
         for name in self.outputs:
             val = jnp.asarray(contrib[name], jnp.float32)
             ctx.record(self, name, jnp.sum(

@@ -511,7 +511,8 @@ def generate_photons(n, fn=None, min=0, max=0, bins=-1) -> List[PhotonObject]:
     return out
 
 
-def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
+def generate_photon_state(n, E, v=None, r=None, device=False, w=None,
+                          extras=None) -> dict:
     """Bulk SoA photon population — the fast path for large N (no per-photon
     Python objects). Returns a dict for ``Simulation.add_photons``.
 
@@ -520,12 +521,32 @@ def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
     ``w``: scalar or (n,) statistical weights (default 1.0 — analog transport;
     set for source biasing with weighted measurements).
 
+    ``extras``: dict of per-photon aux planes, each a scalar / (n,) value or
+    a (3,) / (3, n) 3-vector — stored as ``state.extras[name]`` and readable
+    from user steps declaring ``extras=("name", ...)``
+    (:class:`~physicl_tpu.engine.ElementwiseStep` /
+    :class:`~physicl_tpu.engine.ReduceMeasureStep`, both execution paths).
+
     ``device=True`` builds the arrays with jnp on the accelerator (zero host
     staging — the right path at 1e7+ photons); ``E`` may then be a jax array
     (e.g. straight from :func:`planck_sample_E` device output).
     """
     n = int(n)
     c_val = float(raw_code_value(c))
+
+    def _extras_out(xp, dtype):
+        out = {}
+        for name, val in (extras or {}).items():
+            arr = xp.asarray(raw_code_value(val), dtype)
+            if arr.ndim <= 1 and arr.size in (1, n):
+                out[name] = xp.broadcast_to(arr.reshape(-1), (n,))
+            elif arr.ndim <= 2 and arr.size in (3, 3 * n):
+                out[name] = xp.broadcast_to(arr.reshape(3, -1), (3, n))
+            else:
+                raise ValueError(
+                    f"extras[{name!r}] must be scalar/({n},) or "
+                    f"(3,)/(3, {n}), got shape {arr.shape}")
+        return out
     if device:
         import jax.numpy as jnp
 
@@ -548,6 +569,8 @@ def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
             if w_arr.shape[0] not in (1, n):
                 raise ValueError(f"w must be scalar or length {n}")
             out["w"] = jnp.broadcast_to(w_arr, (n,))
+        if extras:
+            out["extras"] = _extras_out(jnp, jnp.float32)
         return out
     E_flat = np.asarray(raw_code_value(E), np.float64).reshape(-1)
     if E_flat.size not in (1, n):
@@ -569,6 +592,8 @@ def generate_photon_state(n, E, v=None, r=None, device=False, w=None) -> dict:
         if w_flat.size not in (1, n):
             raise ValueError(f"w must be scalar or length {n}")
         out["w"] = np.broadcast_to(w_flat, (n,)).copy()
+    if extras:
+        out["extras"] = _extras_out(np, np.float64)
     return out
 
 

@@ -138,6 +138,11 @@ class _Op:
     custom_fn: Optional[Callable] = None
     after_update: bool = True  # custom op sees t after/before UpdateTimeStep
     reduce_outputs: tuple = ()
+    # read-only extras planes a custom/reduce fn declared (engine
+    # ElementwiseStep/ReduceMeasureStep extras=): (name, first_plane, rows)
+    # per declaration; rows == 1 exposes the plane directly, rows == 3 a
+    # tuple of component planes (ParticleView.extras contract)
+    view_extras: tuple = ()
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso/hg)
     n_fn: Optional[Callable] = None  # variable n(r) (iso/hg/del)
     a_fn: Optional[Callable] = None  # energy-dependent sigma(E) (del)
@@ -196,6 +201,15 @@ class _Op:
     # packed Stokes planes for emitted slots (empty = unpolarized)
     emit_stokes: tuple = ()
     emit_polref: tuple = ()
+
+
+def _view_extras_of(op: _Op, f) -> dict:
+    """Packed read-only extras planes -> the ``ParticleView.extras`` mapping
+    a custom/reduce fn declared (engine ``extras=`` contract: one array for
+    a scalar plane, a tuple of component arrays for a 3-row plane)."""
+    return {name: (f[p0] if rows == 1
+                   else tuple(f[p0 + i] for i in range(rows)))
+            for name, p0, rows in op.view_extras}
 
 
 @dataclasses.dataclass
@@ -1028,7 +1042,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 t_op = t[0] if op.after_update else t[1]
                 dt_op = t[2] if op.after_update else t[3]
             view = ParticleView(view_fields, t_op, dt_op,
-                                lambda: rng.uniform(shape))
+                                lambda: rng.uniform(shape),
+                                extras=_view_extras_of(op, f))
             upd = op.custom_fn(view)
             bad = set(upd) - set(names)
             if bad:  # same validation the generic path gives (trace time)
@@ -1057,7 +1072,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 t_op = t[0] if op.after_update else t[1]
                 dt_op = t[2] if op.after_update else t[3]
             view = ParticleView(view_fields, t_op, dt_op,
-                                lambda: rng.uniform(shape))
+                                lambda: rng.uniform(shape),
+                                extras=_view_extras_of(op, f))
             contrib = op.custom_fn(view)
             missing = set(op.reduce_outputs) - set(contrib)
             if missing:  # same validation as the generic path (trace time)

@@ -606,6 +606,46 @@ def try_build_fused(sim, steps, state: SimState,
         return any(hasattr(o, "stokes") and hasattr(o, "pol_ref")
                    for o in sim._pending_objects)
 
+    _EXTRAS_CORE = {"r", "dr", "v", "dv", "a", "E", "w"}
+
+    def _population_extras_rows(name: str):
+        """Row count the state assembly will give a pending extras plane
+        (1 for scalars, 3 for 3-vectors — state.py extras_spec), or None
+        if no pending source declares it. Host-side knowledge only."""
+        if name.startswith("_") or name in _EXTRAS_CORE:
+            return None
+        for b in sim._pending_bulk:
+            arr = (b.get("extras") or {}).get(name)
+            if arr is not None:
+                return 1 if np.asarray(arr).ndim == 1 else 3
+        for o in sim._pending_objects:
+            if hasattr(o, name):
+                arr = np.asarray(raw_code_value(getattr(o, name)),
+                                 dtype=np.float64)
+                if arr.shape == ():
+                    return 1
+                if arr.shape == (3,):
+                    return 3
+        return None
+
+    def _resolve_view_extras(s):
+        """(name, first_packed_plane, rows) entries for a step's declared
+        read-only extras, appending packed plane names as needed; the str
+        return is the name of a plane the population does not carry."""
+        entries = []
+        for name in s.extras:
+            rows = _population_extras_rows(name)
+            if rows is None:
+                return name
+            packed = ([name] if rows == 1
+                      else [f"{name}:{i}" for i in range(rows)])
+            for nm in packed:
+                if nm not in extra_names:
+                    extra_names.append(nm)
+            entries.append((name, F._NF + extra_names.index(packed[0]),
+                            rows))
+        return tuple(entries)
+
     if not getattr(sim, "jit_on", True):
         return _no("jit-off", "jit_on=False: the fused Pallas pipeline "
                    "requires compilation")
@@ -1005,9 +1045,17 @@ def try_build_fused(sim, steps, state: SimState,
             measure_after_update[uid] = update_seen
         elif type(s) is ElementwiseStep:
             # user physics under the elementwise contract traces straight
-            # into the kernel; t row chosen by position vs UpdateTimeStep
+            # into the kernel; t row chosen by position vs UpdateTimeStep.
+            # Declared read-only extras pack as planes after the core 15
+            ve = _resolve_view_extras(s)
+            if isinstance(ve, str):
+                return _no("extras-missing",
+                           f"ElementwiseStep declares extras={s.extras} "
+                           f"but no pending population carries a '{ve}' "
+                           "plane; the generic path raises the "
+                           "instructive error")
             ops.append(F._Op("custom", custom_fn=s.fn,
-                             after_update=update_seen))
+                             after_update=update_seen, view_extras=ve))
         elif isinstance(s, ReduceMeasureStep) and (
                 type(s).apply is ReduceMeasureStep.apply
                 and type(s)._contributions is ReduceMeasureStep._contributions):
@@ -1018,12 +1066,19 @@ def try_build_fused(sim, steps, state: SimState,
             # fully determines their semantics; a subclass overriding apply
             # or _contributions falls through to unsupported-step instead of
             # being silently fused with base behavior.
+            ve = _resolve_view_extras(s)
+            if isinstance(ve, str):
+                return _no("extras-missing",
+                           f"ReduceMeasureStep declares extras={s.extras} "
+                           f"but no pending population carries a '{ve}' "
+                           "plane; the generic path raises the "
+                           "instructive error")
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
             f0 = next_fcol
             next_fcol += len(s.outputs)
             ops.append(F._Op("reduce", custom_fn=s.fn,
-                             reduce_outputs=s.outputs,
+                             reduce_outputs=s.outputs, view_extras=ve,
                              cols=(n_col, f0), after_update=update_seen))
             rec_map.append({"uid": uid, "kind": "reduce", "n_col": n_col,
                             "f0": f0, "names": s.outputs})

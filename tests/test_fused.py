@@ -250,6 +250,116 @@ def test_elementwise_step_unknown_field_raises_on_fused_path():
         s.join()
 
 
+def test_elementwise_step_reads_extras_planes():
+    """extras=("tag", "aniso") planes are readable on BOTH paths with exact
+    parity: a scalar plane arrives as one array, a 3-row plane as a tuple
+    of component arrays (ParticleView.extras contract)."""
+    import jax.numpy as jnp
+
+    n = 2048
+    rng = np.random.default_rng(7)
+    tag = rng.uniform(0.5, 2.0, n)
+    aniso = rng.normal(size=(3, n))
+
+    def physics(p):
+        ax, ay, az = p.extras["aniso"]
+        rate = p.extras["tag"] + 0.125 * (ax + 2.0 * ay + 3.0 * az)
+        return {"E": p.E * jnp.exp(-rate * p.dt)}
+
+    out, iters = {}, {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.0095, seed=1, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, phys.ElementwiseStep(physics,
+                                           extras=("tag", "aniso")))
+        red = phys.ReduceMeasureStep(None, lambda p: {"E": p.E},
+                                     outputs=("E",))
+        s.add_step(3, red)
+        s.add_photons(light.generate_photon_state(
+            n, E=1.0, extras={"tag": tag, "aniso": aniso}))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        out[fuse] = np.asarray(s.sim_state.E)[:n]
+        iters[fuse] = len(red.data)
+    assert iters["auto"] == iters["off"]
+    assert np.allclose(out["auto"], out["off"], rtol=1e-5)
+    # closed form: k iterations of the same per-particle decay rate
+    rate = tag + 0.125 * (aniso[0] + 2.0 * aniso[1] + 3.0 * aniso[2])
+    exact = np.exp(-rate * 0.001 * iters["off"])
+    assert np.allclose(out["off"], exact, rtol=1e-4)
+
+
+def test_reduce_measure_step_reads_extras_planes():
+    """A ReduceMeasureStep tallying a declared extras plane must record the
+    same (exact) per-iteration sums on both paths."""
+    n = 1500
+    tag = np.linspace(0.0, 3.0, n)
+
+    def tally(p):
+        return {"tag_sum": p.extras["tag"] * p.w}
+
+    rows = {}
+    for fuse in ("auto", "off"):
+        s = phys.Simulation(exit=lambda c: c.t >= 0.0045, seed=0, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        red = phys.ReduceMeasureStep(None, tally, outputs=("tag_sum",),
+                                     extras=("tag",))
+        s.add_step(2, red)
+        s.add_photons(light.generate_photon_state(
+            n, E=1.0, extras={"tag": tag}))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        rows[fuse] = np.array([r[1] for r in red.data])
+    assert rows["auto"].shape == rows["off"].shape
+    assert np.allclose(rows["auto"], rows["off"], rtol=1e-6)
+    assert np.allclose(rows["off"], tag.sum(), rtol=1e-5)
+
+
+def test_elementwise_extras_from_object_kwargs():
+    """Object-kwargs extras (state.py extras_spec) feed the same plane
+    mechanism: per-object scalars are readable from a fused custom step."""
+    import jax.numpy as jnp
+
+    s = phys.Simulation(exit=lambda c: c.t >= 0.0035, seed=0, fuse="auto")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, phys.ElementwiseStep(
+        lambda p: {"E": p.E * jnp.exp(-p.extras["tau"] * p.dt)},
+        extras=("tau",)))
+    taus = [0.5, 2.0, 8.0]
+    for tau in taus:
+        s.add_obj(light.PhotonObject(
+            E=np.double(1.0),
+            v=np.array([float(light.c), 0, 0], dtype=np.double),
+            tau=np.double(tau)))
+    s.start(); s.join()
+    assert s.used_fused
+    E = np.asarray(s.sim_state.E)[:3]
+    k = len(s.ts)
+    assert np.allclose(E, np.exp(-np.array(taus) * 0.001 * k), rtol=1e-4)
+
+
+def test_elementwise_extras_missing_plane_raises_generic():
+    s = phys.Simulation(exit=lambda c: c.t >= 0.002, seed=0, fuse="off")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.ElementwiseStep(lambda p: {"E": p.E},
+                                       extras=("nope",)))
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start()
+    with pytest.raises(ValueError, match="carries no 'nope'"):
+        s.join()
+
+
+def test_extras_decl_must_be_names():
+    with pytest.raises(TypeError, match="plane names"):
+        phys.ElementwiseStep(lambda p: {}, extras=(3,))
+    with pytest.raises(TypeError, match="plane names"):
+        phys.ReduceMeasureStep(None, lambda p: {"x": p.E},
+                               outputs=("x",), extras=("ok", b"no"))
+
+
 def test_planck_sampler_emits_code_unit_energies():
     """Under a non-unit code scale, sampled-E emitters must write CODE-unit
     energies (consistent with constant-E emitters and E-plane consumers)."""

@@ -50,6 +50,19 @@ def test_fused_plan_reports_fused_mode():
     assert "fused" in text and "Pallas" in text
 
 
+def test_refusal_extras_missing():
+    """A custom step declaring an extras plane the population does not carry
+    refuses fusion with a structured reason; the generic path then raises
+    the instructive error at first apply."""
+    s = _base_sim()
+    s.add_step(2, phys.ElementwiseStep(lambda p: {"E": p.E},
+                                       extras=("nope",)))
+    with pytest.raises(ValueError, match="carries no 'nope'"):
+        _run(s)
+    assert "extras-missing" in _refusal_codes(s)
+    assert "nope" in s.explain_plan()
+
+
 def test_refusal_unsupported_step():
     class WeirdStep(phys.Step):
         def apply(self, state, ctx):

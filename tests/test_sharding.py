@@ -418,3 +418,41 @@ def test_functional_scan_on_sharded_state():
     np.testing.assert_allclose(np.asarray(jax.device_get(out_mesh.r)),
                                np.asarray(jax.device_get(out_plain.r)),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_custom_step_extras_planes():
+    """ElementwiseStep/ReduceMeasureStep extras= planes pack and shard with
+    the particle axis: deterministic per-particle decay driven by an extras
+    plane matches the unsharded run exactly, and the extras-tally psum is
+    global."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    n = 8 * 2048
+    rng = np.random.default_rng(11)
+    tau = rng.uniform(0.5, 4.0, n)
+
+    res = {}
+    for m in (mesh, None):
+        s = phys.Simulation(until_t=0.005, seed=0, mesh=m)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, phys.ElementwiseStep(
+            lambda p: {"E": p.E * jnp.exp(-p.extras["tau"] * p.dt)},
+            extras=("tau",)))
+        red = phys.ReduceMeasureStep(
+            None, lambda p: {"Etau": p.E * p.extras["tau"]},
+            outputs=("Etau",), extras=("tau",))
+        s.add_step(3, red)
+        s.add_photons(light.generate_photon_state(
+            n, E=1.0, extras={"tau": tau}))
+        s.start(); s.join()
+        assert s.used_fused
+        res[m is not None] = (np.asarray(s.sim_state.E)[:n],
+                              np.array([r[1] for r in red.data]))
+    np.testing.assert_allclose(res[True][0], res[False][0], rtol=1e-5)
+    np.testing.assert_allclose(res[True][1], res[False][1], rtol=1e-5)
+    # first-iteration tally is the closed form sum(tau * exp(-tau dt))
+    np.testing.assert_allclose(
+        res[False][1][0], float((tau * np.exp(-tau * 1e-3)).sum()),
+        rtol=1e-4)
