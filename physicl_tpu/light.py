@@ -677,12 +677,37 @@ class ScatterDeleteStep(MeasureStep):
       curve. Roulette weight games are variance bookkeeping, not physics,
       and do not contribute. Energy is conserved exactly:
       ``initial = sum(deposited) + in-flight sum(w*E)``.
+    * ``fluorescence=(Y, E_f)`` — photoelectric fluorescence (TPU
+      extension; K-shell re-emission): an absorbed photon with
+      ``E >= fluorescence_edge`` is, with fluorescence-yield probability
+      ``Y``, re-emitted in its slot at the characteristic line energy
+      ``E_f`` in a TRUE-isotropic direction (cos-theta uniform on
+      [-1, 1] — physical emission, unlike the scatter family's
+      reference-parity angle-uniform convention) at speed c; with
+      probability ``1 - Y`` (and always below the edge) it is absorbed
+      outright. ``dv`` is written only on re-emitted lanes so upstream
+      scatter flags survive; Stokes/frame extras of re-emitted photons
+      are zeroed (fluorescence light is unpolarized). Deposition
+      bookkeeping stays exact: re-emission deposits ``w*(E - E_f)``,
+      outright absorption ``w*E``, so
+      ``initial = sum(deposited) + in-flight sum(w*E)`` still holds
+      (``fluorescence_edge`` must be ``>= E_f`` to forbid up-conversion
+      and defaults to ``E_f``; set it to the physical absorption edge,
+      e.g. the Fe K-edge 7.11 keV with ``E_f`` the K-alpha 6.40 keV, so
+      re-emitted line photons are below the edge and cannot
+      re-fluoresce). The edge test is inclusive (``E >= edge``), so at
+      the default edge a line photon re-absorbed later re-emits again —
+      with ``Y = 1`` that means nothing can ever die; prefer
+      ``until_t=`` over ``exit="extinction"``. Analog-only (exclusive
+      with ``implicit_capture`` and ``stretch``); runs fused and on the
+      generic scan.
     """
 
     def __init__(self, n, A, A_fn=None, variable_n=False,
                  variable_n_fn=None, implicit_capture=False, roulette=None,
                  measure_deposition=False, out_fn=None, stretch=None,
-                 stretch_dir=(1.0, 0.0, 0.0)):
+                 stretch_dir=(1.0, 0.0, 0.0), fluorescence=None,
+                 fluorescence_edge=None):
         super().__init__(out_fn)
         self.measure_deposition = bool(measure_deposition)
         # exponential transform (MCNP EXT analog): bias the kill toward
@@ -722,6 +747,44 @@ class ScatterDeleteStep(MeasureStep):
                                  "0 < w_min <= w_survive")
             roulette = (w_min, w_survive)
         self.roulette = roulette
+        # fluorescent re-emission (analog-only: the re-emit branch replaces
+        # the kill, which implicit capture / the exponential transform have
+        # already re-shaped)
+        if fluorescence is not None:
+            if self.implicit_capture:
+                raise ValueError("fluorescence replaces the analog kill; "
+                                 "implicit_capture has no kill to replace "
+                                 "(use one or the other)")
+            if self.stretch is not None:
+                raise ValueError("fluorescence + stretch would need the "
+                                 "likelihood ratio threaded through the "
+                                 "re-emit branch; unsupported — pick one")
+            Y = float(raw_code_value(fluorescence[0]))
+            E_f = float(raw_code_value(fluorescence[1]))
+            if not (0.0 < Y <= 1.0):
+                raise ValueError(f"fluorescence yield must be in (0, 1], "
+                                 f"got {Y}")
+            if not (E_f > 0.0):
+                raise ValueError(f"fluorescence line energy must be "
+                                 f"positive, got {E_f}")
+            edge = (E_f if fluorescence_edge is None
+                    else float(raw_code_value(fluorescence_edge)))
+            if edge < E_f:
+                raise ValueError(
+                    f"fluorescence_edge ({edge}) below the line energy "
+                    f"({E_f}) would re-emit photons ABOVE their absorbed "
+                    f"energy (negative deposition)")
+            fluorescence = (Y, E_f, edge)
+        elif fluorescence_edge is not None:
+            raise ValueError("fluorescence_edge requires fluorescence=")
+        self.fluorescence = fluorescence
+
+    @property
+    def _c(self):
+        # re-emission speed; read at apply/pack time so a code-scale change
+        # (refresh_constants) after construction is honored, like the
+        # scatter family's setup()-time fold
+        return float(raw_code_value(c))
 
     @property
     def _coef(self):
@@ -786,6 +849,39 @@ class ScatterDeleteStep(MeasureStep):
             return state.replace(
                 w=w, alive=state.alive & jnp.logical_not(hit))
         hit = (pcoll >= u) & sel
+        if self.fluorescence is not None:
+            Y, E_f, E_edge = (jnp.asarray(x, norm.dtype)
+                              for x in self.fluorescence)
+            y = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+            fluo = hit & (y < Y) & (state.E >= E_edge)
+            killed = hit & jnp.logical_not(fluo)
+            if self.measure_deposition:
+                # re-emission deposits the line deficit, absorption all of E
+                ctx.record(self, "t", state.t)
+                ctx.record(self, "dep", jnp.sum(jnp.where(
+                    killed, state.w * state.E, jnp.where(
+                        fluo, state.w * (state.E - E_f), 0.0))))
+            cu = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+            au = jax.random.uniform(ctx.next_key(), norm.shape, norm.dtype)
+            # TRUE isotropic (physical emission): cos-theta uniform
+            cos_t = 2.0 * cu - 1.0
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = au * (2 * np.pi)
+            n_hat = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                               cos_t])
+            v_new = n_hat * jnp.asarray(self._c, norm.dtype)
+            v = jnp.where(fluo, v_new, state.v)
+            # dv only on re-emitted lanes: an upstream scatter op's flags
+            # this iteration must survive for trace/ScatterMeasure capture
+            dv = jnp.where(fluo, v_new - state.v, state.dv)
+            E = jnp.where(fluo, E_f, state.E)
+            extras = dict(state.extras)
+            for nm in ("stokes", "pol_ref"):
+                if nm in extras:  # fluorescence light is unpolarized
+                    extras[nm] = jnp.where(fluo, 0.0, extras[nm])
+            return state.replace(
+                E=E, v=v, dv=dv, extras=extras,
+                alive=state.alive & jnp.logical_not(killed))
         if self.measure_deposition:  # analog: killed photons dump w*E
             ctx.record(self, "t", state.t)
             ctx.record(self, "dep", jnp.sum(jnp.where(

@@ -151,6 +151,10 @@ class _Op:
     # del: exponential transform (b, dx, dy, dz) — kill prob biased to
     # p*(1 - b*mu), mu = dr_hat . d; survivors reweight by (1-p)/(1-p')
     stretch: tuple = ()
+    # del: fluorescent re-emission (Y, E_f, E_edge) — an absorbed photon
+    # with E >= E_edge is re-emitted at E_f true-isotropically (speed
+    # c_val) with yield probability Y instead of dying
+    fluor: tuple = ()
     c_val: float = 0.0              # |v| for resampled photons (iso/hg)
     g: float = 0.0                  # Henyey-Greenstein anisotropy (hg)
     inv_mec2: float = 0.0           # 1 / (m_e c^2) in code units (compton)
@@ -482,6 +486,55 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                         hit, f[_W] * f[_E]
                         * (p_true / jnp.maximum(p_bias, tiny)), 0.0)))
                 alive_b = alive_b & jnp.logical_not(hit)
+                f[_ALIVE] = alive_b.astype(jnp.float32)
+            elif op.fluor:
+                # fluorescent re-emission: absorbed photons above the edge
+                # re-emit at the line energy with yield probability Y
+                # (mirrors the generic apply's branch exactly)
+                u = rng.uniform(shape)
+                hit = (pcoll >= u) & ph_alive()
+                Y, E_f, E_edge = (jnp.float32(x) for x in op.fluor)
+                y = rng.uniform(shape)
+                if plan.packed_angles:
+                    cu, au = rng.uniform_pair(shape)
+                else:
+                    cu, au = rng.uniform(shape), rng.uniform(shape)
+                fluo = hit & (y < Y) & (f[_E] >= E_edge)
+                killed = hit & jnp.logical_not(fluo)
+                if op.cols:  # deficit for re-emitted, all of E for killed
+                    row_f = put_f(row_f, op.cols[0], jnp.sum(jnp.where(
+                        killed, f[_W] * f[_E], jnp.where(
+                            fluo, f[_W] * (f[_E] - E_f),
+                            jnp.float32(0.0)))))
+                # TRUE isotropic (physical emission; cos-theta uniform —
+                # not the scatter family's reference-parity convention)
+                cos_t = 2.0 * cu - jnp.float32(1.0)
+                sin_t = jnp.sqrt(jnp.maximum(
+                    jnp.float32(1.0) - cos_t * cos_t, jnp.float32(0.0)))
+                two_au = 2.0 * au
+                sin_a = _fast_sinpi(_wrap1(two_au))
+                cos_a = _fast_sinpi(_wrap1(two_au + jnp.float32(0.5)))
+                nx, ny, nz = sin_t * cos_a, sin_t * sin_a, cos_t
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    nx * nx + ny * ny + nz * nz, jnp.float32(1e-30)))
+                cval = jnp.float32(op.c_val) * inv
+                vnew = (cval * nx, cval * ny, cval * nz)
+                for d in range(3):
+                    old = f[_VX + d]
+                    f[_VX + d] = jnp.where(fluo, vnew[d], old)
+                    # dv only on re-emitted lanes: upstream scatter flags
+                    # from this iteration must survive (plain del never
+                    # touches dv)
+                    f[_DVX + d] = jnp.where(fluo, vnew[d] - old,
+                                            f[_DVX + d])
+                f[_E] = jnp.where(fluo, E_f, f[_E])
+                # fluorescence light is unpolarized: zero Stokes/frame
+                # planes of re-emitted lanes (matches the generic apply)
+                for j, name in enumerate(plan.extras):
+                    if name.split(":")[0] in ("stokes", "pol_ref"):
+                        f[_NF + j] = jnp.where(fluo, jnp.float32(0.0),
+                                               f[_NF + j])
+                alive_b = alive_b & jnp.logical_not(killed)
                 f[_ALIVE] = alive_b.astype(jnp.float32)
             else:
                 u = rng.uniform(shape)
@@ -1524,6 +1577,13 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     or op.e_fn is not None or op.b_fn is not None
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+    if any(op.kind == "del" and op.fluor for op in plan.ops):
+        # the fluorescence branch adds ~10 live (tile, 128) temporaries
+        # (yield/angle draws + the redirect) on top of the plain kill —
+        # iso-sized, but without a fresh-compile scoped-vmem measurement
+        # on hardware keep it at the safe U<=8 tier (compile-matrix combo
+        # "fluorescence" tracks it)
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
     if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase", "pol",
                        "polc") for op in plan.ops):

@@ -760,6 +760,19 @@ def try_build_fused(sim, steps, state: SimState,
                 rec_map.append({"uid": uid, "kind": "dep",
                                 "col": dep_cols[0]})
                 measure_after_update[uid] = update_seen
+            if getattr(s, "fluorescence", None) and \
+                    _population_has_stokes(sim):
+                # fluorescent re-emission zeroes the Stokes/frame planes of
+                # re-emitted lanes in-kernel (unpolarized emission) — the
+                # planes must be packed AND written back even without a
+                # polarized scatter op in the pipeline, or the host state
+                # keeps the stale pre-absorption polarization the generic
+                # path clears
+                for nm in ("stokes:0", "stokes:1", "stokes:2",
+                           "pol_ref:0", "pol_ref:1", "pol_ref:2"):
+                    if nm not in extra_names:
+                        extra_names.append(nm)
+                pol_writeback = True
             ops.append(F._Op("del", coef=s._coef, a_fn=s._a_fn,
                              n_fn=s._n_fn,
                              implicit_capture=s.implicit_capture,
@@ -768,6 +781,10 @@ def try_build_fused(sim, steps, state: SimState,
                              stretch=(tuple(s.stretch)
                                       if getattr(s, "stretch", None)
                                       else ()),
+                             fluor=(tuple(s.fluorescence)
+                                    if getattr(s, "fluorescence", None)
+                                    else ()),
+                             c_val=s._c,
                              cols=dep_cols))
         elif type(s) is AbsorbingBoundaryStep:
             s.setup(sim)
@@ -1172,8 +1189,9 @@ def try_build_fused(sim, steps, state: SimState,
             s0 = speeds[0]
             ok = s0 > 0 and max(abs(s - s0) for s in speeds) <= 1e-4 * s0
             for op in ops:
-                if (op.kind in ("iso", "hg", "rayl", "pol", "polc",
-                                "compton")
+                if ((op.kind in ("iso", "hg", "rayl", "pol", "polc",
+                                 "compton")
+                     or (op.kind == "del" and op.fluor))
                         and abs(op.c_val - s0) > 1e-5 * s0):
                     ok = False
             if ok:

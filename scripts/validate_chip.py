@@ -534,6 +534,48 @@ def main():
     check("polarized Compton: heating tally == sum w(E - E')",
           dep_dev < 1e-3, f"rel dev = {dep_dev:.2e}")
 
+    # --- fluorescent re-emission: two-state decay + exact energy budget
+    import physicl_tpu as phys
+
+    Nf, pf, Yf, kf, E0f = 262144, 0.1, 0.6, 20, 2.0
+    s = phys.Simulation(until_t=kf * 1e-3, seed=11, fuse="auto")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    dele = light.ScatterDeleteStep(
+        np.double(1.0), np.double(pf / (float(light.c) * 1e-3)),
+        fluorescence=(Yf, 1.0), fluorescence_edge=1.5,
+        measure_deposition=True)
+    s.add_step(2, dele)
+    s.add_photons(light.generate_photon_state(Nf, E=E0f))
+    s.start(); s.join()
+    check("fluorescence pipeline stays fused", s.used_fused,
+          f"{s.used_fused}")
+    st = s.sim_state
+    alive = np.asarray(st.alive)
+    E = np.asarray(st.E, np.float64)
+    n_src = int((alive & (E == E0f)).sum())
+    n_line = int((alive & (E == 1.0)).sum())
+    exp_src = Nf * (1 - pf) ** kf
+    exp_line = Nf * Yf * pf * kf * (1 - pf) ** (kf - 1)
+    check("fluorescence: source line drains at (1-p)^k",
+          abs(n_src - exp_src) / exp_src < 0.03,
+          f"{n_src} vs {exp_src:.0f}")
+    check("fluorescence: line population = N*Y*p*k*(1-p)^(k-1)",
+          abs(n_line - exp_line) / exp_line < 0.03,
+          f"{n_line} vs {exp_line:.0f}")
+    inflight = float(E[alive].sum())
+    deposited = float(np.array(dele.data, dtype=float)[:, 1].sum())
+    e_dev = abs(inflight + deposited - Nf * E0f) / (Nf * E0f)
+    check("fluorescence: exact energy budget (in-flight + deposited)",
+          e_dev < 1e-4, f"rel dev = {e_dev:.2e}")
+    vline = np.asarray(st.v, np.float64)[:, alive & (E == 1.0)]
+    cos_line = vline[2] / np.sqrt((vline ** 2).sum(axis=0))
+    check("fluorescence: re-emission true-isotropic (<cos>~0, P(|c|<.5)=.5)",
+          abs(cos_line.mean()) < 0.02
+          and abs((np.abs(cos_line) < 0.5).mean() - 0.5) < 0.02,
+          f"<cos> {cos_line.mean():+.4f}, "
+          f"P {np.mean(np.abs(cos_line) < 0.5):.4f}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")

@@ -186,6 +186,12 @@ def _ops(kind):
                                 [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.5])
         return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "fluorescence":
+        # fluorescent re-emission: yield/angle draws + the true-isotropic
+        # redirect stacked on the plain kill (unroll capped at 8)
+        return [kin, F._Op("del", coef=0.1 * _EPS, c_val=c,
+                           fluor=(0.7, 0.5 * _EPS, 0.8 * _EPS), cols=(0,)),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "stretch":
         # exponential transform: direction-cosine reweighting on the del
         # op (mu from the dr planes + two likelihood ratios per iter)
@@ -237,7 +243,8 @@ def _ops(kind):
                                   "ecap", "custom", "reduce",
                                   "spectrum_wide", "implicit_capture",
                                   "fresnel", "lorentz", "lorentz_qm",
-                                  "mixed", "stretch", "phase",
+                                  "mixed", "stretch", "fluorescence",
+                                  "phase",
                                   "sphere", "layered", "polarized",
                                   "polarized_compton"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
