@@ -1558,6 +1558,13 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     tile_rows = plan.tile_rows
     while rows % tile_rows:
         tile_rows //= 2
+    if any(op.kind in ("pol", "polc") for op in plan.ops) and rows >= 256:
+        # the polarized op body's Mosaic stack measured 17.78M at 256-row
+        # tiles EVEN AT UNROLL 1 (on-chip fresh-compile matrix, r3): the
+        # bisection/frame/Mueller live temporaries scale with tile size,
+        # so no unroll reduction can save a 256-row tile — 128-row tiles
+        # fit (the 128-row matrix column passes; engine default is 128)
+        tile_rows = min(tile_rows, 128)
     n_tiles = rows // tile_rows
 
     # Scoped-vmem fit (v5e AOT limit: 16MB kernel stack). Mosaic's
@@ -1578,6 +1585,12 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+    if any(op.kind == "emit" for op in plan.ops):
+        # the emit body (E/r/v fill + W reset + extras zeroing + polarized
+        # source Stokes fill) measured 16.45M scoped-vmem at 256-row tiles
+        # with unroll 32 (on-chip matrix, r3) — 464K over the 16M limit;
+        # unroll 16 halves the per-iteration temporaries
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 16))
     if any(op.kind == "del" and op.fluor for op in plan.ops):
         # the fluorescence branch adds ~10 live (tile, 128) temporaries
         # (yield/angle draws + the redirect) on top of the plain kill —

@@ -101,6 +101,12 @@ def _random_pipeline(rng, fuse, seed):
             s.add_step(idx, light.ScatterDeleteStep(
                 np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001),
                 stretch=float(rng.uniform(0.2, 0.9))))
+        elif rng.random() < 0.5:  # round 3: fluorescent re-emission
+            meta["deaths"] = True
+            s.add_step(idx, light.ScatterDeleteStep(
+                np.double(rng.uniform(2e-4, 1e-3)), np.double(0.001),
+                fluorescence=(float(rng.uniform(0.2, 0.9)), 0.05),
+                fluorescence_edge=0.08))
         else:
             meta["deaths"] = True
             s.add_step(idx, light.ScatterDeleteStep(
