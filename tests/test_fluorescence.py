@@ -160,6 +160,38 @@ def test_reemitted_photons_unpolarized(fuse):
     np.testing.assert_allclose(stokes[0, src], 1.0, atol=1e-6)
 
 
+def test_sharded_mesh_energy_budget_and_two_state():
+    """8-device mesh: the per-realization energy identity holds globally
+    (deposition is psum-reduced across shards) and the two-state decay
+    matches the closed forms."""
+    from physicl_tpu.parallel import make_mesh
+
+    N, p, Y, k, E0 = 65536, 0.1, 0.6, 20, 2.0
+    s = phys.Simulation(until_t=k * 1e-3, seed=2, fuse="auto",
+                        mesh=make_mesh())
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    dele = light.ScatterDeleteStep(
+        np.double(1.0), np.double(p / (float(light.c) * 1e-3)),
+        fluorescence=(Y, 1.0), fluorescence_edge=1.5,
+        measure_deposition=True)
+    s.add_step(2, dele)
+    s.add_photons(light.generate_photon_state(N, E=E0))
+    s.start(); s.join()
+    assert s.used_fused
+    st = s.sim_state
+    alive = np.asarray(st.alive)
+    E = np.asarray(st.E, np.float64)
+    inflight = float(E[alive].sum())
+    deposited = float(np.array(dele.data, dtype=float)[:, 1].sum())
+    np.testing.assert_allclose(inflight + deposited, N * E0, rtol=1e-4)
+    n_src = int((alive & (E == E0)).sum())
+    n_line = int((alive & (E == 1.0)).sum())
+    np.testing.assert_allclose(n_src, N * (1 - p) ** k, rtol=0.05)
+    np.testing.assert_allclose(
+        n_line, N * Y * p * k * (1 - p) ** (k - 1), rtol=0.05)
+
+
 @pytest.mark.parametrize("fuse", ["auto", "off"])
 def test_unit_yield_at_line_conserves_n(fuse):
     """Y=1 with source == line == edge: every absorption re-emits (the
