@@ -109,7 +109,7 @@ cos_t = v[2] / np.sqrt((v ** 2).sum(axis=0))
 ax2.hist(cos_t, bins=40, range=(-1, 1), density=True, alpha=0.7)
 ax2.axhline(0.5, color="k", lw=1, label="isotropic 1/2")
 ax2.set_xlabel(r"$\\cos\\theta$"); ax2.set_ylabel("density")
-ax2.set_title(f"K$\\alpha$ emission directions (n={line.sum()})")
+ax2.set_title(rf"K$\\alpha$ emission directions (n={line.sum()})")
 ax2.legend(fontsize=8)
 plt.tight_layout(); plt.savefig("xray_fluorescence.png", dpi=110)
 plt.show()

@@ -596,15 +596,26 @@ def try_build_fused(sim, steps, state: SimState,
         StokesMeasureStep,
     )
 
-    def _population_has_stokes(sim) -> bool:
-        """At least one pending source declares the Stokes planes (state
-        assembly zero-fills the rest: unpolarized, degenerate frame)."""
+    def _population_pol_planes(sim) -> tuple:
+        """The subset of ("stokes", "pol_ref") declared by any pending
+        source. The generic fluorescence apply zeroes each plane
+        independently, so a half-declared population (only one of the
+        two) must still pack+write back that one plane on the fused path
+        or re-emitted photons keep stale host polarization."""
+        found = set()
         for b in sim._pending_bulk:
             ex = b.get("extras") or {}
-            if "stokes" in ex and "pol_ref" in ex:
-                return True
-        return any(hasattr(o, "stokes") and hasattr(o, "pol_ref")
-                   for o in sim._pending_objects)
+            found.update(nm for nm in ("stokes", "pol_ref") if nm in ex)
+        for o in sim._pending_objects:
+            found.update(nm for nm in ("stokes", "pol_ref")
+                         if hasattr(o, nm))
+        return tuple(nm for nm in ("stokes", "pol_ref") if nm in found)
+
+    def _population_has_stokes(sim) -> bool:
+        """At least one pending source declares BOTH polarization planes
+        (state assembly zero-fills the rest: unpolarized, degenerate
+        frame) — the requirement for the polarized scatter/measure ops."""
+        return _population_pol_planes(sim) == ("stokes", "pol_ref")
 
     _EXTRAS_CORE = {"r", "dr", "v", "dv", "a", "E", "w"}
 
@@ -675,7 +686,7 @@ def try_build_fused(sim, steps, state: SimState,
     rec_map: List[dict] = []
     measure_after_update: Dict[str, bool] = {}
     extra_names: List[str] = []  # packed planes after the core 15
-    pol_writeback = False        # a "pol" op mutates the Stokes/frame planes
+    pol_wb: set = set()  # polarization plane bases mutated in-kernel
     if species == F.SPECIES_MIXED:
         extra_names.append("otype")
     next_col = 1
@@ -760,19 +771,20 @@ def try_build_fused(sim, steps, state: SimState,
                 rec_map.append({"uid": uid, "kind": "dep",
                                 "col": dep_cols[0]})
                 measure_after_update[uid] = update_seen
-            if getattr(s, "fluorescence", None) and \
-                    _population_has_stokes(sim):
+            if getattr(s, "fluorescence", None):
                 # fluorescent re-emission zeroes the Stokes/frame planes of
                 # re-emitted lanes in-kernel (unpolarized emission) — the
                 # planes must be packed AND written back even without a
                 # polarized scatter op in the pipeline, or the host state
                 # keeps the stale pre-absorption polarization the generic
-                # path clears
-                for nm in ("stokes:0", "stokes:1", "stokes:2",
-                           "pol_ref:0", "pol_ref:1", "pol_ref:2"):
-                    if nm not in extra_names:
-                        extra_names.append(nm)
-                pol_writeback = True
+                # path clears. Per-plane: the generic apply zeroes each
+                # independently, so a population declaring only one of
+                # stokes/pol_ref still needs that one packed.
+                for base in _population_pol_planes(sim):
+                    for nm in (f"{base}:0", f"{base}:1", f"{base}:2"):
+                        if nm not in extra_names:
+                            extra_names.append(nm)
+                    pol_wb.add(base)
             ops.append(F._Op("del", coef=s._coef, a_fn=s._a_fn,
                              n_fn=s._n_fn,
                              implicit_capture=s.implicit_capture,
@@ -876,7 +888,7 @@ def try_build_fused(sim, steps, state: SimState,
                        "pol_ref:0", "pol_ref:1", "pol_ref:2"):
                 if nm not in extra_names:
                     extra_names.append(nm)
-            pol_writeback = True
+            pol_wb.update(("stokes", "pol_ref"))
             ops.append(F._Op(
                 "pol", coef=s._coef, wl_base=s._wl_base, n_fn=s._n_fn,
                 c_val=s._c,
@@ -894,7 +906,7 @@ def try_build_fused(sim, steps, state: SimState,
                        "pol_ref:0", "pol_ref:1", "pol_ref:2"):
                 if nm not in extra_names:
                     extra_names.append(nm)
-            pol_writeback = True
+            pol_wb.update(("stokes", "pol_ref"))
             dep_cols = ()
             if s.measure_deposition:
                 dep_cols = (next_fcol,)   # Compton heating per iteration
@@ -984,7 +996,7 @@ def try_build_fused(sim, steps, state: SimState,
                            "pol_ref:0", "pol_ref:1", "pol_ref:2"):
                     if nm not in extra_names:
                         extra_names.append(nm)
-                pol_writeback = True
+                pol_wb.update(("stokes", "pol_ref"))
                 emit_stokes = tuple(float(x) for x in s.stokes)
                 emit_polref = tuple(float(x) for x in s._emit_e1)
             ops.append(F._Op(
@@ -1288,7 +1300,8 @@ def try_build_fused(sim, steps, state: SimState,
         interpret=(jax.default_backend() == "cpu"),
         species=species,
         extras=tuple(extra_names),
-        extras_writeback=(("stokes", "pol_ref") if pol_writeback else ()),
+        extras_writeback=tuple(nm for nm in ("stokes", "pol_ref")
+                                if nm in pol_wb),
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,

@@ -160,6 +160,38 @@ def test_reemitted_photons_unpolarized(fuse):
     np.testing.assert_allclose(stokes[0, src], 1.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.parametrize("plane", ["stokes", "pol_ref"])
+def test_reemitted_zeroing_half_declared_population(fuse, plane):
+    """A population declaring only ONE of stokes/pol_ref (legal: the
+    generic apply zeroes each plane independently, light.py) must still
+    get that plane packed + written back on the fused path — the old
+    both-planes gate left stale host polarization on re-emitted lanes
+    (ADVICE r3, pipeline.py per-plane packing)."""
+    N, p, k = 16384, 0.2, 10
+    s = phys.Simulation(until_t=k * 1e-3, seed=1, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    c = float(light.c)
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(p / (c * 1e-3)),
+        fluorescence=(0.8, 1.0), fluorescence_edge=1.5))
+    vals = np.tile(np.array([[1.0], [0.5], [0.25]]), (1, N))
+    s.add_photons(light.generate_photon_state(N, E=2.0,
+                                              extras={plane: vals}))
+    s.start(); s.join()
+    assert s.used_fused == (fuse == "auto")
+    st = s.sim_state
+    alive = np.asarray(st.alive)
+    E = np.asarray(st.E, np.float64)
+    arr = np.asarray(st.extras[plane], np.float64)
+    line = alive & (E == 1.0)
+    src = alive & (E == 2.0)
+    assert line.sum() > 100 and src.sum() > 100
+    assert np.abs(arr[:, line]).max() == 0.0
+    np.testing.assert_allclose(arr[0, src], 1.0, atol=1e-6)
+
+
 def test_sharded_mesh_energy_budget_and_two_state():
     """8-device mesh: the per-realization energy identity holds globally
     (deposition is psum-reduced across shards) and the two-state decay
