@@ -1,6 +1,14 @@
 # Developer entry points (counterpart of the reference Makefile + CI scripts)
+#
+# Test tiers (measured 2026-08-19, single-core CPU, virtual 8-device mesh):
+#   test        full suite            457 passed / 17m43s
+#   test-fast   -m "not slow"         375 passed /  6m39s (1 core; CI runs
+#               it with pytest-xdist -n auto — scales ~1/cores)
+#   test-smoke  --smoke               first 2 non-slow tests per module,
+#                                     54 passed / 61s — every module still
+#                                     imports and executes
 
-.PHONY: test test-fast bench dryrun install native apidocs clean
+.PHONY: test test-fast test-smoke bench dryrun install native apidocs clean
 
 apidocs:
 	python scripts/gen_api_docs.py
@@ -16,6 +24,9 @@ test:
 
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
+
+test-smoke:
+	python -m pytest tests/ -x -q --smoke
 
 bench:
 	python bench.py

@@ -114,7 +114,7 @@ def main():
     assert parity_err < 0.02, f"scatter parity broken: {parity_err}"
 
     baseline = 2.0e4  # BASELINE.md: reference isotropic scatter, OpenCL
-    print(json.dumps({
+    out = {
         "metric": "photon_steps_per_sec_per_chip_at_1e7_isotropic_scatter",
         "value": round(value, 1),
         "unit": "photon-steps/s",
@@ -124,7 +124,18 @@ def main():
         # all three window rates, so a stall (one window orders of
         # magnitude low) is distinguishable from run-to-run spread
         "windows": [round(r, 1) for r in rates],
-    }))
+    }
+    if used_fused:
+        # hardware-utilization accounting (VERDICT r3 weak #3): position
+        # the measured rate against the chip's VPU/HBM roofs via the
+        # jaxpr-derived flops+bytes model (utils/roofline.py)
+        from physicl_tpu.utils.roofline import roofline_report
+
+        rep = roofline_report(provider.plan, state.capacity, value)
+        out["flops_per_photon_step"] = rep["flops_per_photon_step"]
+        out["vpu_util"] = rep["vpu_util"]
+        out["hbm_util"] = rep["hbm_util"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1162,9 +1162,14 @@ class Simulation(threading.Thread):
             int(np.prod(x.shape)) * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(rec_shapes)
         )
+        # 1024-iteration cap (fused-path parity): the early-exit while_loop
+        # makes overshoot free — a chunk ends the moment the exit predicate
+        # fires — so the cap only bounds the record buffer and the latency
+        # of chunk-boundary work (population maintenance, at="chunk" steps)
         if bytes_per_iter == 0:
-            return 256
-        return int(np.clip(self.max_record_bytes // max(bytes_per_iter, 1), 1, 256))
+            return 1024
+        return int(np.clip(self.max_record_bytes // max(bytes_per_iter, 1),
+                           1, 1024))
 
     def _exit_traced_fn(self, state: SimState):
         """``(fn, tier)``: the device-traceable exit predicate for the
@@ -1207,29 +1212,39 @@ class Simulation(threading.Thread):
         # Record template (zeros) for masked-out iterations, fixed at build time.
         rec_shapes = jax.eval_shape(lambda s: run_iter(s)[1], state0)
 
-        def body(carry, _):
-            state, done = carry
-            if exit_fn is not None:
-                done = done | jnp.asarray(
-                    exit_fn(_TracedView(state, self)), jnp.bool_
-                )
+        # Early-exit while_loop instead of a scan over lax.cond(done, ...):
+        # the cond carried the FULL state through a select every iteration
+        # (two extra HBM passes over every plane at 10^7 photons) and kept
+        # burning whole-chunk dispatch time after extinction. The loop runs
+        # exactly the live iterations: exit is checked on the pre-iteration
+        # state (same schedule as the reference's `while not exit(self)`,
+        # physicl/__init__.py:512), the PRNG stream advances only on live
+        # iterations, and records/valid are bit-identical to the scan form.
+        def exit_now(state):
+            if exit_fn is None:
+                return jnp.zeros((), jnp.bool_)
+            return jnp.asarray(exit_fn(_TracedView(state, self)), jnp.bool_)
 
-            def live(state):
-                return run_iter(state)
+        def cond(carry):
+            k, state, done, recs = carry
+            return (k < chunk) & jnp.logical_not(done)
 
-            def dead(state):
-                zeros = jax.tree_util.tree_map(
-                    lambda sh: jnp.zeros(sh.shape, sh.dtype), rec_shapes
-                )
-                return state, zeros
-
-            state, records = jax.lax.cond(done, dead, live, state)
-            return (state, done), (records, jnp.logical_not(done))
+        def body(carry):
+            k, state, done, recs = carry
+            state, row = run_iter(state)
+            recs = jax.tree_util.tree_map(
+                lambda buf, r: jax.lax.dynamic_update_index_in_dim(
+                    buf, r.astype(buf.dtype), k, 0), recs, row)
+            return k + 1, state, exit_now(state), recs
 
         def chunk_fn(state: SimState):
-            (state, done), (records, valid) = jax.lax.scan(
-                body, (state, jnp.zeros((), jnp.bool_)), length=chunk
-            )
+            recs0 = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros((chunk,) + sh.shape, sh.dtype),
+                rec_shapes)
+            k, state, done, records = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), state,
+                             exit_now(state), recs0))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < k
             return state, done, records, valid
 
         if self.jit_on:

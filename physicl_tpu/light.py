@@ -987,6 +987,17 @@ def layered_density(edges, values, axis: str = "x",
     return fn
 
 
+#: Largest voxel grid (total entries) the fused Pallas kernel serves
+#: in-VMEM. The kernel's lookup is a segmented sublane gather
+#: (``take_along_axis`` — the one gather form Mosaic lowers) over a
+#: lane-replicated table: VMEM cost is ``V * 128 * 4`` bytes (8192 ->
+#: 4 MB) and per-eval cost is one gather+select per ``tile_rows`` table
+#: rows, so both scale linearly in V. Trilinear needs 8 corner lookups
+#: per eval, hence the lower cap.
+MAX_FUSED_VOXELS = 8192
+MAX_FUSED_VOXELS_TRILINEAR = 4096
+
+
 def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
                   interp: str = "nearest", outside: float = 0.0):
     """3-D gridded medium (CT phantom / simulation snapshot) as a
@@ -999,11 +1010,16 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
     voxel-center hull; exact for fields linear in position). Positions
     outside the coverage read ``outside`` (default vacuum).
 
-    Voxel lookups are array GATHERS, which do not trace into the Mosaic
-    (Pallas TPU) kernel — the callable is marked ``pallas_incompatible``
-    and the planner reports a structured ``field-fn-gather`` refusal: the
-    pipeline runs on the generic jitted-scan path (XLA lowers the gathers
-    natively there). For fusable layered media use :func:`layered_density`.
+    Grids up to ``MAX_FUSED_VOXELS`` entries (``MAX_FUSED_VOXELS_TRILINEAR``
+    for trilinear) trace into the fused Pallas kernel: the grid rides to
+    VMEM as a lane-replicated table and each lookup is a segmented sublane
+    gather (the TPU analog of the reference keeping its user n(r) inside
+    the OpenCL kernel, physicl/light.py:295-315). Larger grids are marked
+    ``pallas_incompatible`` and the planner reports a structured
+    ``field-fn-gather`` refusal: the pipeline runs on the generic
+    jitted-scan path (XLA lowers arbitrary gathers natively there). For
+    huge 3-D data consider :func:`layered_density` along the dominant
+    axis, or coarsen the grid under the cap.
     """
     grid = jnp.asarray(raw_code_value(grid), jnp.float32)
     if grid.ndim != 3:
@@ -1052,7 +1068,23 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
                     val = val + wx * wy * wz * corner
         return jnp.where(inside, val, jnp.asarray(outside, dtype))
 
-    fn.pallas_incompatible = True
+    cap = (MAX_FUSED_VOXELS if interp == "nearest"
+           else MAX_FUSED_VOXELS_TRILINEAR)
+    if grid.size <= cap:
+        # static metadata the fused kernel builder (ops/fused.py) turns
+        # into a VMEM table input + in-kernel segmented-gather field
+        fn.vox_spec = {
+            "flat": np.asarray(grid, np.float32).reshape(-1),
+            "shape": (int(nx), int(ny), int(nz)),
+            "origin": (float(origin[0]), float(origin[1]),
+                       float(origin[2])),
+            "spacing": (float(spacing[0]), float(spacing[1]),
+                        float(spacing[2])),
+            "outside": outside,
+            "interp": interp,
+        }
+    else:
+        fn.pallas_incompatible = True
     return fn
 
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from physicl_tpu.engine import Object, Step, StepContext
-from physicl_tpu.state import OBJ_PHOTON, SimState
+from physicl_tpu.state import OBJ_PHOTON, SimState, mod_floor
 from physicl_tpu.units import Measurement, raw_code_value
 
 __all__ = ["NewtonianKinematicsStep", "AbsorbingBoundaryStep",
@@ -134,7 +134,7 @@ class ReflectingBoundaryStep(Step):
         # (y > L) is a position reflected an odd number of times, so the
         # velocity component flips there.
         L = hi - lo
-        y = jnp.mod(state.r - lo, 2 * L)
+        y = mod_floor(state.r - lo, 2 * L)
         odd = y > L
         r = lo + jnp.where(odd, 2 * L - y, y)
         outside = (state.r > hi) | (state.r < lo)
@@ -315,7 +315,7 @@ class PeriodicBoundaryStep(Step):
         lo, hi = _bounds_arrays(b, state.r.dtype)
         lo, hi = lo[:, None], hi[:, None]
         L = hi - lo
-        r = lo + jnp.mod(state.r - lo, L)
+        r = lo + mod_floor(state.r - lo, L)
         return state.replace(r=r)
 
 

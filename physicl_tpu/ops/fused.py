@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from physicl_tpu.state import OBJ_PHOTON, SimState
+from physicl_tpu.state import OBJ_PHOTON, SimState, mod_floor
 
 # Field planes in the packed (NF, C) state array.
 (_RX, _RY, _RZ, _DRX, _DRY, _DRZ, _VX, _VY, _VZ, _DVX, _DVY, _DVZ, _E,
@@ -280,6 +280,94 @@ class FusedPlan:
     # unchanged, so results are bitwise identical to U=1. Remainder
     # iterations (k_act % U) run un-unrolled.
     unroll: int = 32
+
+
+def _vox_specs_of(plan: FusedPlan):
+    """Ordered, id-deduplicated voxel-table specs referenced by the plan's
+    field callables, plus each op's table slot (-1 = none). Both the
+    builder (table inputs) and the kernel (ref rebinding) derive the slot
+    mapping from this one traversal, so they can never disagree."""
+    slots, specs, by_id = [], [], {}
+    for op in plan.ops:
+        spec = getattr(op.n_fn, "vox_spec", None)
+        if spec is None:
+            slots.append(-1)
+            continue
+        key = id(op.n_fn)
+        if key not in by_id:
+            by_id[key] = len(specs)
+            specs.append(spec)
+        slots.append(by_id[key])
+    return slots, specs
+
+
+def _vmem_table_lookup(tab_ref, flat, tile_rows):
+    """``table[flat]`` for a per-photon (tile_rows, 128) int32 index plane.
+
+    Mosaic lowers exactly one gather form — same-shape 2-D
+    ``take_along_axis`` (``tpu.dynamic_gather``) — whose reach along
+    sublanes is the tile height. The table therefore arrives as a
+    lane-replicated ``(Vpad, 128)`` VMEM window (every lane can reach
+    every entry) and the lookup walks it in ``tile_rows``-row segments:
+    one sublane gather + one select per segment. ``flat`` must already be
+    clipped to ``[0, V)``."""
+    out = jnp.zeros(flat.shape, jnp.float32)
+    seg_of = flat // jnp.int32(tile_rows)
+    loc = flat - seg_of * jnp.int32(tile_rows)
+    for s in range(tab_ref.shape[0] // tile_rows):
+        seg = tab_ref[s * tile_rows:(s + 1) * tile_rows, :]
+        got = jnp.take_along_axis(seg, loc, axis=0)
+        out = jnp.where(seg_of == jnp.int32(s), got, out)
+    return out
+
+
+def _bind_vox_field(spec: dict, tab_ref, tile_rows):
+    """The in-kernel twin of ``light.voxel_density``'s callable: same
+    index/weight arithmetic in the same order (bitwise parity with the
+    generic path's direct XLA gather), with the lookup itself routed
+    through :func:`_vmem_table_lookup`."""
+    nx, ny, nz = spec["shape"]
+    ox, oy, oz = spec["origin"]
+    sx, sy, sz = spec["spacing"]
+    outside = jnp.float32(spec["outside"])
+    trilinear = spec["interp"] == "trilinear"
+
+    def fn(r0, r1, r2):
+        fx = (r0 - jnp.float32(ox)) / jnp.float32(sx)
+        fy = (r1 - jnp.float32(oy)) / jnp.float32(sy)
+        fz = (r2 - jnp.float32(oz)) / jnp.float32(sz)
+        if not trilinear:
+            inside = ((fx >= -0.5) & (fx < nx - 0.5)
+                      & (fy >= -0.5) & (fy < ny - 0.5)
+                      & (fz >= -0.5) & (fz < nz - 0.5))
+            ix = jnp.clip(jnp.round(fx).astype(jnp.int32), 0, nx - 1)
+            iy = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, ny - 1)
+            iz = jnp.clip(jnp.round(fz).astype(jnp.int32), 0, nz - 1)
+            flat = (ix * jnp.int32(ny) + iy) * jnp.int32(nz) + iz
+            val = _vmem_table_lookup(tab_ref, flat, tile_rows)
+            return jnp.where(inside, val, outside)
+        inside = ((fx >= 0) & (fx <= nx - 1) & (fy >= 0) & (fy <= ny - 1)
+                  & (fz >= 0) & (fz <= nz - 1))
+        x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+        y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
+        z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, nz - 2)
+        tx = jnp.clip(fx - x0, 0.0, 1.0)
+        ty = jnp.clip(fy - y0, 0.0, 1.0)
+        tz = jnp.clip(fz - z0, 0.0, 1.0)
+        val = jnp.zeros_like(tx)
+        for dx_ in (0, 1):
+            wx = (1.0 - tx) if dx_ == 0 else tx
+            for dy_ in (0, 1):
+                wy = (1.0 - ty) if dy_ == 0 else ty
+                for dz_ in (0, 1):
+                    wz = (1.0 - tz) if dz_ == 0 else tz
+                    flat = ((x0 + dx_) * jnp.int32(ny) + (y0 + dy_)) \
+                        * jnp.int32(nz) + (z0 + dz_)
+                    corner = _vmem_table_lookup(tab_ref, flat, tile_rows)
+                    val = val + wx * wy * wz * corner
+        return jnp.where(inside, val, outside)
+
+    return fn
 
 
 def _fast_sinpi(y):
@@ -957,7 +1045,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             for d, (lo, hi) in enumerate(op.bounds):
                 lo_f = jnp.float32(lo)
                 L = jnp.float32(hi) - lo_f
-                f[_RX + d] = lo_f + jnp.mod(f[_RX + d] - lo_f, L)
+                f[_RX + d] = lo_f + mod_floor(f[_RX + d] - lo_f, L)
         elif op.kind == "reflect":
             # triangle-wave fold per axis (newton.ReflectingBoundaryStep):
             # handles arbitrary overshoot; odd fold parity flips the velocity
@@ -965,7 +1053,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 lo_f, hi_f = jnp.float32(lo), jnp.float32(hi)
                 L = hi_f - lo_f
                 r0 = f[_RX + d]
-                y = jnp.mod(r0 - lo_f, 2 * L)
+                y = mod_floor(r0 - lo_f, 2 * L)
                 odd = y > L
                 folded = lo_f + jnp.where(odd, 2 * L - y, y)
                 outside = (r0 > hi_f) | (r0 < lo_f)
@@ -1221,9 +1309,25 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
     return f, row, row_f, stream
 
 
-def _kernel(plan: FusedPlan, tile_rows, ctl_ref, dts_ref, emit_ref,
-            state_ref, out_ref, rec_ref, recf_ref, stream_ref=None,
-            stream_scratch=None, stream_sem=None):
+def _kernel(plan: FusedPlan, tile_rows, n_tables, ctl_ref, dts_ref, emit_ref,
+            state_ref, *args):
+    table_refs = args[:n_tables]
+    out_ref, rec_ref, recf_ref = args[n_tables:n_tables + 3]
+    rest = args[n_tables + 3:]
+    stream_ref = rest[0] if plan.n_stream else None
+    stream_scratch = rest[1] if plan.n_stream else None
+    stream_sem = rest[2] if plan.n_stream else None
+    if n_tables:
+        # rebind voxel-media field callables to their VMEM table windows:
+        # op.n_fn keeps the universal (r0, r1, r2) calling convention at
+        # every op body, so no call site knows about tables (trace-time
+        # only — the replaced plan never leaves this trace)
+        slots, _ = _vox_specs_of(plan)
+        ops = [op if slot < 0 else dataclasses.replace(
+                   op, n_fn=_bind_vox_field(op.n_fn.vox_spec,
+                                            table_refs[slot], tile_rows))
+               for op, slot in zip(plan.ops, slots)]
+        plan = dataclasses.replace(plan, ops=ops)
     pid = pl.program_id(0)
     # Decorrelate tiles/chunks: ctl = [seed, k_act]. Odd multiplier mixes pid.
     tile_seed = ctl_ref[0] + pid * jnp.int32(2654435761 & 0x7FFFFFFF)
@@ -1585,6 +1689,15 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                     for op in plan.ops)
     if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+    vox_slots, vox_specs = _vox_specs_of(plan)
+    if vox_specs:
+        # voxel-media lookups unroll one gather+select per tile_rows table
+        # rows per unrolled iteration: the live segment temporaries stack
+        # like the rotation-frame ops' (unroll 4 tier), and the tables
+        # themselves hold VMEM (V * 512 bytes each) — no fresh-compile
+        # scoped-vmem measurement on hardware yet, so take the safe tier
+        # (compile-matrix combo "voxel" tracks it)
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
     if any(op.kind == "emit" for op in plan.ops):
         # the emit body (E/r/v fill + W reset + extras zeroing + polarized
         # source Stokes fill) measured 16.45M scoped-vmem at 256-row tiles
@@ -1654,6 +1767,18 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
+    # voxel-media tables: flat grid, padded to whole gather segments, then
+    # lane-replicated so every photon's lane can reach every entry (the
+    # sublane-gather reach contract of _vmem_table_lookup)
+    tables = []
+    for spec in vox_specs:
+        flat = np.asarray(spec["flat"], np.float32).reshape(-1)
+        vpad = -(-flat.size // tile_rows) * tile_rows
+        padded = np.zeros(vpad, np.float32)
+        padded[:flat.size] = flat
+        tables.append(jnp.asarray(
+            np.broadcast_to(padded[:, None], (vpad, _LANE))))
+
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
@@ -1663,12 +1788,15 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # emit starts (E, chunk)
             pl.BlockSpec((nf, tile_rows, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            # whole voxel tables per tile (constant window: Mosaic keeps
+            # the buffer resident across grid steps)
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
         ],
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
-    kernel = partial(_kernel, plan, tile_rows)
+    kernel = partial(_kernel, plan, tile_rows, len(tables))
 
     @jax.jit
     def run(packed, dts, emit_starts, seed, k_act):
@@ -1684,7 +1812,7 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
                 dimension_semantics=("arbitrary",),
             ),
         )(ctl, jnp.asarray(dts, jnp.float32),
-          jnp.asarray(emit_starts, jnp.int32), packed3)
+          jnp.asarray(emit_starts, jnp.int32), packed3, *tables)
         out, rec, rec_f = res[0], res[1], res[2]
         if plan.n_stream:
             stream = res[3].reshape(n_srows, plan.n_stream, capacity)

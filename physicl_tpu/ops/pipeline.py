@@ -717,8 +717,10 @@ def try_build_fused(sim, steps, state: SimState,
             # PopulationManager, not inside the kernel — contributes no op
             continue
         # field callables that declare they cannot trace into the Mosaic
-        # kernel (e.g. light.voxel_density's array gathers) force the
-        # generic scan with a structured reason instead of a compile crash
+        # kernel (e.g. light.voxel_density grids past the in-VMEM table
+        # budget — grids under light.MAX_FUSED_VOXELS fuse via the
+        # segmented-gather table path) force the generic scan with a
+        # structured reason instead of a compile crash
         for attr in ("_n_fn", "_a_fn"):
             f = getattr(s, attr, None)
             if f is not None and getattr(f, "pallas_incompatible", False):
@@ -726,9 +728,10 @@ def try_build_fused(sim, steps, state: SimState,
                            f"{type(s).__name__}'s "
                            f"{'density' if attr == '_n_fn' else 'cross-'}"
                            f"{'' if attr == '_n_fn' else 'section'} field "
-                           "callable declares pallas_incompatible (array "
-                           "gathers do not trace into the Mosaic kernel); "
-                           "the pipeline runs on the generic scan — use "
+                           "callable declares pallas_incompatible (voxel "
+                           "grid beyond the fusable in-VMEM table budget, "
+                           "light.MAX_FUSED_VOXELS); the pipeline runs on "
+                           "the generic scan — coarsen the grid or use "
                            "light.layered_density for a fusable medium")
         if isinstance(s, photon_only):
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):

@@ -28,6 +28,23 @@ _LANE = 128
 _SUBLANE = 8
 
 
+def mod_floor(x, L):
+    """``x mod L`` (L > 0) via explicit floor-divide-multiply-subtract.
+
+    ``jnp.mod``/``lax.rem`` lower through backend- and CONTEXT-dependent
+    expansions (on CPU the rem inside a while_loop body rounds differently
+    from the same rem inside a scan body — observed 1-ulp divergence at a
+    periodic wrap seam), which breaks the framework's fused==generic
+    bitwise-parity contract. Spelling the mod out in correctly-rounded
+    primitives (floor, div, mul, sub — XLA forms no FMAs from separate HLO
+    ops) makes every execution path compute the identical value. The two
+    guards absorb the 1-ulp cases where the floored quotient lands the
+    remainder at exactly L or just below 0."""
+    y = x - jnp.floor(x / L) * L
+    y = jnp.where(y < 0, y + L, y)
+    return jnp.where(y >= L, y - L, y)
+
+
 def pad_capacity(n: int) -> int:
     """Round particle count up to a TPU-friendly capacity.
 

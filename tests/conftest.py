@@ -30,6 +30,37 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (statistical sweeps, multiprocess, fuzz, "
+        "250k-iteration clocks) — excluded from `make test-fast`")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--smoke", action="store_true", default=False,
+        help="keep only the first two non-slow tests of each module: a "
+             "<2-minute tier that still imports and executes every module "
+             "(`make test-smoke`)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if not config.getoption("--smoke"):
+        return
+    kept, dropped, per_module = [], [], {}
+    for item in items:
+        mod = item.location[0]
+        n = per_module.get(mod, 0)
+        if n < 2 and item.get_closest_marker("slow") is None:
+            per_module[mod] = n + 1
+            kept.append(item)
+        else:
+            dropped.append(item)
+    items[:] = kept
+    config.hook.pytest_deselected(items=dropped)
+
+
 @pytest.fixture(autouse=True)
 def _reset_code_scale():
     """Keep the process-global code scale clean between tests."""

@@ -201,7 +201,16 @@ def test_periodic_boundary_fuses_and_matches_generic():
         assert s.used_fused == (fuse == "auto")
         import jax
         res[fuse] = np.asarray(jax.device_get(s.sim_state.r))[:, :512]
-    np.testing.assert_allclose(res["auto"], res["off"], rtol=1e-5, atol=1e-4)
+    # modular-distance comparison: near a wrap seam the two execution
+    # paths may differ by accumulated f32 crumbs (the while-loop generic
+    # body and the kernel compile the same HLO ops to slightly different
+    # roundings), which the wrap folds across the seam — positions agree
+    # as points on the circle to ~1e3 ULP of the traveled distance, far
+    # below any physical scale (c*dt ~ 3e5)
+    L = 2.5 * c * 1e-3
+    d = np.abs(res["auto"] - res["off"])
+    d[0] = np.minimum(d[0] % L, L - d[0] % L)
+    assert d.max() < 1.0, d.max()
     # every x position wrapped into the box
     assert (res["auto"][0] >= 0).all()
     assert (res["auto"][0] <= 2.5 * c * 1e-3 * (1 + 1e-6)).all()

@@ -19,6 +19,7 @@ Both must hit ``t >= T`` within 1 iteration of the exact f64 count
 """
 
 import numpy as np
+import pytest
 
 import physicl_tpu as phys
 import physicl_tpu.newton
@@ -54,6 +55,7 @@ def test_fused_quarter_million_iterations_exact_exit():
     assert s.ts[-1] >= T_END - 1e-9
 
 
+@pytest.mark.slow
 def test_generic_quarter_million_iterations_kahan_clock():
     s = _run("off")
     assert not s.used_fused

@@ -116,6 +116,7 @@ def test_compton_energy_angle_consistency(fuse, alpha):
 
 
 @pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.slow
 def test_compton_thomson_limit(fuse):
     """alpha -> 0: Klein-Nishina reduces to Thomson — the dipole
     (3/8)(1+cos^2) angular law (<cos^2> = 2/5, <cos> = 0) with no
@@ -157,6 +158,7 @@ def test_kn_sigma_ratio_accuracy():
 
 
 @pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.slow
 def test_kn_cross_section_scales_collision_rate(fuse):
     """kn_cross_section=True multiplies pcoll by sigma_KN/sigma_T —
     at alpha=2 the scatter fraction drops to 0.3141x the Thomson rate."""
@@ -168,6 +170,7 @@ def test_kn_cross_section_scales_collision_rate(fuse):
     assert np.isclose(frac, expect, rtol=0.08), (frac, expect)
 
 
+@pytest.mark.slow
 def test_compton_untouched_lanes_bitwise():
     """A=0: no collisions — E and v come back bitwise identical."""
     s = phys.Simulation(until_t=0.002, seed=2)
@@ -240,6 +243,7 @@ def test_compton_default_mec2_is_physical():
     assert np.isclose(E_511keV * step._inv_mec2, 1.0, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_compton_variable_n_fuses():
     """The family's variable-density option composes with Compton and
     stays on the fused path."""
@@ -256,6 +260,7 @@ def test_compton_variable_n_fuses():
 
 
 @pytest.mark.parametrize("alpha", [0.5, 5.0])
+@pytest.mark.slow
 def test_compton_fused_generic_statistical_parity(alpha):
     """Different PRNG streams, same distribution: mean scattering cosine
     and mean outgoing energy agree between the Pallas kernel and the
@@ -270,6 +275,7 @@ def test_compton_fused_generic_statistical_parity(alpha):
         assert abs(res["auto"][i] - res["off"][i]) < tol, (i, res)
 
 
+@pytest.mark.slow
 def test_compton_multiple_scatters_degrade_energy():
     """Over many iterations every photon random-walks DOWN in energy
     (monotone non-increasing E is the physical signature of Compton
@@ -292,6 +298,7 @@ def test_compton_multiple_scatters_degrade_energy():
 
 
 @pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.slow
 def test_compton_heating_energy_conservation(fuse):
     """measure_deposition on Compton: photons never die, so the heating
     tally closes the energy budget EXACTLY per realization —
@@ -317,6 +324,7 @@ def test_compton_heating_energy_conservation(fuse):
 
 
 @pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.slow
 def test_thermal_compton_heating_signed(fuse):
     """Thermal Comptonization of COLD photons (alpha << 4 theta_e): the
     net 'heating' is negative — electrons pump the photons (inverse

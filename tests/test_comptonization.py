@@ -44,6 +44,7 @@ def _one_thermal(alpha, theta_e, fuse="auto", n=300000, seed=5, p=0.3):
 
 
 @pytest.mark.parametrize("fuse", ["auto", "off"])
+@pytest.mark.slow
 def test_kompaneets_thomson_gain(fuse):
     """Soft photons (alpha -> 0) through hot electrons GAIN
     <dE/E> = 4 theta_e per scatter — the inverse-Compton / SZ signature
@@ -70,6 +71,7 @@ def test_kompaneets_equilibrium_crossing(fuse):
     assert abs(drift) < 0.008, drift
 
 
+@pytest.mark.slow
 def test_kompaneets_recoil_cooling():
     """Hard photons (alpha >> 4 theta_e) COOL: drift ~ 4 theta_e - alpha."""
     theta_e, alpha = 0.005, 0.1
@@ -89,6 +91,7 @@ def test_thermal_speed_preserved():
     np.testing.assert_allclose(speed, 1.0, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_thermal_fused_generic_parity():
     """Different PRNG streams, same distribution: mean gain, spread and
     scatter fraction agree between the Pallas kernel and the generic
@@ -144,6 +147,7 @@ def test_thermal_option_validation():
         light.ScatterComptonStep(theta_e=0.1)
 
 
+@pytest.mark.slow
 def test_comptonization_y_parameter():
     """Repeated scattering of soft photons off hot electrons amplifies the
     mean energy by e^y, y = 4 theta_e N_scatter (unsaturated regime) —

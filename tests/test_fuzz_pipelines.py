@@ -12,6 +12,8 @@ import physicl_tpu as phys
 import physicl_tpu.newton
 import physicl_tpu.light as light
 
+pytestmark = pytest.mark.slow  # heavyweight tier: excluded from test-fast
+
 
 def _random_pipeline(rng, fuse, seed):
     s = phys.Simulation(exit=lambda c: c.t >= 0.020, seed=seed, fuse=fuse,

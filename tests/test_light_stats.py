@@ -2,6 +2,7 @@
 (test/test_light.py:27-66): isotropy sign balance within 10%, and e^-1
 survival at optical depth 1/(nA) within 10%."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,6 +210,7 @@ def _hg_one_scatter(g, fuse, n=20000, seed=3):
     return v, dv, s
 
 
+@pytest.mark.slow
 def test_hg_mean_cosine_equals_g_both_paths():
     c_val = float(light.c)
     for g in (0.0, 0.5, 0.9, -0.4):

@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: excluded from test-fast
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "mp_worker.py")
 

@@ -75,6 +75,7 @@ def test_fused_generic_parity_statistical():
     assert abs(out["auto"] - out["off"]) < 0.02
 
 
+@pytest.mark.slow
 def test_tabulated_forward_peak_matches_hg():
     """An HG phase table (g=0.7) through the tabulated route lands the HG
     first moment <mu> = g, cross-checking against the closed-form step."""
@@ -127,6 +128,7 @@ def test_mie_asymmetry_self_consistency():
         assert abs(g - g_tab) < 1e-3, (x, g, g_tab)
 
 
+@pytest.mark.slow
 def test_mie_table_transport_lands_g():
     """End to end: Mie table -> ScatterPhaseFunctionStep; the sampled
     <cos theta> after one forced scatter is the Mie asymmetry parameter."""

@@ -333,6 +333,7 @@ def test_generic_path_report_when_fuse_off():
     assert "fuse" in s.explain_plan()
 
 
+@pytest.mark.slow
 def test_report_names_chunk_boundary_steps():
     """at='chunk' population control shows up in explain_plan on both the
     fused and generic plans (the prover skips the step, so the report is

@@ -112,6 +112,7 @@ def test_single_scatter_circular_transfer_exact(fuse):
 
 
 @BOTH
+@pytest.mark.slow
 def test_dipole_radiation_pattern(fuse):
     """Fully Q-polarized light (E-field along z): scattered directions
     follow the dipole pattern — E[(dz')^2] = 1/5, and nothing scatters
@@ -203,6 +204,7 @@ def _to_meridian(vhat, pol_ref, stokes):
     return q * c2 - u * s2, q * s2 + u * c2
 
 
+@pytest.mark.slow
 def test_azimuth_distribution_polarized():
     """For Q=1 light the conditional azimuth density is
     (1 + r(theta) cos 2phi)/2pi: E[cos 2phi | theta] = r/2 < 0 — scattering
@@ -334,6 +336,7 @@ def test_fused_plan_report_and_refusal():
                for code, _ in s2.plan_report.refusals)
 
 
+@pytest.mark.slow
 def test_fused_writeback_across_chunks():
     """Stokes/frame planes mutated in-kernel are written back into
     state.extras at chunk boundaries. Sharp detector: absorption +

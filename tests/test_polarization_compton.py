@@ -50,6 +50,7 @@ def _run(fuse, alpha, stokes, N=20_000, seed=5, measure_dep=False,
 
 
 @BOTH
+@pytest.mark.slow
 def test_unpolarized_q_law_and_recoil_exact(fuse):
     s, _, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 0.0))
     cm = v[0] / np.linalg.norm(v, axis=0)
@@ -67,6 +68,7 @@ def test_unpolarized_q_law_and_recoil_exact(fuse):
 
 
 @BOTH
+@pytest.mark.slow
 def test_circular_transfer_exact(fuse):
     s, _, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 1.0), seed=7)
     cm = v[0] / np.linalg.norm(v, axis=0)
@@ -81,6 +83,7 @@ def test_circular_transfer_exact(fuse):
 
 
 @BOTH
+@pytest.mark.slow
 def test_thomson_limit_matches_rayleigh(fuse):
     """alpha -> 0: the Fano matrix reduces to the dipole Mueller matrix —
     same <cos^2 theta> = 2/5, same local <Q'> = -1/2 fixed point, and no
@@ -96,6 +99,7 @@ def test_thomson_limit_matches_rayleigh(fuse):
 
 
 @BOTH
+@pytest.mark.slow
 def test_compton_depolarizes_pure_states(fuse):
     """The kappa - 2 excess in the intensity row depolarizes: one scatter
     of a fully linearly polarized beam at alpha = 2 leaves mean purity
@@ -112,6 +116,7 @@ def test_compton_depolarizes_pure_states(fuse):
 
 
 @BOTH
+@pytest.mark.slow
 def test_heating_tally_exact(fuse):
     s, step, st, v, E = _run(fuse, alpha=1.0, stokes=(0.0, 0.0, 0.0),
                              seed=17, measure_dep=True)
@@ -121,6 +126,7 @@ def test_heating_tally_exact(fuse):
     np.testing.assert_allclose(rows[0, 1], (1.0 - E[sc]).sum(), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_kn_cross_section_composes_and_options_strict():
     """kn_cross_section scales the collision rate by sigma_KN/sigma_T <= 1
     (fewer scatters at high alpha); unknown options raise."""
@@ -163,6 +169,7 @@ def test_polc_missing_planes_refusal_and_error():
                for code, _ in s.plan_report.refusals)
 
 
+@pytest.mark.slow
 def test_polc_on_mesh_shards():
     """Fused polarized-Compton under shard_map: the exact Q law holds for
     every shard's photons and the heating psum matches the global sum."""
@@ -184,6 +191,7 @@ def test_polc_on_mesh_shards():
 
 
 @BOTH
+@pytest.mark.slow
 def test_polc_variable_n_gates_rate(fuse):
     """polc's n(r) callable: photons in the n = 0 half-space never
     scatter; the n = const half matches the plain rate."""

@@ -169,6 +169,7 @@ def test_sharded_fused_trace_stream():
     assert np.allclose(d, float(light.c) * 1e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_emitter_recycles_with_absorption():
     """A sustained source + absorption on a mesh must keep emitting past the
     arena capacity (recycle compaction now runs on meshes), matching the
@@ -201,6 +202,7 @@ def test_sharded_emitter_recycles_with_absorption():
     assert abs(tail_m - tail_s) < 0.05 * max(tail_m, tail_s)
 
 
+@pytest.mark.slow
 def test_mesh_midrun_injection():
     """Mid-run add_photons/add_obj now work on a mesh: injected at a chunk
     boundary, re-sharded, and counted exactly."""
@@ -232,6 +234,7 @@ def test_mesh_midrun_injection():
 
 @pytest.mark.parametrize("kind", ["hg", "rayl", "compton",
                                   "compton_thermal"])
+@pytest.mark.slow
 def test_sharded_fused_anisotropic_families(kind):
     """The anisotropic / energy-changing scatter ops shard like the rest of
     the family: fused on the mesh, defining angular moment preserved, and

@@ -178,6 +178,7 @@ def test_split_copies_inherit_kinematics():
     np.testing.assert_allclose(E, 1.0)
 
 
+@pytest.mark.slow
 def test_split_on_sharded_mesh_conserves_weight():
     """Splitting under a particle-sharded mesh: the contiguous-slot prefix
     sum crosses shard boundaries; weight conservation stays exact."""
@@ -195,6 +196,7 @@ def test_split_on_sharded_mesh_conserves_weight():
     np.testing.assert_allclose(wsum, 1024.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_boundary_importance_split_keeps_fused():
     """ImportanceSplitStep(at='chunk'): the transport chunk runs the FUSED
     kernel; splitting applies between dispatches against the last-boundary
@@ -238,6 +240,7 @@ def test_chunk_boundary_window_keeps_fused():
     assert n == 1600 and np.all(w == 2.0)  # 32 -> 16 copies at w=2
 
 
+@pytest.mark.slow
 def test_chunk_boundary_matches_per_step_on_smooth_importance():
     """For a ballistic beam the chunk-boundary ratio telescopes: splitting
     against the boundary snapshot gives the same total weight and (for
@@ -318,6 +321,7 @@ def test_chunk_boundary_generic_matches_fused_population():
     assert pops["off"][0] == pytest.approx(64.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_boundary_split_on_sharded_mesh():
     """Review fix: at='chunk' under a particle-sharded mesh re-shards the
     state after each boundary pass; weight stays exactly conserved."""

@@ -156,6 +156,7 @@ def test_isotropic_sign_relaxation_parity(ref):
     assert np.abs(ref_shares[:kk] - our_shares[:kk]).max() < 9 * sigma
 
 
+@pytest.mark.slow
 def test_wavelength_dependence_parity(ref):
     """lambda^-4 weighting: blue photons scatter ((E_b/E_r)^4)x more often
     than red on BOTH implementations (the reference folds (hc/E)^-4 into

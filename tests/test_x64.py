@@ -5,6 +5,7 @@ The fused kernel is f32 by design (TPU-native); ``Simulation(dtype=f64)``
 must work end-to-end on the generic scan and actually carry f64 precision.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -17,6 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, sys.argv[1])
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import physicl_tpu as phys
 import physicl_tpu.newton
@@ -67,6 +69,7 @@ print("X64 OK")
 """
 
 
+@pytest.mark.slow
 def test_f64_generic_path():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
