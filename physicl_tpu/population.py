@@ -269,15 +269,19 @@ class PopulationManager:
             # needs_attention stops draining every chunk for it
             self._recycle_blocked_hwm = hwm
         if hwm + need > state.capacity and sim._host_n_alive < hwm // 2:
-            from physicl_tpu.ops.compaction import compact
+            from physicl_tpu.ops.compaction import compact, compact_on_mesh
 
             self._recycle_blocked_hwm = None
             self._reset_split_snapshots()
-            state = compact(state)
-            if sim.mesh is not None:  # restore particle-axis placement
-                from physicl_tpu.parallel.sharding import shard_state
-
-                state = shard_state(state, sim.mesh)
+            if sim.mesh is not None:
+                # sharding-preserving collective compaction: output stays
+                # placed on the mesh (works on process-spanning meshes too
+                # — every process reaches this boundary with the identical
+                # replicated alive count and emit schedule, so the
+                # decision needs no guard traffic)
+                state = compact_on_mesh(state, sim.mesh)
+            else:
+                state = compact(state)
             sim._hwm = sim._host_n_alive
             with sim._state_lock:
                 sim.sim_state = state

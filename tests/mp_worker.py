@@ -155,4 +155,50 @@ assert abs(w5sum - N) < 0.01 * N
 print(f"[{pid}] chunk-boundary splitting over the pod mesh PASS",
       flush=True)
 
+# --- pod-scale continuous source: recycling past arena exhaustion ---------
+# Total emission (100 iters x 2048) is >6x the arena; the source can only
+# keep emitting if slot recycling runs on the PROCESS-SPANNING mesh
+# (compact_on_mesh: sharding-preserving collective compaction — every
+# process takes the identical recycle decision from the replicated alive
+# count + deterministic emit schedule, no guard traffic). pcoll >> 1 makes
+# the trajectory EXACT: every photon dies the iteration it moves, so the
+# pre-delete census must read exactly emit_n from iteration 2 on.
+EMIT, K6 = 2048, 100
+s6 = phys.Simulation(until_t=K6 * 1e-3 * 0.9999, seed=11, mesh=mesh,
+                     capacity=16384 * nproc, chunk_steps=8)
+s6.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s6.add_step(1, light.PhotonEmitterStep(EMIT, E=2.0))
+s6.add_step(2, phys.newton.NewtonianKinematicsStep())
+sign6 = light.ScatterSignMeasureStep(None, True)
+s6.add_step(3, sign6)   # census BEFORE the kill: counts this iter's emits
+s6.add_step(4, light.ScatterDeleteStep(np.double(1.0), np.double(1.0)))
+s6.add_photons(light.generate_photon_state(1024, E=1.0))
+s6.start(); s6.join()
+assert s6.used_fused, "pod emitter run must stay fused"
+ns6 = [int(r[1]) for r in sign6.data]
+assert len(ns6) == K6, len(ns6)
+assert ns6[0] == 1024 + EMIT, ns6[0]
+assert ns6[1:] == [EMIT] * (K6 - 1), sorted(set(ns6[1:]))
+assert EMIT * K6 > 6 * (16384 * nproc)  # recycling was unavoidable
+print(f"[{pid}] pod-scale continuous source recycles past arena "
+      f"exhaustion, exact census PASS", flush=True)
+
+# steady-state physics at unsaturated p: N* = emit*(1-p)/p on the pod mesh
+p7 = 0.001 * 0.001 * float(light.c) * 1e-3   # ~0.2998/iter
+s7 = phys.Simulation(until_t=0.060 * 0.9999, seed=12, mesh=mesh,
+                     capacity=16384 * nproc, chunk_steps=8)
+s7.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s7.add_step(1, light.PhotonEmitterStep(1000, E=1.0, isotropic=True))
+s7.add_step(2, phys.newton.NewtonianKinematicsStep())
+s7.add_step(3, light.ScatterDeleteStep(np.double(0.001), np.double(0.001)))
+sign7 = light.ScatterSignMeasureStep(None, True)
+s7.add_step(4, sign7)
+s7.add_photons(light.generate_photon_state(100, E=1.0))
+s7.start(); s7.join()
+ns7 = np.array([int(r[1]) for r in sign7.data], float)
+n_star = 1000 * (1 - p7) / p7
+assert abs(ns7[-10:].mean() - n_star) / n_star < 0.1, ns7[-10:]
+print(f"[{pid}] pod-mesh emitter steady state N*={n_star:.0f} "
+      f"(measured {ns7[-10:].mean():.0f}) PASS", flush=True)
+
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)
