@@ -178,26 +178,59 @@ def main():
     emit("fused_over_generic_ratio_isotropic", iso_fused / iso_generic,
          "x", 1.0)
 
-    # 3c. a KernelStep workload (custom traced physics: exponential drag) —
-    # generic-only by design, the representative "user extension" rate
-    def kstep():
-        import jax.numpy as jnp
+    # 3c. a KernelStep workload (custom traced physics: exponential drag).
+    # elementwise=True is the user contract that traces the SimState map
+    # into the fused kernel (r4); the unflagged variant is the generic-scan
+    # rate every opted-out custom step pays
+    def kstep(elementwise=False):
         from physicl_tpu.kernels import KernelStep
 
         def drag(state, ctx):
             return state.replace(v=state.v * (1.0 - 1e-7))
 
+        def build():
+            s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+            s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+            s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+            s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
+                                                     n=np.double(0.001)))
+            s.add_step(3, KernelStep(drag, elementwise=elementwise))
+            s.add_photons(light.generate_photon_state(N, E=1.0))
+            return s
+
+        return build
+
+    emit("kernelstep_drag_fused_1e7",
+         steady_rate(kstep(elementwise=True), N), "photon-steps/s", 2.0e4)
+    emit("kernelstep_drag_generic_1e7",
+         generic_steady_rate(kstep(False), N), "photon-steps/s", 2.0e4)
+
+    # 3e. voxel-media transport (3-D gridded n(r), 16^3 = 4096 entries):
+    # fused via the in-VMEM lane-replicated table + segmented sublane
+    # gathers (r4 — the former 31x cliff workload) vs the generic scan.
+    # Baseline: the reference's variable-n(r) + trace scenario (~5.5e3).
+    def voxel():
+        c_dt = float(light.c) * 1e-3
+        vrng = np.random.default_rng(0)
+        grid = vrng.uniform(0.5, 2.0, (16, 16, 16)).astype(np.float32)
+        nfn = light.voxel_density(grid, origin=(-8 * c_dt,) * 3,
+                                  spacing=c_dt)
         s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
         s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
         s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
-        s.add_step(2, light.ScatterIsotropicStep(A=np.double(0.001),
-                                                 n=np.double(0.001)))
-        s.add_step(3, KernelStep(drag))
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(1e-9), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
         s.add_photons(light.generate_photon_state(N, E=1.0))
         return s
 
-    emit("kernelstep_drag_generic_1e7", generic_steady_rate(kstep, N),
-         "photon-steps/s", 2.0e4)
+    vox_fused = steady_rate(voxel, N)
+    emit("voxel_media_1e7", vox_fused, "photon-steps/s", 5.5e3)
+    vox_generic = generic_steady_rate(voxel, N)
+    emit("voxel_media_generic_1e7", vox_generic, "photon-steps/s", 5.5e3)
+    emit("fused_over_generic_ratio_voxel", vox_fused / vox_generic, "x",
+         1.0)
 
     # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
     # "pol" with a 21-plane packed state — the heaviest fused op after

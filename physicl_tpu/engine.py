@@ -235,35 +235,48 @@ class ElementwiseStep(Step):
       gathers, no cross-particle communication — inside the fused kernel the
       function sees one VMEM tile, so a reduction would silently be
       tile-local);
-    * only the transport fields above, plus READ-ONLY aux planes declared
-      with ``extras=("name", ...)`` (exposed as ``p.extras["name"]`` — a
-      scalar plane or a 3-tuple of component planes; updates may only name
-      ``ParticleView._FIELDS``);
+    * only the transport fields above, plus aux planes declared with
+      ``extras=("name", ...)`` (exposed as ``p.extras["name"]`` — a scalar
+      plane or a 3-tuple of component planes). Planes additionally listed
+      in ``extras_write=("name", ...)`` may appear in the returned update
+      dict (scalar plane: one array; 3-row plane: a 3-tuple of component
+      arrays) and are WRITTEN back on both execution paths — per-photon
+      dose, path length, spin, any user-tracked quantity stays inside the
+      fused kernel (the machinery the polarization planes proved out);
     * randomness only via ``p.uniform()`` (reproducible counter streams on
       the generic path, hardware PRNG in-kernel — statistically identical);
     * a returned ``alive`` can only clear (it is AND-ed with the current
       mask); spawning needs :class:`physicl_tpu.light.PhotonEmitterStep`.
 
-    Example — a time-dependent absorber::
+    Example — a time-dependent absorber accumulating per-photon dose::
 
         def decay(p):
             u = p.uniform()
             rate = 0.1 * jnp.exp(-p.t)
-            return {"alive": u >= rate * p.dt}
+            hit = u < rate * p.dt
+            return {"alive": ~hit,
+                    "dose": p.extras["dose"] + hit * p.E}
 
-        sim.add_step(3, ElementwiseStep(decay))
+        sim.add_step(3, ElementwiseStep(decay, extras_write=("dose",)))
     """
 
     def __init__(self, fn: Callable[[ParticleView], Dict[str, Any]],
-                 extras: tuple = ()):
+                 extras: tuple = (), extras_write: tuple = ()):
         self.fn = fn
-        self.extras = _check_extras_decl(extras, "ElementwiseStep")
+        self.extras_write = _check_extras_decl(extras_write,
+                                               "ElementwiseStep")
+        # writable planes are implicitly readable (one declaration each)
+        self.extras = tuple(dict.fromkeys(
+            _check_extras_decl(extras, "ElementwiseStep")
+            + self.extras_write))
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         upd = self.fn(_state_particle_view(state, ctx, self.extras))
-        bad = set(upd) - set(ParticleView._FIELDS)
+        bad = set(upd) - set(ParticleView._FIELDS) - set(self.extras_write)
         if bad:
-            raise ValueError(f"ElementwiseStep returned unknown fields {bad}")
+            raise ValueError(
+                f"ElementwiseStep returned unknown fields {bad} (transport "
+                f"fields or extras_write={self.extras_write} only)")
 
         def vec(base):
             names = [base + ax for ax in "xyz"]
@@ -283,6 +296,24 @@ class ElementwiseStep(Step):
         if "alive" in upd:
             out = out.replace(alive=state.alive & jnp.asarray(upd["alive"],
                                                               jnp.bool_))
+        written = [n for n in self.extras_write if n in upd]
+        if written:
+            new_extras = dict(state.extras)
+            for name in written:
+                cur = state.extras[name]
+                val = upd[name]
+                if cur.ndim == 1:
+                    new_extras[name] = jnp.asarray(val, cur.dtype)
+                else:
+                    comps = tuple(val)
+                    if len(comps) != cur.shape[0]:
+                        raise ValueError(
+                            f"extras_write plane {name!r} has "
+                            f"{cur.shape[0]} rows; update returned "
+                            f"{len(comps)} components")
+                    new_extras[name] = jnp.stack(
+                        [jnp.asarray(v, cur.dtype) for v in comps])
+            out = out.replace(extras=new_extras)
         return out
 
 

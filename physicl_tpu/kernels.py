@@ -206,16 +206,46 @@ class KernelStep(Step):
     reference Step whose ``run`` drives a CLProgram
     (e.g. physicl/light.py:225-260). Optional ``record_fn(state) -> dict``
     adds measurement channels collected per chunk.
+
+    ``elementwise=True`` is the user's contract that ``fn`` is a pure
+    per-particle map, which lets the fusability prover trace it INTO the
+    fused Pallas kernel (the migrated-CLProgram fast path) instead of
+    forcing the whole pipeline onto the generic scan. The contract:
+
+    * no reductions, gathers, or cross-particle mixing (inside the kernel
+      ``fn`` sees one VMEM tile, so a reduction would silently be
+      tile-local);
+    * touch only the packed transport fields — ``r, dr, v, dv, E, w`` and
+      ``alive`` (which can only clear); changes to ``a``, ``extras``,
+      ``t/dt``, ``key`` or ``n_spawned`` on the returned state are ignored
+      in-kernel (``a`` reads back zeros there — use
+      :class:`physicl_tpu.engine.ElementwiseStep` with ``extras=`` for aux
+      planes);
+    * no ``ctx`` PRNG or records (``ctx.next_key``/``ctx.record`` raise a
+      structured refusal at plan time — randomness needs
+      ``ElementwiseStep``'s ``p.uniform()``, measurement needs
+      ``ReduceMeasureStep``), and no ``record_fn``.
+
+    Violating the elementwise claim itself is NOT detectable at trace time
+    — the flag is a contract, exactly like ``ElementwiseStep``'s.
     """
 
     def __init__(self, fn: Callable[[SimState, StepContext], SimState],
-                 record_fn: Optional[Callable[[SimState], Dict]] = None):
+                 record_fn: Optional[Callable[[SimState], Dict]] = None,
+                 elementwise: bool = False):
         self.fn = fn
         self.record_fn = record_fn
+        self.elementwise = bool(elementwise)
         self.data: List = []
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
+        prev_alive = state.alive
         state = self.fn(state, ctx)
+        if self.elementwise:
+            # the elementwise contract: alive only clears (both paths —
+            # the fused kernel ANDs identically; a resurrect would corrupt
+            # emit/recycle slot accounting)
+            state = state.replace(alive=prev_alive & state.alive)
         if self.record_fn is not None:
             for k, v in self.record_fn(state).items():
                 ctx.record(self, k, v)

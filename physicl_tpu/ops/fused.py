@@ -138,11 +138,16 @@ class _Op:
     custom_fn: Optional[Callable] = None
     after_update: bool = True  # custom op sees t after/before UpdateTimeStep
     reduce_outputs: tuple = ()
-    # read-only extras planes a custom/reduce fn declared (engine
-    # ElementwiseStep/ReduceMeasureStep extras=): (name, first_plane, rows)
-    # per declaration; rows == 1 exposes the plane directly, rows == 3 a
+    # extras planes a custom/reduce fn declared (engine ElementwiseStep/
+    # ReduceMeasureStep extras=): (name, first_plane, rows) per
+    # declaration; rows == 1 exposes the plane directly, rows == 3 a
     # tuple of component planes (ParticleView.extras contract)
     view_extras: tuple = ()
+    # subset of view_extras base names the custom fn may WRITE (engine
+    # ElementwiseStep extras_write=): updates named here store back into
+    # the packed planes; the plan lists them in extras_writeback so
+    # unpack_state returns them to state.extras each chunk
+    extras_write: tuple = ()
     wl_base: Optional[float] = None  # lambda^-4 folding base (iso/hg)
     n_fn: Optional[Callable] = None  # variable n(r) (iso/hg/del)
     a_fn: Optional[Callable] = None  # energy-dependent sigma(E) (del)
@@ -1186,16 +1191,77 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                                 lambda: rng.uniform(shape),
                                 extras=_view_extras_of(op, f))
             upd = op.custom_fn(view)
-            bad = set(upd) - set(names)
+            bad = set(upd) - set(names) - set(op.extras_write)
             if bad:  # same validation the generic path gives (trace time)
                 raise ValueError(
-                    f"ElementwiseStep returned unknown fields {bad}")
+                    f"ElementwiseStep returned unknown fields {bad} "
+                    f"(transport fields or extras_write="
+                    f"{op.extras_write} only)")
+            extras_at = {nm: (p0, rows) for nm, p0, rows in op.view_extras}
             for name, val in upd.items():
                 if name == "alive":
                     alive_b = alive_b & jnp.asarray(val).astype(jnp.bool_)
                     f[_ALIVE] = alive_b.astype(jnp.float32)
+                elif name in extras_at:  # declared writable aux plane
+                    p0, rows_n = extras_at[name]
+                    if rows_n == 1:
+                        f[p0] = jnp.asarray(val).astype(jnp.float32)
+                    else:
+                        comps = tuple(val)
+                        if len(comps) != rows_n:  # trace-time, both paths
+                            raise ValueError(
+                                f"extras_write plane {name!r} has {rows_n} "
+                                f"rows; update returned {len(comps)} "
+                                "components")
+                        for i_ in range(rows_n):
+                            f[p0 + i_] = jnp.asarray(
+                                comps[i_]).astype(jnp.float32)
                 else:
                     f[plane_of[name]] = jnp.asarray(val).astype(jnp.float32)
+        elif op.kind == "kstate":
+            # user KernelStep(elementwise=True): a per-particle SimState ->
+            # SimState map traced over this tile's planes through a facade
+            # state (contract in kernels.KernelStep: `a` reads zeros; only
+            # the packed transport fields write back; alive can only clear;
+            # ctx use was refused at plan time). Shapes are opaque to an
+            # elementwise fn, so the facade carries (3, R, 128)/(R, 128)
+            # planes where the generic path carries (3, C)/(C,).
+            from physicl_tpu.ops.pipeline import _KernelCtxTrip
+            from physicl_tpu.state import SimState
+
+            if t is None:
+                t_op, dt_op = jnp.float32(0.0), dt
+            else:
+                t_op = t[0] if op.after_update else t[1]
+                dt_op = t[2] if op.after_update else t[3]
+
+            def stk(i0):
+                return jnp.stack([f[i0], f[i0 + 1], f[i0 + 2]])
+
+            if plan.species == SPECIES_MIXED:
+                otype_t = f[_NF + plan.extras.index("otype")].astype(
+                    jnp.int32)
+            else:
+                otype_t = jnp.full(shape, plan.species, jnp.int32)
+            facade = SimState(
+                r=stk(_RX), dr=stk(_DRX), v=stk(_VX), dv=stk(_DVX),
+                a=jnp.zeros((3,) + shape, jnp.float32),
+                E=f[_E], alive=alive_b, otype=otype_t, w=f[_W],
+                t=t_op, dt=dt_op, key=jnp.zeros((2,), jnp.uint32))
+            out = op.custom_fn(facade, _KernelCtxTrip())
+            if not isinstance(out, SimState):  # trace-time, mirrors generic
+                raise TypeError(
+                    "KernelStep fn must return a SimState, got "
+                    f"{type(out).__name__}")
+            for d in range(3):
+                f[_RX + d] = out.r[d].astype(jnp.float32)
+                f[_DRX + d] = out.dr[d].astype(jnp.float32)
+                f[_VX + d] = out.v[d].astype(jnp.float32)
+                f[_DVX + d] = out.dv[d].astype(jnp.float32)
+            f[_E] = out.E.astype(jnp.float32)
+            f[_W] = out.w.astype(jnp.float32)
+            alive_b = alive_b & out.alive.astype(jnp.bool_)
+            f[_ALIVE] = alive_b.astype(jnp.float32)
         elif op.kind == "reduce":
             # user per-particle measurement (engine.ReduceMeasureStep):
             # evaluate the contributions on this tile and sum the alive ones

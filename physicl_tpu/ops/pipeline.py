@@ -99,6 +99,57 @@ def _as_f(x):
     return float(raw_code_value(x)) if isinstance(x, Measurement) else float(x)
 
 
+class _KernelCtxUse(Exception):
+    """A KernelStep(elementwise=True) fn touched its ctx during the plan-
+    time probe — the attribute name says which capability it needs."""
+
+
+class _KernelCtxTrip:
+    """ctx stand-in for fused KernelStep fns: every attribute access
+    raises. At plan time the probe converts that into a structured
+    refusal; in-kernel it can only fire if the fn behaves differently
+    under tracing than it did in the probe (same exception, trace time)."""
+
+    def __getattr__(self, name):
+        raise _KernelCtxUse(name)
+
+
+def _probe_kernelstep(fn, sim):
+    """None if ``fn`` traces under the fused facade contract, else a
+    (reason-slug, detail) pair for the structured refusal. Abstract
+    evaluation only — no FLOPs, no device."""
+    from physicl_tpu.state import SimState
+
+    template = SimState.zeros(16384)
+    try:
+        out = jax.eval_shape(lambda st: fn(st, _KernelCtxTrip()), template)
+    except _KernelCtxUse as e:
+        want = str(e)
+        hint = ("randomness needs ElementwiseStep's p.uniform()"
+                if "key" in want else
+                "measurement needs ReduceMeasureStep"
+                if want == "record" else
+                "host/sim access is not elementwise")
+        return ("ctx", f"KernelStep(elementwise=True) fn uses ctx.{want}: "
+                       f"{hint} — the pipeline runs on the generic scan")
+    except Exception as e:
+        return ("trace", "KernelStep(elementwise=True) fn failed abstract "
+                         f"tracing ({type(e).__name__}: {e}); the pipeline "
+                         "runs on the generic scan")
+    if not isinstance(out, SimState):
+        return ("return", "KernelStep(elementwise=True) fn must return a "
+                          f"SimState, got {type(out).__name__}; the "
+                          "pipeline runs on the generic scan")
+    for name in ("r", "dr", "v", "dv", "E", "alive", "w"):
+        got, want = getattr(out, name), getattr(template, name)
+        if got.shape != want.shape:
+            return ("shape", "KernelStep(elementwise=True) fn changed the "
+                             f"shape of state.{name} ({want.shape} -> "
+                             f"{got.shape}): not a per-particle map; the "
+                             "pipeline runs on the generic scan")
+    return None
+
+
 @dataclasses.dataclass
 class _Inflight:
     """A dispatched-but-unharvested chunk: device futures + host schedule."""
@@ -567,6 +618,7 @@ def try_build_fused(sim, steps, state: SimState,
         ReduceMeasureStep,
         UpdateTimeStep,
     )
+    from physicl_tpu.kernels import KernelStep
     from physicl_tpu.newton import (
         AbsorbingBoundaryStep,
         AbsorbingSphereStep,
@@ -687,6 +739,7 @@ def try_build_fused(sim, steps, state: SimState,
     measure_after_update: Dict[str, bool] = {}
     extra_names: List[str] = []  # packed planes after the core 15
     pol_wb: set = set()  # polarization plane bases mutated in-kernel
+    user_wb: list = []   # user extras_write bases (declaration order)
     if species == F.SPECIES_MIXED:
         extra_names.append("otype")
     next_col = 1
@@ -1078,7 +1131,9 @@ def try_build_fused(sim, steps, state: SimState,
         elif type(s) is ElementwiseStep:
             # user physics under the elementwise contract traces straight
             # into the kernel; t row chosen by position vs UpdateTimeStep.
-            # Declared read-only extras pack as planes after the core 15
+            # Declared extras pack as planes after the core 15; planes in
+            # extras_write= additionally join the plan's writeback list so
+            # the kernel's stores flow back into state.extras each chunk
             ve = _resolve_view_extras(s)
             if isinstance(ve, str):
                 return _no("extras-missing",
@@ -1086,8 +1141,12 @@ def try_build_fused(sim, steps, state: SimState,
                            f"but no pending population carries a '{ve}' "
                            "plane; the generic path raises the "
                            "instructive error")
+            for nm in getattr(s, "extras_write", ()):
+                user_wb.append(nm)
             ops.append(F._Op("custom", custom_fn=s.fn,
-                             after_update=update_seen, view_extras=ve))
+                             after_update=update_seen, view_extras=ve,
+                             extras_write=tuple(
+                                 getattr(s, "extras_write", ()))))
         elif isinstance(s, ReduceMeasureStep) and (
                 type(s).apply is ReduceMeasureStep.apply
                 and type(s)._contributions is ReduceMeasureStep._contributions):
@@ -1123,6 +1182,22 @@ def try_build_fused(sim, steps, state: SimState,
                              stream_every=every))
             rec_map.append({"uid": uid, "kind": "trace", "p0": p0,
                             "scat": s.trace_dv, "every": every})
+        elif type(s) is KernelStep and getattr(s, "elementwise", False):
+            # user's per-particle contract (kernels.KernelStep docstring):
+            # trace the SimState->SimState map into the kernel. record_fn
+            # and ctx use (PRNG keys, records) have no in-kernel meaning —
+            # structured refusals route those to the generic scan
+            if s.record_fn is not None:
+                return _no("kernelstep-records",
+                           "KernelStep(elementwise=True) with record_fn=: "
+                           "records reduce across particles; use "
+                           "ReduceMeasureStep for fused measurement — the "
+                           "pipeline runs on the generic scan")
+            why = _probe_kernelstep(s.fn, sim)
+            if why is not None:
+                return _no(f"kernelstep-{why[0]}", why[1])
+            ops.append(F._Op("kstate", custom_fn=s.fn,
+                             after_update=update_seen))
         else:
             return _no("unsupported-step",
                        f"{type(s).__name__} has no fused-kernel op; "
@@ -1132,7 +1207,7 @@ def try_build_fused(sim, steps, state: SimState,
                        "ScatterPolarized(Rayleigh|Compton)/PhaseFunction/"
                        "ScatterCompton/RefractiveInterface/boundaries/"
                        "PhotonEmitter/Sign+Cross+Reduce+Stokes measures/"
-                       "Elementwise/TracePath")
+                       "Elementwise/TracePath/KernelStep(elementwise=True)")
 
     if not update_seen:
         return _no("no-update-step",
@@ -1303,8 +1378,11 @@ def try_build_fused(sim, steps, state: SimState,
         interpret=(jax.default_backend() == "cpu"),
         species=species,
         extras=tuple(extra_names),
-        extras_writeback=tuple(nm for nm in ("stokes", "pol_ref")
-                                if nm in pol_wb),
+        extras_writeback=(tuple(nm for nm in ("stokes", "pol_ref")
+                                if nm in pol_wb)
+                          + tuple(dict.fromkeys(
+                              nm for nm in user_wb
+                              if nm not in pol_wb))),
         const_norm_speed=const_speed,
         packed_angles=True,
         fast_trig=True,

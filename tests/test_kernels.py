@@ -4,6 +4,7 @@ CLProgram-based ScatterDeleteStep at physicl/light.py:225-260)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import physicl_tpu as phys
 import physicl_tpu.newton
@@ -107,3 +108,113 @@ def test_kernel_program_against_running_sim_state():
     out = prog.run()
     # 3 iterations at c*dt
     assert np.isclose(out["maxx"][0], 3 * float(light.c) * 0.001, rtol=1e-4)
+
+
+# --- KernelStep(elementwise=True): the fused fast path (VERDICT r3 #6) ----
+
+
+def _drag_sim(N, fuse, elementwise, seed=0, record_fn=None, fn=None):
+    import physicl_tpu.newton
+
+    def drag(state, ctx):
+        return state.replace(v=state.v * (1.0 - 1e-4),
+                             E=state.E * (1.0 - 1e-4))
+
+    s = phys.Simulation(until_t=0.01 * 0.9999, seed=seed, fuse=fuse)
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+    s.add_step(2, KernelStep(fn or drag, record_fn=record_fn,
+                             elementwise=elementwise))
+    s.add_photons(light.generate_photon_state(N, E=1.0))
+    return s
+
+
+def test_elementwise_kernelstep_fuses_and_matches_generic():
+    """The user's elementwise contract puts KernelStep physics on the fused
+    kernel; state planes match the generic scan exactly (deterministic fn,
+    no RNG)."""
+    import jax
+
+    res = {}
+    for fuse in ("auto", "off"):
+        s = _drag_sim(4096, fuse, elementwise=True)
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        st = s.sim_state
+        res[fuse] = {k: np.asarray(jax.device_get(getattr(st, k)))
+                     for k in ("r", "v", "E", "w")}
+    for k in res["auto"]:
+        np.testing.assert_array_equal(res["auto"][k], res["off"][k],
+                                      err_msg=k)
+    # the drag actually acted: v decayed 10 times
+    c0 = float(light.c)
+    np.testing.assert_allclose(res["auto"]["v"][0, :4096],
+                               c0 * (1 - 1e-4) ** 10, rtol=1e-5)
+
+
+def test_unflagged_kernelstep_stays_generic():
+    s = _drag_sim(1024, "auto", elementwise=False)
+    with pytest.warns(RuntimeWarning, match="unsupported-step"):
+        s.start(); s.join()
+    assert not s.used_fused
+    assert any(code == "unsupported-step"
+               for code, _ in s.plan_report.refusals)
+
+
+def test_elementwise_kernelstep_ctx_use_refuses_with_reason():
+    def needs_rng(state, ctx):
+        import jax
+
+        u = jax.random.uniform(ctx.next_key(), state.E.shape)
+        return state.replace(w=state.w * u)
+
+    s = _drag_sim(1024, "auto", elementwise=True, fn=needs_rng, seed=3)
+    with pytest.warns(RuntimeWarning, match="kernelstep-ctx"):
+        s.start(); s.join()
+    assert not s.used_fused
+    assert any(code == "kernelstep-ctx" and "p.uniform" in why
+               for code, why in s.plan_report.refusals)
+    # and the generic path ran it fine
+    w = np.asarray(s.sim_state.w)[:1024]
+    assert (w < 1.0).all()
+
+
+def test_elementwise_kernelstep_record_fn_refuses():
+    s = _drag_sim(1024, "auto", elementwise=True,
+                  record_fn=lambda st: {"n": st.n_alive})
+    with pytest.warns(RuntimeWarning, match="kernelstep-records"):
+        s.start(); s.join()
+    assert not s.used_fused
+
+
+def test_elementwise_kernelstep_shape_change_refuses():
+    def bad(state, ctx):
+        return state.replace(E=state.E[: state.E.shape[0] // 2])
+
+    s = _drag_sim(1024, "auto", elementwise=True, fn=bad)
+    with pytest.warns(RuntimeWarning, match="kernelstep-"):
+        s.start()
+        # the fn is broken on ANY path (it halves a state plane): the probe
+        # refuses the fused plan with a structured reason, and the generic
+        # scan then re-raises its own trace error at join()
+        with pytest.raises(TypeError):
+            s.join()
+    assert not s.used_fused
+    assert any(code in ("kernelstep-shape", "kernelstep-trace")
+               for code, _ in s.plan_report.refusals)
+
+
+def test_elementwise_kernelstep_alive_only_clears():
+    """alive from the fn is AND-ed with the mask on both paths (a fused
+    kernel resurrect would corrupt the emit/recycle slot accounting)."""
+    def killer(state, ctx):
+        import jax.numpy as jnp
+
+        # try to set everyone alive INCLUDING dead padding slots
+        return state.replace(alive=jnp.ones_like(state.alive))
+
+    for fuse in ("auto", "off"):
+        s = _drag_sim(1000, fuse, elementwise=True, fn=killer, seed=5)
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        assert int(np.asarray(s.sim_state.alive).sum()) == 1000

@@ -186,6 +186,52 @@ def _ops(kind):
                                 [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.5])
         return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "kstate":
+        # KernelStep(elementwise=True): a SimState->SimState map traced
+        # through the tile facade (stack/unstack of the 12 vector planes
+        # brackets the user body)
+        def drag(state, ctx):
+            return state.replace(v=state.v * (1.0 - 1e-7 * _EPS),
+                                 E=state.E * (1.0 - 1e-7))
+
+        return [kin, iso, F._Op("kstate", custom_fn=drag)], 5, 0
+    if kind == "extras_write":
+        # ElementwiseStep(extras_write=): read-modify-write of a user aux
+        # plane (dose) through the packed-writable-extras machinery
+        def dosefn(p):
+            return {"dose": p.extras["dose"] + p.E * (0.125 * _EPS)}
+
+        return [kin, iso,
+                F._Op("custom", custom_fn=dosefn,
+                      view_extras=(("dose", F._NF, 1),),
+                      extras_write=("dose",))], 5, 0
+    if kind == "voxel":
+        # light.voxel_density at the fused-table cap (8192 entries): the
+        # 4 MB lane-replicated VMEM table + the segmented sublane-gather
+        # chain (Vpad/tile_rows gathers+selects per eval, unroll capped
+        # at 4) — worst case at 128-row tiles (64 segments)
+        import physicl_tpu.light as L
+
+        rng = np.random.default_rng(0)
+        grid = (rng.uniform(0.5, 2.0, (32, 16, 16)) * _EPS).astype(
+            np.float32)
+        nfn = L.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0)
+        assert getattr(nfn, "vox_spec", None) is not None
+        return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
+                F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "voxel_tri":
+        # trilinear voxel medium: 8 corner lookups per eval (8x the
+        # segmented gather chains) on a 2048-entry table
+        import physicl_tpu.light as L
+
+        rng = np.random.default_rng(1)
+        grid = (rng.uniform(0.5, 2.0, (16, 16, 8)) * _EPS).astype(
+            np.float32)
+        nfn = L.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
+                              interp="trilinear")
+        assert getattr(nfn, "vox_spec", None) is not None
+        return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "fluorescence":
         # fluorescent re-emission: yield/angle draws + the true-isotropic
         # redirect stacked on the plain kill (unroll capped at 8)
@@ -245,8 +291,9 @@ def _ops(kind):
                                   "fresnel", "lorentz", "lorentz_qm",
                                   "mixed", "stretch", "fluorescence",
                                   "phase",
-                                  "sphere", "layered", "polarized",
-                                  "polarized_compton"])
+                                  "sphere", "layered", "voxel", "voxel_tri",
+                                  "kstate", "extras_write",
+                                  "polarized", "polarized_compton"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
 def test_fused_kernel_fresh_compiles(kind, rows):
     """Every op family x capacity must COMPILE fresh and execute 5 real
@@ -262,14 +309,17 @@ def test_fused_kernel_fresh_compiles(kind, rows):
     _POL_PLANES = ("stokes:0", "stokes:1", "stokes:2",
                    "pol_ref:0", "pol_ref:1", "pol_ref:2")
     extras = {"lorentz_qm": ("qm",), "mixed": ("otype",),
+              "extras_write": ("dose",),
               "polarized": _POL_PLANES,
               "polarized_compton": _POL_PLANES}.get(kind, ())
+    writeback = ("dose",) if kind == "extras_write" else ()
     species = F.SPECIES_MIXED if kind == "mixed" else 1
     plan = F.FusedPlan(ops=ops, n_rec_cols=n_rec, chunk=chunk, tile_rows=256,
                        const_norm_speed=None, packed_angles=True,
                        fast_trig=True, n_stream=n_stream,
                        stream_every=stream_every if n_stream else 1,
                        stream_dtype=stream_dtype, extras=extras,
+                       extras_writeback=writeback,
                        species=species)
     cap = rows * 128
     k = F.build_fused_chunk(plan, cap)
