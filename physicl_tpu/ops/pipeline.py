@@ -9,9 +9,11 @@ Fusability requirements (everything else falls back to the generic scan):
   ``ScatterHenyeyGreensteinStep``, ``ScatterRayleighStep``,
   ``ScatterPhaseFunctionStep``, ``ScatterComptonStep``,
   ``AbsorbingBoundaryStep``, ``ReflectingBoundaryStep``,
-  ``PhotonEmitterStep``, ``ElementwiseStep``, ``ReduceMeasureStep``,
-  ``TracePathMeasureStep``, ``ScatterSignMeasureStep`` and
-  ``ScatterMeasureStep``;
+  ``PhotonEmitterStep``, ``ElementwiseStep`` (including writable
+  ``extras_write=`` aux planes), ``KernelStep(elementwise=True)``,
+  ``ReduceMeasureStep``, ``TracePathMeasureStep``,
+  ``ScatterSignMeasureStep`` and ``ScatterMeasureStep``; field callables
+  may be ``light.voxel_density`` grids up to the in-VMEM table budget;
 * the population is photons, charged/generic particles (``LorentzForceStep``
   — species-wide or per-particle q/m via a packed extras plane), or a MIX of
   both (a packed otype plane gates photon physics per particle); only a pure

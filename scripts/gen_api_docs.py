@@ -46,6 +46,7 @@ MODULES = [
     "physicl_tpu.utils.cache",
     "physicl_tpu.utils.checkpoint",
     "physicl_tpu.utils.profiling",
+    "physicl_tpu.utils.roofline",
 ]
 
 
