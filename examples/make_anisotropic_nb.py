@@ -11,6 +11,7 @@ import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CELL0 = '''\
 # Anisotropic (Henyey-Greenstein) scattering — TPU extension.
@@ -185,9 +186,8 @@ def main():
     ep = ExecutePreprocessor(timeout=1200)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "anisotropic_scattering.ipynb")
-    with open(out, "w") as f:
-        nbf.write(nb, f)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 SMALL = os.environ.get("PHYSICL_NB_SMALL") == "1"
 
 N_PHOT = 10_000 if SMALL else 60_000
@@ -173,9 +174,8 @@ def main():
     ep = ExecutePreprocessor(timeout=3600)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "layered_slab.ipynb")
-    with open(out, "w") as f:
-        nbf.write(nb, f)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

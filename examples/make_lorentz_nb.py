@@ -16,6 +16,7 @@ import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CELL0 = '''\
 # Charged-particle dynamics: the Boris pusher (LorentzForceStep).
@@ -166,9 +167,8 @@ def main():
     ep = ExecutePreprocessor(timeout=3600)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "charged_particles.ipynb")
-    with open(out, "w") as f:
-        nbf.write(nb, f)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

@@ -7,11 +7,13 @@ backend; PHYSICL_NB_SMALL=1 shrinks photon counts for a CPU smoke run).
 """
 
 import os
+import sys
 
 import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CELL0 = '''\
 # X-ray polarimetry with polarized Compton transport — TPU extension.
@@ -186,8 +188,8 @@ def main():
     ep = ExecutePreprocessor(timeout=2400)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "xray_polarimetry.ipynb")
-    nbf.write(nb, out)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

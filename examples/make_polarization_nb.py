@@ -12,6 +12,7 @@ import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CELL0 = '''\
 # Polarized Rayleigh transport with full Stokes vectors — TPU extension.
@@ -280,9 +281,8 @@ def main():
     ep = ExecutePreprocessor(timeout=2400)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "polarized_sky.ipynb")
-    with open(out, "w") as f:
-        nbf.write(nb, f)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

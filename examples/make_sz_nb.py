@@ -10,6 +10,7 @@ import nbformat as nbf
 from nbconvert.preprocessors import ExecutePreprocessor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CELL0 = '''\
 # The (thermal) Sunyaev-Zel'dovich effect, from first-principles transport.
@@ -124,9 +125,8 @@ def main():
     ep = ExecutePreprocessor(timeout=2400)
     ep.preprocess(nb, {"metadata": {"path": HERE}})
     out = os.path.join(HERE, "sz_distortion.ipynb")
-    with open(out, "w") as f:
-        nbf.write(nb, f)
-    print("wrote", out)
+    from _nbbuild import write_executed
+    write_executed(nb, out)
 
 
 if __name__ == "__main__":

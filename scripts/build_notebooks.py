@@ -57,7 +57,10 @@ def nb(path, cells):
     ]
     client = NotebookClient(book, timeout=1200, kernel_name="python3")
     client.execute()
-    nbf.write(book, path)
+    sys.path.insert(0, OUT)
+    from _nbbuild import write_executed
+
+    write_executed(book, path)
     print("wrote", path)
 
 
