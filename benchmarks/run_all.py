@@ -24,7 +24,8 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import numpy as np
 
 
-def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
+def steady_rate(sim_builder, n_photons, reps=6, chunk=256,
+                roofline=None):
     """Sustained photon-steps/s via the engine's own chunk provider.
 
     ``chunk=None`` lets the provider size the chunk itself (stream-plane
@@ -61,7 +62,14 @@ def steady_rate(sim_builder, n_photons, reps=6, chunk=256):
     while pending:
         provider.harvest(pending.popleft())
     _ = np.asarray(jax.device_get(state.r[0, :8]))
-    return n_photons * chunk * reps / (time.perf_counter() - t0)
+    rate = n_photons * chunk * reps / (time.perf_counter() - t0)
+    if roofline is not None:
+        from physicl_tpu.utils.roofline import roofline_report
+
+        rep = roofline_report(provider.plan, state.capacity,
+                              rate / n_photons * state.capacity)
+        roofline.update(rep)
+    return rate
 
 
 def generic_steady_rate(sim_builder, n_photons, reps=4, chunk=256):
@@ -99,9 +107,14 @@ def wall_rate(sim, n_photons):
     return n_photons * len(sim.ts) / sim.run_time, sim
 
 
-def emit(name, value, unit, baseline):
-    print(json.dumps({"metric": name, "value": round(value, 1), "unit": unit,
-                      "vs_baseline": round(value / baseline, 1)}))
+def emit(name, value, unit, baseline, roofline=None):
+    row = {"metric": name, "value": round(value, 1), "unit": unit,
+           "vs_baseline": round(value / baseline, 1)}
+    if roofline:  # hardware-utilization accounting (utils/roofline.py)
+        row["vpu_util"] = roofline.get("vpu_util")
+        row["hbm_util"] = roofline.get("hbm_util")
+        row["flops_per_photon_step"] = roofline.get("flops_per_photon_step")
+    print(json.dumps(row))
 
 
 def main():
@@ -167,8 +180,10 @@ def main():
         s.add_photons(light.generate_photon_state(N, E=1.0))
         return s
 
-    iso_fused = steady_rate(iso, N)
-    emit("isotropic_scatter_1e7", iso_fused, "photon-steps/s", 2.0e4)
+    rl = {}
+    iso_fused = steady_rate(iso, N, roofline=rl)
+    emit("isotropic_scatter_1e7", iso_fused, "photon-steps/s", 2.0e4,
+         roofline=rl)
 
     # 3b. the SAME workload on the generic chunked scan + the fused/generic
     # ratio (every prover-rejected pipeline pays this rate)
@@ -225,8 +240,9 @@ def main():
         s.add_photons(light.generate_photon_state(N, E=1.0))
         return s
 
-    vox_fused = steady_rate(voxel, N)
-    emit("voxel_media_1e7", vox_fused, "photon-steps/s", 5.5e3)
+    rl = {}
+    vox_fused = steady_rate(voxel, N, roofline=rl)
+    emit("voxel_media_1e7", vox_fused, "photon-steps/s", 5.5e3, roofline=rl)
     vox_generic = generic_steady_rate(voxel, N)
     emit("voxel_media_generic_1e7", vox_generic, "photon-steps/s", 5.5e3)
     emit("fused_over_generic_ratio_voxel", vox_fused / vox_generic, "x",
@@ -247,8 +263,10 @@ def main():
         s.add_photons(pol.polarized_photon_state(N, E=1.0, device=True))
         return s
 
-    pol_fused = steady_rate(polarized, N)
-    emit("polarized_rayleigh_1e7", pol_fused, "photon-steps/s", 2.0e4)
+    rl = {}
+    pol_fused = steady_rate(polarized, N, roofline=rl)
+    emit("polarized_rayleigh_1e7", pol_fused, "photon-steps/s", 2.0e4,
+         roofline=rl)
     pol_generic = generic_steady_rate(polarized, N)
     emit("polarized_rayleigh_generic_1e7", pol_generic,
          "photon-steps/s", 2.0e4)
