@@ -988,12 +988,14 @@ def layered_density(edges, values, axis: str = "x",
 
 
 #: Largest voxel grid (total entries) the fused Pallas kernel serves
-#: in-VMEM. The kernel's lookup is a segmented sublane gather
-#: (``take_along_axis`` — the one gather form Mosaic lowers) over a
-#: lane-replicated table: VMEM cost is ``V * 128 * 4`` bytes (8192 ->
-#: 4 MB) and per-eval cost is one gather+select per ``tile_rows`` table
-#: rows, so both scale linearly in V. Trilinear needs 8 corner lookups
-#: per eval, hence the lower cap.
+#: in-VMEM. The kernel's lookup is a segmented LANE gather
+#: (``take_along_axis`` — the one gather form Mosaic lowers, and on
+#: hardware its reach is one vreg: 128 lanes) over a compact
+#: ``(V/128, 128)`` table: VMEM cost is just ``V * 4`` bytes, but each
+#: field evaluation walks ``V / 128`` segments at ~5 VPU ops per photon
+#: per segment — the cap is COMPUTE, not memory (8192 entries ~ 320
+#: ops/photon/eval, comparable to the whole scalar-scatter body).
+#: Trilinear needs 8 corner lookups per eval, hence the lower cap.
 MAX_FUSED_VOXELS = 8192
 MAX_FUSED_VOXELS_TRILINEAR = 4096
 
@@ -1564,32 +1566,48 @@ def _kn_cos_eta(alpha, triples, dtype):
     two_a = 2.0 * a
     b = one + two_a
 
-    # --- Kahn rejection loop (static unroll) ---
+    # --- Kahn rejection loop (static unroll; the fused kernel runs the
+    # same per-try math inside a lax.fori_loop, ops/fused._kn_cos_eta_loop)
     eta = jnp.ones_like(a)
     cos_t = jnp.ones_like(a)
     accepted = jnp.zeros_like(a, dtype=bool)
     p_branch_a = b / (b + 8.0)
     for r1, r2, r3 in triples:
-        br_a = r1 <= p_branch_a
-        # 1 + 2a*r2 doubles as branch A's eta AND branch B's denominator
-        eta_a = one + two_a * r2
-        inv_a = one / eta_a
-        ok_a = r3 <= 4.0 * (inv_a - inv_a * inv_a)
-        eta_b = b * inv_a
-        cos_b = one - 2.0 * (one - r2) * inv_a
-        ok_b = r3 <= 0.5 * (cos_b * cos_b + eta_a / b)
-        # logical blend, not jnp.where: Mosaic cannot lower a select
-        # between i1 vectors (i8->i1 trunci)
-        not_a = jnp.logical_not(br_a)
-        ok = (br_a & ok_a) | (not_a & ok_b)
-        take = ok & jnp.logical_not(accepted)
-        eta = jnp.where(take, jnp.where(br_a, eta_a, eta_b), eta)
-        cos_t = jnp.where(take, jnp.where(br_a, one - 2.0 * r2, cos_b),
-                          cos_t)
-        accepted = accepted | ok
+        eta, cos_t, accepted = _kn_try(
+            two_a, b, p_branch_a, r1, r2, r3, eta, cos_t, accepted, dtype)
 
-    # --- Koblinger direct sampling (reuses the first triple's r1, r2) ---
-    u_pick, u_inv = triples[0][0], triples[0][1]
+    return _kn_koblinger_tail(alpha, a, two_a, b, triples[0][0],
+                              triples[0][1], eta, cos_t, accepted, dtype)
+
+
+def _kn_try(two_a, b, p_branch_a, r1, r2, r3, eta, cos_t, accepted, dtype):
+    """One Kahn rejection try (shared by the unrolled generic sampler and
+    the kernel's loop form — extract-only refactor, bitwise identical)."""
+    one = jnp.asarray(1.0, dtype)
+    br_a = r1 <= p_branch_a
+    # 1 + 2a*r2 doubles as branch A's eta AND branch B's denominator
+    eta_a = one + two_a * r2
+    inv_a = one / eta_a
+    ok_a = r3 <= 4.0 * (inv_a - inv_a * inv_a)
+    eta_b = b * inv_a
+    cos_b = one - 2.0 * (one - r2) * inv_a
+    ok_b = r3 <= 0.5 * (cos_b * cos_b + eta_a / b)
+    # logical blend, not jnp.where: Mosaic cannot lower a select
+    # between i1 vectors (i8->i1 trunci)
+    not_a = jnp.logical_not(br_a)
+    ok = (br_a & ok_a) | (not_a & ok_b)
+    take = ok & jnp.logical_not(accepted)
+    eta = jnp.where(take, jnp.where(br_a, eta_a, eta_b), eta)
+    cos_t = jnp.where(take, jnp.where(br_a, one - 2.0 * r2, cos_b),
+                      cos_t)
+    return eta, cos_t, accepted | ok
+
+
+def _kn_koblinger_tail(alpha, a, two_a, b, u_pick, u_inv, eta, cos_t,
+                       accepted, dtype):
+    """Koblinger direct sampling on the disjoint high-alpha lanes (reuses
+    the first Kahn triple's r1, r2 as its two draws)."""
+    one = jnp.asarray(1.0, dtype)
     inv_a1 = one / a
     inv_a2 = inv_a1 * inv_a1
     log_b = jnp.log(b)
@@ -1649,13 +1667,16 @@ def _aberrate(n, beta, bn, b2, gamma, sign, dtype):
     return n_out, doppler
 
 
-def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, triples, u_phi, dtype):
+def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, kn_sample, u_phi,
+                        dtype):
     """One inverse-Compton scatter off a thermal electron, exact in the
     electron rest frame.
 
     ``n`` is the unit photon direction (3-tuple of arrays); ``u4`` a stack
-    of 4 uniforms (Box-Muller electron draw); ``triples``/``u_phi`` the
-    Klein-Nishina draws as in :func:`_kn_cos_eta`. Electron velocities are
+    of 4 uniforms (Box-Muller electron draw); ``kn_sample(alpha1) ->
+    (cos_t, eta, accepted)`` the Klein-Nishina sampler (the generic path
+    closes over drawn triples via :func:`_kn_cos_eta`; the fused kernel
+    passes its loop-form sampler); ``u_phi`` the azimuth draw. Electron velocities are
     per-axis Gaussian (non-relativistic Maxwell, sigma^2 = theta_e =
     kT_e / m_e c^2 per axis, |beta| clipped at 0.9) — accurate for
     theta_e <~ 0.05 (kT_e <~ 25 keV: SZ clusters, warm coronae). The
@@ -1690,7 +1711,7 @@ def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, triples, u_phi, dtype):
     E1 = E * dop1
 
     alpha1 = E1 * jnp.asarray(inv_mec2, dtype)
-    cos_t, eta, accepted = _kn_cos_eta(alpha1, triples, dtype)
+    cos_t, eta, accepted = kn_sample(alpha1)
     E1p = E1 / eta
     sin_t = jnp.sqrt(jnp.maximum(one - cos_t * cos_t, 0.0))
     phi = u_phi * (2 * np.pi)
@@ -1859,7 +1880,7 @@ class ScatterComptonStep(ScatterHenyeyGreensteinStep):
             nhat = tuple(state.v[i] * inv_v for i in range(3))
             E_new, n_new, alpha1, flux, accepted = _ic_thermal_scatter(
                 state.E, nhat, self._inv_mec2, self._theta_e, u[2:6],
-                triples, u[1], dtype)
+                lambda a1: _kn_cos_eta(a1, triples, dtype), u[1], dtype)
             pcoll = pcoll * flux
             if self.kn_cross_section:
                 pcoll = pcoll * _kn_sigma_ratio(alpha1, dtype)

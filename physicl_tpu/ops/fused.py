@@ -76,17 +76,21 @@ class _Rng:
         self.k = k
         self.idx = 0  # static per-trace call counter
 
-    def bits(self, shape):
-        """Raw uint32 random bits."""
+    def bits(self, shape, salt=None):
+        """Raw uint32 random bits. ``salt`` (a traced int32) decorrelates
+        draws made at the SAME static call site across lax.fori_loop
+        iterations on the hash-PRNG twin; the hardware generator is
+        stateful, so it ignores the salt (each call advances the stream
+        in program order, looped or unrolled alike)."""
         if not self.interpret:
             # prng_random_bits yields int32 on TPU; bitcast before shifting or
             # the arithmetic shift smears the sign bit over the mantissa.
             return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return self._hash_bits(shape)
+        return self._hash_bits(shape, salt)
 
-    def uniform_pair(self, shape):
+    def uniform_pair(self, shape, salt=None):
         """Two uniforms from one 32-bit draw (16 bits each)."""
-        b = self.bits(shape)
+        b = self.bits(shape, salt)
         if not self.interpret:
             hi = pltpu.bitcast(b >> jnp.uint32(16), jnp.int32)
             lo = pltpu.bitcast(b & jnp.uint32(0xFFFF), jnp.int32)
@@ -96,21 +100,24 @@ class _Rng:
         scale = jnp.float32(1.0 / (1 << 16))
         return hi.astype(jnp.float32) * scale, lo.astype(jnp.float32) * scale
 
-    def uniform(self, shape):
+    def uniform(self, shape, salt=None):
         if not self.interpret:
             return _bits_to_unit(self.bits(shape))
-        h = self._hash_bits(shape)
+        h = self._hash_bits(shape, salt)
         # plain-XLA conversion (pltpu.bitcast is kernel-only)
         return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
             1.0 / (1 << 24))
 
-    def _hash_bits(self, shape):
+    def _hash_bits(self, shape, salt=None):
         self.idx += 1
         ri = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         ci = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
         h = (jnp.uint32(self.seed)
              ^ (self.k.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
              ^ jnp.uint32((self.idx * 0x7FEB352D) & 0xFFFFFFFF))
+        if salt is not None:
+            h = h ^ (jnp.asarray(salt, jnp.int32).astype(jnp.uint32)
+                     * jnp.uint32(0x632BE59B))
         h = h + ri * jnp.uint32(0x85EBCA6B) + ci * jnp.uint32(0xC2B2AE35)
         for mul in (0x85EBCA6B, 0xC2B2AE35):
             h = h ^ (h >> jnp.uint32(16))
@@ -310,18 +317,20 @@ def _vmem_table_lookup(tab_ref, flat, tile_rows):
     """``table[flat]`` for a per-photon (tile_rows, 128) int32 index plane.
 
     Mosaic lowers exactly one gather form — same-shape 2-D
-    ``take_along_axis`` (``tpu.dynamic_gather``) — whose reach along
-    sublanes is the tile height. The table therefore arrives as a
-    lane-replicated ``(Vpad, 128)`` VMEM window (every lane can reach
-    every entry) and the lookup walks it in ``tile_rows``-row segments:
-    one sublane gather + one select per segment. ``flat`` must already be
-    clipped to ``[0, V)``."""
+    ``take_along_axis`` (``tpu.dynamic_gather``) — and on hardware its
+    reach is ONE vreg along the gather dimension: sublane gathers span 8
+    rows ("Multiple source vregs along gather dimension", r4 on-chip),
+    lane gathers span the full 128 lanes. The table therefore rides to
+    VMEM compactly as ``(ceil(V/128), 128)`` (entry v at ``[v // 128,
+    v % 128]``) and the lookup walks it in 128-entry segments: one
+    sublane-broadcast of the segment row + one LANE gather + one select
+    per segment. ``flat`` must already be clipped to ``[0, V)``."""
     out = jnp.zeros(flat.shape, jnp.float32)
-    seg_of = flat // jnp.int32(tile_rows)
-    loc = flat - seg_of * jnp.int32(tile_rows)
-    for s in range(tab_ref.shape[0] // tile_rows):
-        seg = tab_ref[s * tile_rows:(s + 1) * tile_rows, :]
-        got = jnp.take_along_axis(seg, loc, axis=0)
+    seg_of = flat >> jnp.int32(7)          # // 128
+    loc = flat & jnp.int32(127)            # % 128
+    for s in range(tab_ref.shape[0]):
+        seg = jnp.broadcast_to(tab_ref[s:s + 1, :], flat.shape)
+        got = jnp.take_along_axis(seg, loc, axis=1)
         out = jnp.where(seg_of == jnp.int32(s), got, out)
     return out
 
@@ -400,21 +409,52 @@ def _fast_angles(tu, pu):
     return sin_t, cos_t, sin_p, cos_p
 
 
-def _kn_triples(rng, plan, shape, tries):
-    """Draw the Klein-Nishina Kahn-loop uniforms — one layout for every
-    compton variant (cold and thermal) so the samplers can never
-    desynchronize. Under packed_angles the (r2, r3) pair shares one
-    hardware draw (16-bit halves; acceptance tests, not tail-sensitive)."""
-    triples = []
-    for _ in range(tries):
+def _kn_cos_eta_loop(alpha, rng, plan, shape, tries):
+    """Loop-form Klein-Nishina sampler for the fused kernel: identical
+    per-try math to the generic ``light._kn_cos_eta`` (shared ``_kn_try``
+    / ``_kn_koblinger_tail``), with the Kahn draws made INSIDE a
+    ``lax.fori_loop``. The hardware PRNG advances in the same program
+    order as the old up-front unrolled draws, so on-chip results are
+    bitwise identical; the emulated twin salts its hash stream by the
+    loop index. The loop form is what frees the unrolled chain's live
+    temporaries — ``tries`` x ~12 (tile, 128) planes of Mosaic stack —
+    which is what held the compton family at unroll 2 and polarized
+    Compton at 128-row tiles. Draw layout per try matches _kn_triples'
+    old one: packed_angles shares one hardware draw for (r2, r3)
+    (16-bit halves; acceptance tests, not tail-sensitive)."""
+    from physicl_tpu.light import _kn_koblinger_tail, _kn_try
+
+    dtype = jnp.float32
+    one = jnp.float32(1.0)
+    a = jnp.maximum(jnp.asarray(alpha, dtype), jnp.float32(1e-9))
+    two_a = 2.0 * a
+    b = one + two_a
+    p_branch_a = b / (b + 8.0)
+    zeros = jnp.zeros(shape, dtype)
+
+    def body(i, carry):
+        eta, cos_t, acc_f, r1_0, r2_0 = carry
         if plan.packed_angles:
-            r1 = rng.uniform(shape)
-            r2, r3 = rng.uniform_pair(shape)
+            r1 = rng.uniform(shape, salt=i)
+            r2, r3 = rng.uniform_pair(shape, salt=i)
         else:
-            r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
-                          rng.uniform(shape))
-        triples.append((r1, r2, r3))
-    return triples
+            r1 = rng.uniform(shape, salt=i)
+            r2 = rng.uniform(shape, salt=i)
+            r3 = rng.uniform(shape, salt=i)
+        # Koblinger's tail reuses the FIRST try's (r1, r2)
+        first = i == jnp.int32(0)
+        r1_0 = jnp.where(first, r1, r1_0)
+        r2_0 = jnp.where(first, r2, r2_0)
+        eta, cos_t, acc = _kn_try(two_a, b, p_branch_a, r1, r2, r3,
+                                  eta, cos_t, acc_f > 0, dtype)
+        return eta, cos_t, acc.astype(dtype), r1_0, r2_0
+
+    eta, cos_t, acc_f, r1_0, r2_0 = jax.lax.fori_loop(
+        0, tries, body,
+        (jnp.ones(shape, dtype), jnp.ones(shape, dtype), zeros, zeros,
+         zeros))
+    return _kn_koblinger_tail(alpha, a, two_a, b, r1_0, r2_0, eta, cos_t,
+                              acc_f > 0, dtype)
 
 
 def _unit_dir(f):
@@ -715,10 +755,11 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 u4 = (rng.uniform(shape), a1, rng.uniform(shape), a2)
             else:
                 u4 = tuple(rng.uniform(shape) for _ in range(4))
-            triples = _kn_triples(rng, plan, shape, op.kn_tries)
             nhat = _unit_dir(f)
             E_new, n_new, alpha1, flux, kn_ok = _ic_thermal_scatter(
-                f[_E], nhat, op.inv_mec2, op.theta_e, u4, triples, pu,
+                f[_E], nhat, op.inv_mec2, op.theta_e, u4,
+                lambda a1: _kn_cos_eta_loop(a1, rng, plan, shape,
+                                            op.kn_tries), pu,
                 jnp.float32)
             pcoll = pcoll * flux
             if op.kn_xsec:
@@ -754,15 +795,15 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 pcoll = pcoll * (b2 * b2)
             eta = None
             if op.kind == "compton":
-                from physicl_tpu.light import _kn_cos_eta, _kn_sigma_ratio
+                from physicl_tpu.light import _kn_sigma_ratio
 
                 alpha = f[_E] * jnp.float32(op.inv_mec2)
                 if op.kn_xsec:
                     pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
-                triples = _kn_triples(rng, plan, shape, op.kn_tries)
-                cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples, jnp.float32)
+                cos_t, eta, kn_ok = _kn_cos_eta_loop(alpha, rng, plan,
+                                                     shape, op.kn_tries)
                 scatter = (pcoll >= u) & ph_alive() & kn_ok
             else:
                 u = rng.uniform(shape)
@@ -843,7 +884,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             # scatter. Mirrors the generic _apply_phase_matrix exactly
             # (same masks, clips, frame fallback) up to PRNG stream and
             # the bisection's in-kernel trig recurrences.
-            from physicl_tpu.light import (_kn_cos_eta, _kn_sigma_ratio,
+            from physicl_tpu.light import (_kn_sigma_ratio,
                                            _rayleigh_cos_theta)
 
             st_p, pr_p = op.pol_planes
@@ -862,9 +903,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
-                triples = _kn_triples(rng, plan, shape, op.kn_tries)
-                cos_t, eta, kn_ok = _kn_cos_eta(alpha, triples,
-                                                jnp.float32)
+                cos_t, eta, kn_ok = _kn_cos_eta_loop(alpha, rng, plan,
+                                                     shape, op.kn_tries)
                 kappa = eta + 1.0 / eta
                 scatter = (pcoll >= u) & ph_alive() & kn_ok
             else:
@@ -1755,83 +1795,61 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     tile_rows = plan.tile_rows
     while rows % tile_rows:
         tile_rows //= 2
-    if any(op.kind == "polc" for op in plan.ops) and rows >= 256:
-        # polarized Compton stacks the unrolled 12-try Kahn loop on the
-        # frame/Mueller algebra: its Mosaic stack still derates 256-row
-        # tiles (r3 on-chip measurement of the unrolled family was 17.78M;
-        # the azimuth bisection is a fori_loop now, but the Kahn chain is
-        # not — it interleaves PRNG draws whose order the emulated twin
-        # must replay, see _kn_triples). Plain polarized Rayleigh ("pol")
-        # runs full-size tiles since the bisection-loop rewrite
-        # (fresh-compile matrix combo "polarized" pins this on chip).
-        tile_rows = min(tile_rows, 128)
     n_tiles = rows // tile_rows
 
-    # Scoped-vmem fit (v5e AOT limit: 16MB kernel stack). Mosaic's
-    # per-unrolled-iteration temporaries dominate the stack at U=32
-    # (~12MB measured); that only fits alongside the VMEM field windows
-    # when tiles are <=256 rows AND the result tuple is certainly
-    # HBM-resident — XLA stack-promotes small pallas results (S(1) in the
-    # failing allocations), and a state output under the 16MB limit can be
-    # promoted. Everything else runs at U<=8, which fits every measured
-    # configuration (tile 512 included) and costs ~7% at the 1e7 headline.
+    # Scoped-VMEM sizing. The kernel compiles with vmem_limit_bytes=64M
+    # (the 16M "limit" the r2/r3 caps were built around is a COMPILER
+    # DEFAULT, not the v5e VMEM size) — the caps below keep each family's
+    # Mosaic stack well inside that budget alongside the field windows,
+    # scaled from the r2-r4 on-chip measurements (per-unrolled-iteration
+    # temporaries are ~linear in unroll: iso U=32 ~ 12M; rotation family
+    # U=8 ~ 16.6M; emit U=32 ~ 16.45M; polarized U=1 ~ 17.4M). Every tier
+    # is pinned per family x capacity by the fresh-compile matrix
+    # (tests/test_tpu_compile_matrix.py).
     state_out_bytes = nf * rows * _LANE * 4
+    del state_out_bytes  # XLA stack-promotes small outputs (S(1)); the
+    # 64M budget absorbs promotion, so capacity no longer gates unroll
     # ops that trace arbitrary-size user code per iteration (in-kernel
     # sampled-E emitters, ElementwiseStep physics) multiply the per-
     # iteration temporaries: a 32-segment Planck icdf emitter at U=32
-    # measured 19.6M scoped even with HBM-resident outputs
+    # measured 19.6M scoped — fits the 64M budget at U<=16
     heavy_ops = any(op.emit_E_fn is not None or op.custom_fn is not None
                     or op.e_fn is not None or op.b_fn is not None
                     for op in plan.ops)
-    if tile_rows > 256 or state_out_bytes < (16 << 20) or heavy_ops:
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
+    if tile_rows > 256 or heavy_ops:
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 16))
     vox_slots, vox_specs = _vox_specs_of(plan)
     if vox_specs:
-        # voxel-media lookups unroll one gather+select per tile_rows table
-        # rows per unrolled iteration: the live segment temporaries stack
-        # like the rotation-frame ops' (unroll 4 tier), and the tables
-        # themselves hold VMEM (V * 512 bytes each) — no fresh-compile
-        # scoped-vmem measurement on hardware yet, so take the safe tier
-        # (compile-matrix combo "voxel" tracks it)
+        # voxel-media lookups unroll one lane-gather+select per 128 table
+        # entries per unrolled iteration: the live segment temporaries
+        # stack like the rotation-frame ops' (compile-matrix combos
+        # "voxel"/"voxel_tri" pin the tier)
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
-    if any(op.kind == "emit" for op in plan.ops):
-        # the emit body (E/r/v fill + W reset + extras zeroing + polarized
-        # source Stokes fill) measured 16.45M scoped-vmem at 256-row tiles
-        # with unroll 32 (on-chip matrix, r3) — 464K over the 16M limit;
-        # unroll 16 halves the per-iteration temporaries
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 16))
     if any(op.kind == "del" and op.fluor for op in plan.ops):
         # the fluorescence branch adds ~10 live (tile, 128) temporaries
-        # (yield/angle draws + the redirect) on top of the plain kill —
-        # iso-sized, but without a fresh-compile scoped-vmem measurement
-        # on hardware keep it at the safe U<=8 tier (compile-matrix combo
-        # "fluorescence" tracks it)
+        # (yield/angle draws + the redirect) on top of the plain kill
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
     if any(op.kind in ("hg", "rayl", "compton", "fresnel", "phase", "pol",
                        "polc") for op in plan.ops):
         # the relative-frame rotation (hg/rayl/compton) carries ~15 extra
-        # (tile, 128) f32 temporaries per unrolled iteration: at unroll 8
-        # with 256-row tiles the Mosaic stack measured 16.61M against the
-        # 16M scoped-vmem limit; unroll 4 fits with margin (fresnel's
-        # intersection + Fresnel-coefficient temporaries are the same
-        # order, so it shares the cap until measured otherwise)
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
+        # (tile, 128) f32 temporaries per unrolled iteration: 16.6M at
+        # U=8/256 rows measured on chip — inside the 64M budget; U=16
+        # would not be
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
     if any(op.kind == "compton" for op in plan.ops):
-        # the Kahn rejection loop (kn_tries x ~10 live (tile, 128)
-        # temporaries) stacks on top of the rotation: unroll 2 keeps the
-        # Mosaic scoped-vmem stack under the 16M limit at 256-row tiles
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
+        # the Kahn rejection draws run inside a lax.fori_loop now (one
+        # try's temporaries total, _kn_cos_eta_loop) but the rotation +
+        # recoil algebra still stacks per unrolled iteration
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
     if any(op.kind == "compton" and op.theta_e > 0.0 for op in plan.ops):
         # thermal Comptonization adds the electron draw + two Lorentz
-        # boosts (~20 more live temporaries) on top of the Kahn loop:
-        # no unrolling headroom left
-        plan = dataclasses.replace(plan, unroll=1)
+        # boosts (~20 more live temporaries) per unrolled iteration
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
     if any(op.kind in ("pol", "polc") for op in plan.ops):
-        # the polarized azimuth bisection (26 unrolled rotation steps) plus
-        # the frame/Mueller algebra is the largest op body after thermal
-        # Compton (polc additionally stacks the Kahn loop on top) — unroll
-        # 1 until a fresh-compile scoped-vmem measurement on hardware says
-        # otherwise (compile-matrix combos "polarized"/"polarized_compton")
+        # the polarized frame/Mueller algebra measured 17.4M at U=1 with
+        # 256-row tiles (azimuth bisection already loop-form): inside the
+        # 64M budget, but U=2 would roughly double the op-body share —
+        # keep 1 until an on-chip measurement motivates more
         plan = dataclasses.replace(plan, unroll=1)
 
     out_specs = [
@@ -1863,17 +1881,16 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    # voxel-media tables: flat grid, padded to whole gather segments, then
-    # lane-replicated so every photon's lane can reach every entry (the
-    # sublane-gather reach contract of _vmem_table_lookup)
+    # voxel-media tables: flat grid, padded to whole 128-entry gather
+    # segments, stored compactly as (segments, 128) — entry v at
+    # [v // 128, v % 128], the lane-gather layout of _vmem_table_lookup
     tables = []
     for spec in vox_specs:
         flat = np.asarray(spec["flat"], np.float32).reshape(-1)
-        vpad = -(-flat.size // tile_rows) * tile_rows
+        vpad = -(-flat.size // _LANE) * _LANE
         padded = np.zeros(vpad, np.float32)
         padded[:flat.size] = flat
-        tables.append(jnp.asarray(
-            np.broadcast_to(padded[:, None], (vpad, _LANE))))
+        tables.append(jnp.asarray(padded.reshape(vpad // _LANE, _LANE)))
 
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
@@ -1906,6 +1923,14 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                # the default scoped-VMEM budget is a 16 MB COMPILER FLAG,
+                # not the v5e hardware size: raising it is the supported
+                # way to run op bodies whose live temporaries exceed the
+                # default stack (JAX's own flash-attention kernels set
+                # 128 MB). 64 MB covers the polarized family at 256-row
+                # tiles (measured 17.4 MB) with headroom for the windows
+                # and DMA buffers that share physical VMEM.
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(ctl, jnp.asarray(dts, jnp.float32),
           jnp.asarray(emit_starts, jnp.int32), packed3, *tables)

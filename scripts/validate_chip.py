@@ -535,8 +535,9 @@ def main():
           dep_dev < 1e-3, f"rel dev = {dep_dev:.2e}")
 
     # --- fluorescent re-emission: two-state decay + exact energy budget
-    import physicl_tpu as phys
-
+    # (module-level `import physicl_tpu as phys` is already in scope; a
+    # local re-import here shadowed it for the WHOLE function and broke
+    # every earlier check with UnboundLocalError — r4 on-chip run)
     Nf, pf, Yf, kf, E0f = 262144, 0.1, 0.6, 20, 2.0
     s = phys.Simulation(until_t=kf * 1e-3, seed=11, fuse="auto")
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))

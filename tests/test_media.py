@@ -193,10 +193,10 @@ def test_vox_kernel_field_matches_direct_lookup():
         spec = fn.vox_spec
         tile_rows = 256
         flat = spec["flat"]
-        vpad = -(-flat.size // tile_rows) * tile_rows
+        vpad = -(-flat.size // 128) * 128
         padded = np.zeros(vpad, np.float32)
         padded[:flat.size] = flat
-        tab = jnp.asarray(np.broadcast_to(padded[:, None], (vpad, 128)))
+        tab = jnp.asarray(padded.reshape(vpad // 128, 128))
         kfn = F._bind_vox_field(spec, tab, tile_rows)
         # positions spanning coverage + outside + edges, as (256, 128) tiles
         lo = np.array([-1, 0.5, 2.0]) - 2
