@@ -220,7 +220,9 @@ class KernelStep(Step):
       ``t/dt``, ``key`` or ``n_spawned`` on the returned state are ignored
       in-kernel (``a`` reads back zeros there — use
       :class:`physicl_tpu.engine.ElementwiseStep` with ``extras=`` for aux
-      planes);
+      planes). READING ``state.key`` also refuses at plan time (the
+      in-kernel facade has no PRNG key, so key-derived randomness would
+      silently freeze — the probe poisons it);
     * no ``ctx`` PRNG or records (``ctx.next_key``/``ctx.record`` raise a
       structured refusal at plan time — randomness needs
       ``ElementwiseStep``'s ``p.uniform()``, measurement needs

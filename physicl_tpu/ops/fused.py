@@ -409,52 +409,37 @@ def _fast_angles(tu, pu):
     return sin_t, cos_t, sin_p, cos_p
 
 
-def _kn_cos_eta_loop(alpha, rng, plan, shape, tries):
-    """Loop-form Klein-Nishina sampler for the fused kernel: identical
-    per-try math to the generic ``light._kn_cos_eta`` (shared ``_kn_try``
-    / ``_kn_koblinger_tail``), with the Kahn draws made INSIDE a
-    ``lax.fori_loop``. The hardware PRNG advances in the same program
-    order as the old up-front unrolled draws, so on-chip results are
-    bitwise identical; the emulated twin salts its hash stream by the
-    loop index. The loop form is what frees the unrolled chain's live
-    temporaries — ``tries`` x ~12 (tile, 128) planes of Mosaic stack —
-    which is what held the compton family at unroll 2 and polarized
-    Compton at 128-row tiles. Draw layout per try matches _kn_triples'
-    old one: packed_angles shares one hardware draw for (r2, r3)
-    (16-bit halves; acceptance tests, not tail-sensitive)."""
-    from physicl_tpu.light import _kn_koblinger_tail, _kn_try
+def _kn_triples(rng, plan, shape, tries):
+    """Draw the Klein-Nishina Kahn-loop uniforms — one layout for every
+    compton variant (cold and thermal) so the samplers can never
+    desynchronize. Under packed_angles the (r2, r3) pair shares one
+    hardware draw (16-bit halves; acceptance tests, not tail-sensitive).
 
-    dtype = jnp.float32
-    one = jnp.float32(1.0)
-    a = jnp.maximum(jnp.asarray(alpha, dtype), jnp.float32(1e-9))
-    two_a = 2.0 * a
-    b = one + two_a
-    p_branch_a = b / (b + 8.0)
-    zeros = jnp.zeros(shape, dtype)
-
-    def body(i, carry):
-        eta, cos_t, acc_f, r1_0, r2_0 = carry
+    STATIC unroll, deliberately: a lax.fori_loop form of the Kahn chain
+    (draws inside the loop body) was measured 25-30% SLOWER end-to-end on
+    chip (compton/thermal rows, r4b run — sequentially-dependent loop
+    bodies lose Mosaic's software pipelining), and with the 64 MB
+    scoped-VMEM budget the unrolled chain's ``tries x ~12`` live
+    (tile, 128) planes fit comfortably."""
+    triples = []
+    for _ in range(tries):
         if plan.packed_angles:
-            r1 = rng.uniform(shape, salt=i)
-            r2, r3 = rng.uniform_pair(shape, salt=i)
+            r1 = rng.uniform(shape)
+            r2, r3 = rng.uniform_pair(shape)
         else:
-            r1 = rng.uniform(shape, salt=i)
-            r2 = rng.uniform(shape, salt=i)
-            r3 = rng.uniform(shape, salt=i)
-        # Koblinger's tail reuses the FIRST try's (r1, r2)
-        first = i == jnp.int32(0)
-        r1_0 = jnp.where(first, r1, r1_0)
-        r2_0 = jnp.where(first, r2, r2_0)
-        eta, cos_t, acc = _kn_try(two_a, b, p_branch_a, r1, r2, r3,
-                                  eta, cos_t, acc_f > 0, dtype)
-        return eta, cos_t, acc.astype(dtype), r1_0, r2_0
+            r1, r2, r3 = (rng.uniform(shape), rng.uniform(shape),
+                          rng.uniform(shape))
+        triples.append((r1, r2, r3))
+    return triples
 
-    eta, cos_t, acc_f, r1_0, r2_0 = jax.lax.fori_loop(
-        0, tries, body,
-        (jnp.ones(shape, dtype), jnp.ones(shape, dtype), zeros, zeros,
-         zeros))
-    return _kn_koblinger_tail(alpha, a, two_a, b, r1_0, r2_0, eta, cos_t,
-                              acc_f > 0, dtype)
+
+def _kn_cos_eta_loop(alpha, rng, plan, shape, tries):
+    """Klein-Nishina sampler for the fused kernel: up-front unrolled
+    draws + the shared unrolled Kahn math (light._kn_cos_eta)."""
+    from physicl_tpu.light import _kn_cos_eta
+
+    return _kn_cos_eta(alpha, _kn_triples(rng, plan, shape, tries),
+                       jnp.float32)
 
 
 def _unit_dir(f):
@@ -471,35 +456,32 @@ def _bisect_phi_sincos(u, a, b, iters: int = 26):
     monotone bisection (the kernel twin of polarization._bisect_phi, same
     iteration count => same 2pi*2^-iters resolution).
 
-    Mosaic-friendly tricks: instead of evaluating sin/cos of the midpoint
-    each step, carry ``(sin lo, cos lo)`` and ROTATE by the half-interval
-    angle ``delta_k = pi/2^k``; the rotation scalars ``(sin delta_k,
-    cos delta_k)`` are themselves carried and HALVED per step via the
-    half-angle identities (one scalar sqrt + div per step) — zero in-loop
-    transcendentals and no constant tables (Pallas kernels cannot close
-    over arrays). The loop is a ``lax.fori_loop``, NOT a Python unroll:
-    the r3 on-chip fresh-compile matrix measured the unrolled chain's
-    per-step live temporaries at 17.78 MB of Mosaic stack for 256-row
-    tiles (the whole scoped-VMEM budget) — the loop form allocates one
-    step's temporaries total, which is what lets polarized plans keep
-    full-size tiles (VERDICT r3 weak #2). f32 rotation/half-angle drift
-    over 26 composed steps is ~3e-6, far below the 2^-16 granularity of
-    the packed-angle uniform that feeds ``u``; the final pair is
-    renormalized.
+    Mosaic-friendly trick: instead of evaluating sin/cos of the midpoint
+    each step, carry ``(sin lo, cos lo)`` and ROTATE by the static half-
+    interval angle ``delta_k = pi/2^k`` — the rotation coefficients
+    ``(sin delta_k, cos delta_k)`` are compile-time f32 constants, so the
+    whole inversion is multiply-adds with zero in-loop transcendentals.
+    f32 rotation drift over 26 composed rotations is ~3e-6; the final
+    pair is renormalized. ``iters`` is 17 for packed-angle draws (the
+    uniform has exactly 16 bits — finer bisection refines quantization
+    noise; measured inversion error 4.6e-5 < the 9.6e-5 draw
+    granularity) and 26 for full-width draws (1.2e-6).
     """
     two_pi = jnp.float32(2.0 * np.pi)
     target = u * two_pi
     half = jnp.float32(0.5)
-    # step k = 0 (delta = pi) in closed form: the midpoint is pi where
-    # sin 2phi = 0 and cos 2phi = 1 exactly, so F(pi) = pi
-    go0 = jnp.float32(np.pi) < target
-    lo = jnp.where(go0, jnp.float32(np.pi), jnp.float32(0.0))
+    lo = jnp.zeros_like(u)
     s_lo = jnp.zeros_like(u)
-    c_lo = jnp.where(go0, jnp.float32(-1.0), jnp.float32(1.0))
-
-    def body(_, carry):
-        lo, s_lo, c_lo, delta, sd, cd = carry
-        mid = lo + delta
+    c_lo = jnp.ones_like(u)
+    # STATIC unroll, deliberately: a lax.fori_loop form of this chain was
+    # measured 31% SLOWER end-to-end on chip (polarized row, r4b run —
+    # sequentially-dependent loop bodies lose Mosaic's software
+    # pipelining), and with the 64 MB scoped-VMEM budget its stack
+    # footprint (~0.4M of the pol op's 17.4M) no longer matters
+    for k in range(iters):
+        delta = np.pi / (1 << k)
+        sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
+        mid = lo + jnp.float32(delta)
         s_m = s_lo * cd + c_lo * sd
         c_m = c_lo * cd - s_lo * sd
         sin2 = 2.0 * s_m * c_m
@@ -509,18 +491,9 @@ def _bisect_phi_sincos(u, a, b, iters: int = 26):
         lo = jnp.where(go_hi, mid, lo)
         s_lo = jnp.where(go_hi, s_m, s_lo)
         c_lo = jnp.where(go_hi, c_m, c_lo)
-        # halve the interval: scalar half-angle recurrence (stable: cd
-        # climbs monotonically from 0 toward 1, so 2*cd_next >= sqrt(2))
-        cd_n = jnp.sqrt(half * (1.0 + cd))
-        sd_n = sd / (2.0 * cd_n)
-        return lo, s_lo, c_lo, delta * half, sd_n, cd_n
-
-    lo, s_lo, c_lo, delta, sd, cd = jax.lax.fori_loop(
-        1, iters, body,
-        (lo, s_lo, c_lo, jnp.float32(np.pi / 2), jnp.float32(1.0),
-         jnp.float32(0.0)))
-    # final midpoint: one more half-interval rotation (the loop exits with
-    # (sd, cd) already at delta = pi/2^iters)
+    # final midpoint: one more half-interval rotation
+    delta = np.pi / (1 << iters)
+    sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
     s_f = s_lo * cd + c_lo * sd
     c_f = c_lo * cd - s_lo * sd
     # renormalize the pair so the composed-rotation drift cannot leak into

@@ -119,10 +119,16 @@ class _KernelCtxTrip:
 def _probe_kernelstep(fn, sim):
     """None if ``fn`` traces under the fused facade contract, else a
     (reason-slug, detail) pair for the structured refusal. Abstract
-    evaluation only — no FLOPs, no device."""
+    evaluation only — no FLOPs, no device. ``state.key`` is poisoned to
+    None: the in-kernel facade cannot carry a real PRNG key (the kernel
+    uses the hardware generator), so an fn whose physics DEPENDS on
+    state.key would silently draw constants — any use of it must fail
+    this probe and take the generic path (r4 code-review finding)."""
+    import dataclasses as _dc
+
     from physicl_tpu.state import SimState
 
-    template = SimState.zeros(16384)
+    template = _dc.replace(SimState.zeros(16384), key=None)
     try:
         out = jax.eval_shape(lambda st: fn(st, _KernelCtxTrip()), template)
     except _KernelCtxUse as e:

@@ -80,9 +80,14 @@ def _size(aval) -> int:
 
 
 def _count_jaxpr(jaxpr) -> dict:
-    """Walk a (closed) jaxpr counting modeled VPU ops."""
+    """Walk a (closed) jaxpr counting modeled VPU ops. Control-flow
+    bodies (while/scan/cond) are counted ONCE — their trip count is not
+    statically recoverable — so ``uncounted_loop_bodies`` flags any such
+    body: callers must treat utilizations as unreliable when it is
+    nonzero (the fused iteration bodies are loop-free by design; the
+    r4b on-chip runs showed loop forms are slower anyway)."""
     c = {"vpu_ops": 0.0, "transcendentals": 0.0, "gather_elems": 0.0,
-         "reduce_elems": 0.0}
+         "reduce_elems": 0.0, "uncounted_loop_bodies": 0.0}
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
         out_sz = max((_size(v.aval) for v in eqn.outvars), default=1)
@@ -107,6 +112,8 @@ def _count_jaxpr(jaxpr) -> dict:
         elif prim in ("scan", "while", "cond", "custom_jvp_call",
                       "custom_vjp_call", "pjit", "closed_call",
                       "remat", "checkpoint"):
+            if prim in ("scan", "while"):
+                c["uncounted_loop_bodies"] += 1
             for sub in eqn.params.values():
                 sub_jaxprs = []
                 if hasattr(sub, "jaxpr"):
@@ -127,26 +134,29 @@ def _count_jaxpr(jaxpr) -> dict:
 class _CountingRng:
     """Trace stub standing in for the kernel's hardware PRNG: returns
     valid tracers at zero jaxpr cost and tallies draw elements, which are
-    charged at the hardware generator's modeled rate afterwards."""
+    charged at the hardware generator's modeled rate afterwards. Mirrors
+    the full ``_Rng`` surface including the ``salt`` kwarg (r4
+    code-review finding: a missing kwarg crashed the model on any
+    Compton-family plan)."""
 
     def __init__(self):
         self.draw_elems = 0
 
-    def bits(self, shape):
+    def bits(self, shape, salt=None):
         self.draw_elems += int(np.prod(shape))
         return jnp.zeros(shape, jnp.int32)
 
-    def uniform(self, shape):
+    def uniform(self, shape, salt=None):
         self.draw_elems += int(np.prod(shape))
         return jnp.full(shape, 0.5, jnp.float32)
 
-    def uniform_pair(self, shape):
+    def uniform_pair(self, shape, salt=None):
         # one 32-bit draw yields both angles (plan.packed_angles)
         self.draw_elems += int(np.prod(shape))
         return (jnp.full(shape, 0.5, jnp.float32),
                 jnp.full(shape, 0.5, jnp.float32))
 
-    def _hash_bits(self, shape):
+    def _hash_bits(self, shape, salt=None):
         return self.bits(shape)
 
 
@@ -228,7 +238,14 @@ def roofline_report(plan, capacity: int, photon_steps_per_s: float,
         "model_vpu_ops_per_s": vpu_ops_per_s,
         "model_hbm_bytes_per_s": hbm_bytes_per_s,
     }
-    if peaks is not None:
+    if cost["uncounted_loop_bodies"]:
+        # a lax while/scan inside the iteration body: its trip count is
+        # invisible to the jaxpr walk, so the op count is a lower bound —
+        # refuse to publish a utilization built on it
+        out["vpu_util"] = None
+        out["hbm_util"] = None
+        out["uncounted_loop_bodies"] = int(cost["uncounted_loop_bodies"])
+    elif peaks is not None:
         vpu_peak, hbm_peak = peaks
         out["vpu_util"] = round(vpu_ops_per_s / vpu_peak, 4)
         out["hbm_util"] = round(hbm_bytes_per_s / hbm_peak, 4)

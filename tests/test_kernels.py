@@ -218,3 +218,22 @@ def test_elementwise_kernelstep_alive_only_clears():
         s.start(); s.join()
         assert s.used_fused == (fuse == "auto")
         assert int(np.asarray(s.sim_state.alive).sum()) == 1000
+
+
+def test_elementwise_kernelstep_state_key_use_refuses():
+    """Reading state.key is refused at plan time: the in-kernel facade
+    has no PRNG key, so key-derived randomness would silently freeze
+    (r4 code-review finding). The probe poisons key to None."""
+    def keyed(state, ctx):
+        import jax
+
+        u = jax.random.uniform(state.key, state.E.shape)
+        return state.replace(w=state.w * (0.5 + 0.5 * u))
+
+    s = _drag_sim(1024, "auto", elementwise=True, fn=keyed, seed=9)
+    with pytest.warns(RuntimeWarning, match="kernelstep-trace"):
+        s.start(); s.join()
+    assert not s.used_fused
+    # and the generic path ran the key-driven physics fine
+    w = np.asarray(s.sim_state.w)[:1024]
+    assert (w < 1.0).all() and w.std() > 0

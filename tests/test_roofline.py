@@ -86,3 +86,23 @@ def test_vpu_peak_table_sane():
     for kind, (vpu, hbm) in PEAKS.items():
         assert 1e12 < vpu < 1e14
         assert 1e11 < hbm < 1e13
+
+
+def test_compton_plan_counts_without_crashing():
+    """Compton-family plans draw uniforms through the full _Rng surface
+    (salt kwarg included) and their unrolled Kahn chain is counted in
+    full (r4 code-review findings #1/#3)."""
+    plan, cap = _plan_for([
+        phys.UpdateTimeStep(lambda s: np.double(0.001)),
+        physicl_tpu.newton.NewtonianKinematicsStep(),
+        light.ScatterComptonStep(A=np.double(0.001), n=np.double(0.001),
+                                 mec2=0.5, kn_cross_section=True),
+    ])
+    cost = iteration_cost(plan, cap)
+    # 12 Kahn tries x 2 hardware draws (packed pair) + u + phi + ...
+    assert cost["prng_draw_elems"] >= 24 * cap
+    assert cost["vpu_ops_per_particle"] > 200   # KN chain >> iso's 101
+    assert cost["uncounted_loop_bodies"] == 0   # body is loop-free
+    rep = roofline_report(plan, cap, 3e9 / 1e7 * cap, device=None)
+    assert rep["flops_per_photon_step"] == pytest.approx(
+        cost["vpu_ops_per_particle"], rel=0.01)
