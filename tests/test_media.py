@@ -208,3 +208,34 @@ def test_vox_kernel_field_matches_direct_lookup():
         got = np.asarray(kfn(r0, r1, r2))
         want = np.asarray(fn(r0, r1, r2))
         np.testing.assert_array_equal(got, want, err_msg=interp)
+
+
+def test_voxel_density_fused_on_sharded_mesh():
+    """Voxel tables are closure constants of the per-shard kernel: the
+    8-device mesh run must reproduce the unsharded per-photon weights
+    exactly (same grid, same deterministic implicit-capture decay)."""
+    from physicl_tpu.parallel import make_mesh
+
+    c_dt = float(light.c) * 0.001
+    A = 0.05 / c_dt
+    ii = np.arange(16, dtype=np.float32)
+    grid = np.broadcast_to((1.0 + ii / 4.0)[:, None, None],
+                           (16, 8, 8)).copy()
+    ws = {}
+    for mesh in (None, make_mesh()):
+        nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=c_dt)
+        s = phys.Simulation(until_t=0.010 * 0.9999, seed=3, mesh=mesh,
+                            capacity=16384 * (8 if mesh else 1))
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(A), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_photons(light.generate_photon_state(512, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused
+        import jax
+        ws["mesh" if mesh else "single"] = np.asarray(
+            jax.device_get(s.sim_state.w), np.float64)[:512]
+    np.testing.assert_array_equal(ws["mesh"], ws["single"])
+    assert not np.allclose(ws["mesh"], 1.0)  # the medium acted
