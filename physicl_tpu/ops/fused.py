@@ -1819,11 +1819,11 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # boosts (~20 more live temporaries) per unrolled iteration
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
     if any(op.kind in ("pol", "polc") for op in plan.ops):
-        # the polarized frame/Mueller algebra measured 17.4M at U=1 with
-        # 256-row tiles (azimuth bisection already loop-form): inside the
-        # 64M budget, but U=2 would roughly double the op-body share —
-        # keep 1 until an on-chip measurement motivates more
-        plan = dataclasses.replace(plan, unroll=1)
+        # the polarized frame/Mueller algebra measured 17.4M of Mosaic
+        # stack at U=1 with 256-row tiles; U=2 roughly doubles the
+        # op-body share (~28M) — inside the 64M budget (r4c matrix pins
+        # the compile; the r4d probe measures whether 2 beats 1)
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
 
     out_specs = [
         pl.BlockSpec((nf, tile_rows, _LANE), lambda i: (0, i, 0),
