@@ -1795,8 +1795,9 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
     if vox_specs:
         # voxel-media lookups unroll one lane-gather+select per 128 table
         # entries per unrolled iteration: the live segment temporaries
-        # stack like the rotation-frame ops' (compile-matrix combos
-        # "voxel"/"voxel_tri" pin the tier)
+        # stack like the rotation-frame ops'. U=8 compiles (r4e matrix)
+        # but measured FLAT vs 4 (6.80 vs 6.85e9) — keep the smaller
+        # stack so voxel composes with other heavy ops
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
     if any(op.kind == "del" and op.fluor for op in plan.ops):
         # the fluorescence branch adds ~10 live (tile, 128) temporaries
@@ -1810,9 +1811,10 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         # would not be
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 8))
     if any(op.kind == "compton" for op in plan.ops):
-        # the Kahn rejection draws run inside a lax.fori_loop now (one
-        # try's temporaries total, _kn_cos_eta_loop) but the rotation +
-        # recoil algebra still stacks per unrolled iteration
+        # the 12-try Kahn chains + rotation + recoil algebra stack per
+        # unrolled iteration: U=8 compiles (r4e matrix) but measured
+        # noise-flat vs 4 (5.43 vs 5.33e9) — keep the smaller stack so
+        # compton composes with other heavy ops (thermal clamps to 2)
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
     if any(op.kind == "compton" and op.theta_e > 0.0 for op in plan.ops):
         # thermal Comptonization adds the electron draw + two Lorentz
