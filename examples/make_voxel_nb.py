@@ -2,7 +2,8 @@
 fused kernel: CT-phantom beam attenuation vs the exact line-integral law).
 
 Run: python examples/make_voxel_nb.py  (executes on the current JAX
-backend; PHYSICL_NB_SMALL=1 shrinks photon counts for a CPU smoke run).
+backend; PHYSICL_NB_SMALL=1 pins the CPU backend for a smoke run — the
+ray count is one per grid column either way, already smoke-sized).
 """
 
 import os
@@ -75,8 +76,9 @@ assert s.used_fused, s.explain_plan()
 w = np.asarray(s.sim_state.w, np.float64)[:N_RAYS].reshape(NY, NZ)
 
 # exact prediction: photons start at x = -0.75 dx and step one voxel per
-# iteration, so iteration k samples x = (k - 0.75) dx -> voxel ix = k - 1
-# (nearest); the first and last iterations sample outside (vacuum)
+# iteration, so iteration k samples x = (k - 0.75) dx -> nearest voxel
+# ix = k - 1: iteration 1 reads grid[0], iteration NX reads grid[NX-1],
+# and only iteration NX+1 samples outside the coverage (vacuum)
 pred = np.ones((NY, NZ))
 for k in range(1, NX + 1):
     pred *= 1.0 - 0.04 * grid[k - 1].astype(np.float64)

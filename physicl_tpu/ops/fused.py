@@ -433,7 +433,7 @@ def _kn_triples(rng, plan, shape, tries):
     return triples
 
 
-def _kn_cos_eta_loop(alpha, rng, plan, shape, tries):
+def _kn_cos_eta_fused(alpha, rng, plan, shape, tries):
     """Klein-Nishina sampler for the fused kernel: up-front unrolled
     draws + the shared unrolled Kahn math (light._kn_cos_eta)."""
     from physicl_tpu.light import _kn_cos_eta
@@ -453,8 +453,9 @@ def _unit_dir(f):
 def _bisect_phi_sincos(u, a, b, iters: int = 26):
     """(sin phi, cos phi) of the polarized-azimuth inverse CDF: solve
     ``phi + (a/2) sin 2phi + (b/2)(1 - cos 2phi) = 2pi u`` on [0, 2pi] by
-    monotone bisection (the kernel twin of polarization._bisect_phi, same
-    iteration count => same 2pi*2^-iters resolution).
+    monotone bisection (the kernel twin of polarization._bisect_phi;
+    resolution 2pi*2^-iters — the generic twin always bisects 26 deep,
+    the fused packed-angle path stops at 17, matching its 16-bit draw).
 
     Mosaic-friendly trick: instead of evaluating sin/cos of the midpoint
     each step, carry ``(sin lo, cos lo)`` and ROTATE by the static half-
@@ -731,7 +732,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             nhat = _unit_dir(f)
             E_new, n_new, alpha1, flux, kn_ok = _ic_thermal_scatter(
                 f[_E], nhat, op.inv_mec2, op.theta_e, u4,
-                lambda a1: _kn_cos_eta_loop(a1, rng, plan, shape,
+                lambda a1: _kn_cos_eta_fused(a1, rng, plan, shape,
                                             op.kn_tries), pu,
                 jnp.float32)
             pcoll = pcoll * flux
@@ -775,7 +776,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
-                cos_t, eta, kn_ok = _kn_cos_eta_loop(alpha, rng, plan,
+                cos_t, eta, kn_ok = _kn_cos_eta_fused(alpha, rng, plan,
                                                      shape, op.kn_tries)
                 scatter = (pcoll >= u) & ph_alive() & kn_ok
             else:
@@ -876,7 +877,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                     pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
-                cos_t, eta, kn_ok = _kn_cos_eta_loop(alpha, rng, plan,
+                cos_t, eta, kn_ok = _kn_cos_eta_fused(alpha, rng, plan,
                                                      shape, op.kn_tries)
                 kappa = eta + 1.0 / eta
                 scatter = (pcoll >= u) & ph_alive() & kn_ok

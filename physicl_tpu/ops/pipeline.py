@@ -124,11 +124,9 @@ def _probe_kernelstep(fn, sim):
     uses the hardware generator), so an fn whose physics DEPENDS on
     state.key would silently draw constants — any use of it must fail
     this probe and take the generic path (r4 code-review finding)."""
-    import dataclasses as _dc
-
     from physicl_tpu.state import SimState
 
-    template = _dc.replace(SimState.zeros(16384), key=None)
+    template = dataclasses.replace(SimState.zeros(16384), key=None)
     try:
         out = jax.eval_shape(lambda st: fn(st, _KernelCtxTrip()), template)
     except _KernelCtxUse as e:

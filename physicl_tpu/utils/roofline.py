@@ -30,9 +30,10 @@ HBM->VMEM once and back once per chunk (the whole point of the fused
 design), plus record rows and stream planes.
 
 Peaks (``PEAKS``) are per-chip, from public TPU v5e specs: 819 GB/s HBM
-bandwidth; VPU f32 peak = 8x128 vector lanes x 4 ALUs x 0.94 GHz ~=
-3.85e12 ops/s. Unknown device kinds report utilizations as None rather
-than against a guessed roof.
+bandwidth; VPU f32 peak = 8x128 vector lanes x 4 ALUs x 1 FMA/cycle
+(counted as 2 ops, matching the model's separate mul/add counting) x
+~0.94 GHz ~= 7.7e12 ops/s. Unknown device kinds report utilizations as
+None rather than against a guessed roof.
 """
 
 from __future__ import annotations
@@ -135,9 +136,9 @@ class _CountingRng:
     """Trace stub standing in for the kernel's hardware PRNG: returns
     valid tracers at zero jaxpr cost and tallies draw elements, which are
     charged at the hardware generator's modeled rate afterwards. Mirrors
-    the full ``_Rng`` surface including the ``salt`` kwarg (r4
-    code-review finding: a missing kwarg crashed the model on any
-    Compton-family plan)."""
+    the full ``_Rng`` surface including the ``salt`` kwarg (unused by the
+    current static-unroll samplers; kept so any future salted call site
+    cannot crash the model)."""
 
     def __init__(self):
         self.draw_elems = 0
