@@ -460,3 +460,33 @@ def test_record_budget_auto_and_override():
     for limit, want in ((8 << 30, 1 << 30), (16 << 30, 2 << 30),
                         ((1 << 30), 256 << 20), (95 << 30, 2 << 30)):
         assert max(256 << 20, min(2 << 30, limit // 8)) == want
+
+
+def test_mod_floor_matches_true_mod_and_stays_in_range():
+    """state.mod_floor is the context-stable wrap every boundary path
+    shares (lax.rem lowers differently in while vs scan bodies — r4).
+    It must agree with the true mod up to 1 ulp and NEVER leave [0, L)."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.state import mod_floor
+
+    L = np.float32(749481.1)
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.uniform(-10 * L, 10 * L, 4096).astype(np.float32),
+        np.float32([0.0, L, -L, 2 * L, -2 * L, 0.5 * L, -0.5 * L,
+                    np.nextafter(L, 0, dtype=np.float32),
+                    np.nextafter(L, 2 * L, dtype=np.float32),
+                    1e-30, -1e-30]),
+    ])
+    got = np.asarray(mod_floor(jnp.asarray(xs), jnp.float32(L)),
+                     np.float64)
+    assert (got >= 0).all() and (got < L).all()
+    want = np.mod(xs.astype(np.float64), np.float64(L))
+    # wrap-seam tolerance: compare as points on the circle. The f32
+    # quotient-multiply rounds at the scale of the INPUT (up to 10L
+    # here), so allow a few ulps of max|x|.
+    d = np.abs(got - want)
+    d = np.minimum(d, np.float64(L) - d)
+    tol = 4 * np.finfo(np.float32).eps * np.abs(xs).max()
+    assert d.max() <= tol, (d.max(), tol)
