@@ -234,7 +234,12 @@ class ElementwiseStep(Step):
     * strictly elementwise over the particle axis (no reductions, no
       gathers, no cross-particle communication — inside the fused kernel the
       function sees one VMEM tile, so a reduction would silently be
-      tile-local);
+      tile-local). This claim is VERIFIED at plan time by behavioral probes
+      (``ops/pipeline._probe_particle_fn``: row-permutation,
+      one-particle-perturbation and capacity-doubling checks on a tiny CPU
+      view); a violating fn refuses to the generic scan with a structured
+      ``elementwise-not-elementwise`` reason instead of silently computing
+      tile-local physics;
     * only the transport fields above, plus aux planes declared with
       ``extras=("name", ...)`` (exposed as ``p.extras["name"]`` — a scalar
       plane or a 3-tuple of component planes). Planes additionally listed

@@ -216,20 +216,29 @@ class KernelStep(Step):
       ``fn`` sees one VMEM tile, so a reduction would silently be
       tile-local);
     * touch only the packed transport fields — ``r, dr, v, dv, E, w`` and
-      ``alive`` (which can only clear); changes to ``a``, ``extras``,
-      ``t/dt``, ``key`` or ``n_spawned`` on the returned state are ignored
-      in-kernel (``a`` reads back zeros there — use
+      ``alive`` (which can only clear); use
       :class:`physicl_tpu.engine.ElementwiseStep` with ``extras=`` for aux
-      planes). READING ``state.key`` also refuses at plan time (the
-      in-kernel facade has no PRNG key, so key-derived randomness would
-      silently freeze — the probe poisons it);
+      planes;
     * no ``ctx`` PRNG or records (``ctx.next_key``/``ctx.record`` raise a
       structured refusal at plan time — randomness needs
       ``ElementwiseStep``'s ``p.uniform()``, measurement needs
       ``ReduceMeasureStep``), and no ``record_fn``.
 
-    Violating the elementwise claim itself is NOT detectable at trace time
-    — the flag is a contract, exactly like ``ElementwiseStep``'s.
+    The contract is VERIFIED at plan time (ops/pipeline._probe_kernelstep;
+    violations refuse to the generic scan with a structured reason rather
+    than silently computing divergent physics in-kernel):
+
+    * reads of ``state.key``/``state.a``/``state.extras`` trip poisoned
+      stand-ins (the in-kernel facade has no PRNG key, reads zeros for
+      ``a``, and carries no extras);
+    * writes to ``a``/``extras``/``t``/``dt``/``n_spawned`` — ignored
+      in-kernel, applied on the generic path — are detected on the
+      returned state;
+    * the elementwise claim itself is checked behaviorally on a tiny CPU
+      state: a row-permuted input must produce the identically-permuted
+      output, perturbing one particle must not change any other particle's
+      outputs, and tiling the population must not change per-row results
+      (catching gathers, reductions, index- and capacity-dependence).
     """
 
     def __init__(self, fn: Callable[[SimState, StepContext], SimState],

@@ -1014,8 +1014,8 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
 
     Grids up to ``MAX_FUSED_VOXELS`` entries (``MAX_FUSED_VOXELS_TRILINEAR``
     for trilinear) trace into the fused Pallas kernel: the grid rides to
-    VMEM as a lane-replicated table and each lookup is a segmented sublane
-    gather (the TPU analog of the reference keeping its user n(r) inside
+    VMEM as a compact ``(V/128, 128)`` table and each lookup is a segmented
+    LANE gather (the TPU analog of the reference keeping its user n(r) inside
     the OpenCL kernel, physicl/light.py:295-315). Larger grids are marked
     ``pallas_incompatible`` and the planner reports a structured
     ``field-fn-gather`` refusal: the pipeline runs on the generic
@@ -1566,8 +1566,10 @@ def _kn_cos_eta(alpha, triples, dtype):
     two_a = 2.0 * a
     b = one + two_a
 
-    # --- Kahn rejection loop (static unroll; the fused kernel runs the
-    # same per-try math inside a lax.fori_loop, ops/fused._kn_cos_eta_loop)
+    # --- Kahn rejection loop (static unroll; the fused kernel's sampler,
+    # ops/fused._kn_cos_eta_fused, statically unrolls the same per-try math
+    # — the r4b lax.fori_loop experiment measured 25-30% slower end-to-end
+    # and was reverted)
     eta = jnp.ones_like(a)
     cos_t = jnp.ones_like(a)
     accepted = jnp.zeros_like(a, dtype=bool)
@@ -1676,7 +1678,8 @@ def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, kn_sample, u_phi,
     of 4 uniforms (Box-Muller electron draw); ``kn_sample(alpha1) ->
     (cos_t, eta, accepted)`` the Klein-Nishina sampler (the generic path
     closes over drawn triples via :func:`_kn_cos_eta`; the fused kernel
-    passes its loop-form sampler); ``u_phi`` the azimuth draw. Electron velocities are
+    passes its own static-unroll sampler closure,
+    ``ops/fused._kn_cos_eta_fused``); ``u_phi`` the azimuth draw. Electron velocities are
     per-axis Gaussian (non-relativistic Maxwell, sigma^2 = theta_e =
     kT_e / m_e c^2 per axis, |beta| clipped at 0.9) — accurate for
     theta_e <~ 0.05 (kT_e <~ 25 keV: SZ clusters, warm coronae). The

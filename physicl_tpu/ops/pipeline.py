@@ -35,6 +35,7 @@ import dataclasses
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from physicl_tpu.state import OBJ_PHOTON, SimState
@@ -116,17 +117,147 @@ class _KernelCtxTrip:
         raise _KernelCtxUse(name)
 
 
-def _probe_kernelstep(fn, sim):
-    """None if ``fn`` traces under the fused facade contract, else a
-    (reason-slug, detail) pair for the structured refusal. Abstract
-    evaluation only — no FLOPs, no device. ``state.key`` is poisoned to
-    None: the in-kernel facade cannot carry a real PRNG key (the kernel
-    uses the hardware generator), so an fn whose physics DEPENDS on
-    state.key would silently draw constants — any use of it must fail
-    this probe and take the generic path (r4 code-review finding)."""
+class _KernelStateUse(Exception):
+    """A probed fn touched a poisoned state field (``a``/``extras``) whose
+    in-kernel facade diverges from the generic path (r4 ADVICE finding)."""
+
+
+def _trip_raise(self, *a, **k):
+    raise _KernelStateUse(object.__getattribute__(self, "_name"))
+
+
+class _TripLeaf:
+    """Zero-leaf pytree poison for a SimState field the fused facade cannot
+    honor (``a`` reads zeros in-kernel but real values on the generic path):
+    any read — arithmetic, indexing, conversion, attribute — raises
+    :class:`_KernelStateUse` so the probe refuses with a structured reason
+    instead of letting the paths silently diverge."""
+
+    def __init__(self, name):
+        object.__setattr__(self, "_name", name)
+
+    def __getattr__(self, attr):
+        raise _KernelStateUse(object.__getattribute__(self, "_name"))
+
+    def __eq__(self, other):
+        # treedef/aux equality must keep working: JAX compares cached
+        # treedef metadata against arbitrary aux objects, so only numeric/
+        # array comparands (a user fn's `state.a == 0`) trip the poison
+        if isinstance(other, _TripLeaf):
+            return (object.__getattribute__(self, "_name")
+                    == object.__getattribute__(other, "_name"))
+        if isinstance(other, (int, float, complex, np.ndarray, jax.Array)):
+            raise _KernelStateUse(object.__getattribute__(self, "_name"))
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(object.__getattribute__(self, "_name"))
+
+
+for _dunder in ("__add__", "__radd__", "__sub__", "__rsub__", "__mul__",
+                "__rmul__", "__truediv__", "__rtruediv__", "__floordiv__",
+                "__rfloordiv__", "__mod__", "__rmod__", "__pow__",
+                "__rpow__", "__matmul__", "__rmatmul__", "__neg__",
+                "__pos__", "__abs__", "__lt__", "__le__", "__gt__",
+                "__ge__", "__getitem__", "__iter__", "__len__",
+                "__bool__", "__float__", "__int__", "__index__",
+                "__array__", "__and__", "__rand__", "__or__", "__ror__",
+                "__xor__", "__rxor__", "__invert__"):
+    setattr(_TripLeaf, _dunder, _trip_raise)
+del _dunder
+
+jax.tree_util.register_pytree_node(
+    _TripLeaf, lambda x: ((), x), lambda aux, _: aux)
+
+
+class _TripExtras:
+    """Zero-leaf pytree poison for ``state.extras``: the fused facade
+    carries no extras dict, so reads must refuse at plan time (and a
+    replaced extras dict on the returned state — ignored in-kernel,
+    applied on the generic path — is detected by identity)."""
+
+    def __eq__(self, other):
+        return isinstance(other, _TripExtras)
+
+    def __hash__(self):
+        return 0
+
+
+for _m in ("__getitem__", "get", "keys", "values", "items", "__iter__",
+           "__len__", "__contains__", "__bool__"):
+    setattr(_TripExtras, _m, lambda self, *a, **k: (_ for _ in ()).throw(
+        _KernelStateUse("extras")))
+del _m
+
+jax.tree_util.register_pytree_node(
+    _TripExtras, lambda x: ((), x), lambda aux, _: aux)
+
+
+def _poisoned_concrete_state(cap: int, seed: int):
+    """Concrete CPU SimState for the behavioral probes: real random
+    transport planes, poisoned ``a``/``extras``/``key``, exact-f32 t/dt."""
     from physicl_tpu.state import SimState
 
-    template = dataclasses.replace(SimState.zeros(16384), key=None)
+    rng = np.random.default_rng(seed)
+
+    def mk3():
+        return jnp.asarray(rng.standard_normal((3, cap)), jnp.float32)
+
+    return SimState(
+        r=mk3(), dr=mk3(), v=mk3(), dv=mk3(), a=_TripLeaf("a"),
+        E=jnp.asarray(rng.random(cap) + 0.5, jnp.float32),
+        alive=jnp.asarray(rng.random(cap) < 0.8),
+        otype=jnp.zeros((cap,), jnp.int32),
+        w=jnp.asarray(rng.random(cap) + 0.5, jnp.float32),
+        t=jnp.float32(0.8125), dt=jnp.float32(0.0625),
+        key=None, extras=_TripExtras())
+
+
+def _rows_equal(a, b, rows=None):
+    """Bitwise (NaN == NaN) equality of two per-particle outputs, optionally
+    restricted to a row selection along the last axis."""
+    a, b = np.asarray(a), np.asarray(b)
+    if rows is not None:
+        a, b = a[..., rows], b[..., rows]
+    if a.shape != b.shape:
+        return False
+    if a.dtype.kind == "f" and b.dtype.kind == "f":
+        return bool(np.array_equal(a, b, equal_nan=True))
+    return bool(np.array_equal(a, b))
+
+
+_KSTATE_WB = ("r", "dr", "v", "dv", "E", "alive", "w")
+
+
+def _probe_kernelstep(fn, sim):
+    """None if ``fn`` honors the fused facade contract, else a
+    (reason-slug, detail) pair for the structured refusal.
+
+    Phase 1 — abstract (``jax.eval_shape``, no FLOPs): ``state.key`` is
+    poisoned to None (the in-kernel facade has no PRNG key; key-derived
+    randomness would silently freeze — r4 code-review finding), and
+    ``state.a``/``state.extras`` are poisoned with trip objects (``a``
+    reads zeros in-kernel but real values on the generic path; extras are
+    absent in-kernel — r4 ADVICE finding), so any use refuses to the
+    generic scan. Writes to ``a``/``extras``/``t``/``dt``, which the
+    kernel ignores but the generic path applies, are detected by trip-
+    identity / bitwise-equality on the returned state.
+
+    Phase 2 — concrete (tiny CPU evaluation, r4 VERDICT item): the
+    ``elementwise=True`` claim itself is now verified behaviorally —
+    a row-permuted input must produce the identically-permuted output
+    (catches gathers/shifts/index-dependence), perturbing ONE particle
+    must not change any other particle's outputs (catches reductions,
+    which are permutation-invariant), and doubling the capacity must not
+    change per-row results (catches 1/N-style normalizations). A fn that
+    gathers or reduces is caught here at plan time instead of silently
+    computing tile-local physics at 3.8e10 photon-steps/s.
+    """
+    from physicl_tpu.state import SimState
+
+    template = dataclasses.replace(SimState.zeros(16384), key=None,
+                                   a=_TripLeaf("a"), extras=_TripExtras())
+    label = "KernelStep(elementwise=True) fn"
     try:
         out = jax.eval_shape(lambda st: fn(st, _KernelCtxTrip()), template)
     except _KernelCtxUse as e:
@@ -136,23 +267,266 @@ def _probe_kernelstep(fn, sim):
                 "measurement needs ReduceMeasureStep"
                 if want == "record" else
                 "host/sim access is not elementwise")
-        return ("ctx", f"KernelStep(elementwise=True) fn uses ctx.{want}: "
+        return ("ctx", f"{label} uses ctx.{want}: "
                        f"{hint} — the pipeline runs on the generic scan")
+    except _KernelStateUse as e:
+        what = str(e)
+        hint = ("the in-kernel facade reads zeros for state.a while the "
+                "generic path reads real accelerations"
+                if what == "a" else
+                "the in-kernel facade carries no extras planes (use "
+                "ElementwiseStep with extras=)")
+        return ("state", f"{label} uses state.{what}: {hint} — the "
+                         "pipeline runs on the generic scan")
     except Exception as e:
-        return ("trace", "KernelStep(elementwise=True) fn failed abstract "
+        return ("trace", f"{label} failed abstract "
                          f"tracing ({type(e).__name__}: {e}); the pipeline "
                          "runs on the generic scan")
     if not isinstance(out, SimState):
-        return ("return", "KernelStep(elementwise=True) fn must return a "
+        return ("return", f"{label} must return a "
                           f"SimState, got {type(out).__name__}; the "
                           "pipeline runs on the generic scan")
-    for name in ("r", "dr", "v", "dv", "E", "alive", "w"):
+    for name in _KSTATE_WB:
         got, want = getattr(out, name), getattr(template, name)
         if got.shape != want.shape:
-            return ("shape", "KernelStep(elementwise=True) fn changed the "
+            return ("shape", f"{label} changed the "
                              f"shape of state.{name} ({want.shape} -> "
                              f"{got.shape}): not a per-particle map; the "
                              "pipeline runs on the generic scan")
+    if not isinstance(out.a, _TripLeaf):
+        return ("ignored-write", f"{label} writes state.a, which the fused "
+                                 "kernel ignores but the generic path "
+                                 "applies; the pipeline runs on the "
+                                 "generic scan")
+    if not isinstance(out.extras, _TripExtras):
+        return ("ignored-write", f"{label} writes state.extras, which the "
+                                 "fused kernel ignores but the generic "
+                                 "path applies (use ElementwiseStep with "
+                                 "extras_write=); the pipeline runs on "
+                                 "the generic scan")
+
+    # ---- phase 2: concrete behavioral checks on a tiny CPU state ----
+    cap = 256
+    base = _poisoned_concrete_state(cap, seed=1234)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+
+    def run(state):
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return fn(state, _KernelCtxTrip())
+        return fn(state, _KernelCtxTrip())
+
+    try:
+        out0 = run(base)
+
+        # scalar clock/census writes are ignored in-kernel
+        for nm in ("t", "dt", "n_spawned", "t_comp"):
+            if not _rows_equal(getattr(out0, nm), getattr(base, nm)):
+                return ("ignored-write",
+                        f"{label} changes state.{nm}, which the fused "
+                        "kernel ignores but the generic path applies; "
+                        "the pipeline runs on the generic scan")
+
+        rng = np.random.default_rng(99)
+        perm = rng.permutation(cap)
+
+        def permute(state, p):
+            return state.replace(
+                r=state.r[:, p], dr=state.dr[:, p], v=state.v[:, p],
+                dv=state.dv[:, p], E=state.E[p], alive=state.alive[p],
+                otype=state.otype[p], w=state.w[p])
+
+        out_p = run(permute(base, perm))
+        for nm in _KSTATE_WB:
+            got0, gotp = getattr(out0, nm), getattr(out_p, nm)
+            if not _rows_equal(np.asarray(got0)[..., perm], gotp):
+                return ("not-elementwise",
+                        f"{label} is not a per-particle map: permuting the "
+                        f"particle rows did not permute state.{nm} "
+                        "identically (cross-particle gather/shift or "
+                        "index-dependent physics) — inside the fused "
+                        "kernel it would see one VMEM tile and silently "
+                        "compute tile-local physics; the pipeline runs on "
+                        "the generic scan")
+
+        j = cap // 3
+        bumped = base.replace(
+            r=base.r.at[:, j].add(0.25), v=base.v.at[:, j].add(0.125),
+            E=base.E.at[j].multiply(1.5), w=base.w.at[j].multiply(1.25))
+        out_j = run(bumped)
+        others = np.arange(cap) != j
+        for nm in _KSTATE_WB:
+            if not _rows_equal(getattr(out0, nm), getattr(out_j, nm),
+                               rows=others):
+                return ("not-elementwise",
+                        f"{label} is not a per-particle map: perturbing "
+                        f"one particle changed other particles' state.{nm} "
+                        "(a cross-particle reduction) — inside the fused "
+                        "kernel the reduction would silently be "
+                        "tile-local; the pipeline runs on the generic "
+                        "scan")
+
+        doubled = base.replace(
+            r=jnp.tile(base.r, (1, 2)), dr=jnp.tile(base.dr, (1, 2)),
+            v=jnp.tile(base.v, (1, 2)), dv=jnp.tile(base.dv, (1, 2)),
+            E=jnp.tile(base.E, 2), alive=jnp.tile(base.alive, 2),
+            otype=jnp.tile(base.otype, 2), w=jnp.tile(base.w, 2))
+        out_2 = run(doubled)
+        for nm in _KSTATE_WB:
+            if not _rows_equal(np.asarray(getattr(out_2, nm))[..., :cap],
+                               getattr(out0, nm)):
+                return ("not-elementwise",
+                        f"{label} depends on the population capacity: "
+                        f"state.{nm} changed per-row when the state was "
+                        "tiled to twice the rows — inside the fused kernel "
+                        "the 'capacity' is one VMEM tile; the pipeline "
+                        "runs on the generic scan")
+    except _KernelCtxUse as e:
+        return ("ctx", f"{label} uses ctx.{e} — the pipeline runs on the "
+                       "generic scan")
+    except _KernelStateUse as e:
+        return ("state", f"{label} uses state.{e}, which the in-kernel "
+                         "facade cannot honor; the pipeline runs on the "
+                         "generic scan")
+    except Exception as e:
+        return ("concrete", f"{label} failed the concrete plan-time probe "
+                            f"({type(e).__name__}: {e}); the pipeline "
+                            "runs on the generic scan")
+    return None
+
+
+def _probe_particle_fn(fn, ve, who):
+    """Behavioral elementwise check for ParticleView-based user fns
+    (:class:`~physicl_tpu.engine.ElementwiseStep` physics and
+    :class:`~physicl_tpu.engine.ReduceMeasureStep` per-particle
+    contributions). Same plan-time contract verification as
+    :func:`_probe_kernelstep` phase 2: a row-permuted view must produce
+    identically-permuted updates, perturbing one particle must not change
+    other particles' updates, and tiling the population must not change
+    per-row results. ``p.uniform()`` draws a constant plane (0.4375) so
+    randomness is probe-transparent. None = honors the contract; else a
+    (reason-slug, detail) pair.
+    """
+    from physicl_tpu.engine import ParticleView
+
+    cap = 256
+    rng = np.random.default_rng(4321)
+
+    def build(sel=None, bump_row=None, tile=False):
+        n = cap * 2 if tile else cap
+
+        def plane(raw):
+            arr = np.asarray(raw, np.float32)
+            if tile:
+                arr = np.tile(arr, 2)
+            elif sel is not None:
+                arr = arr[sel]
+            return jnp.asarray(arr)
+
+        raw_fields = {}
+        rng2 = np.random.default_rng(4321)  # same draws every build
+        for name in ParticleView._FIELDS:
+            if name == "alive":
+                raw_fields[name] = rng2.random(cap) < 0.8
+            else:
+                raw_fields[name] = np.asarray(
+                    rng2.standard_normal(cap) + 1.5, np.float32)
+        if bump_row is not None:
+            for name in ("rx", "vx", "E", "w"):
+                raw_fields[name] = raw_fields[name].copy()
+                raw_fields[name][bump_row] *= 1.5
+                raw_fields[name][bump_row] += 0.25
+        fields = {k: (jnp.asarray(np.tile(v, 2) if tile else
+                                  (v[sel] if sel is not None else v)))
+                  if k == "alive" else plane(v)
+                  for k, v in raw_fields.items()}
+        ex = {}
+        for nm, _p0, rows in ve:
+            comps = []
+            for i in range(rows):
+                raw = np.asarray(rng2.random(cap) + 0.25, np.float32)
+                if bump_row is not None and i == 0:
+                    raw = raw.copy()
+                    raw[bump_row] *= 1.5
+                comps.append(plane(raw))
+            ex[nm] = comps[0] if rows == 1 else tuple(comps)
+        uniform = lambda: jnp.full((n,), 0.4375, jnp.float32)  # noqa: E731
+        return ParticleView(fields, jnp.float32(0.8125),
+                            jnp.float32(0.0625), uniform, extras=ex)
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+
+    def run(view):
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return fn(view)
+        return fn(view)
+
+    def flat(upd):
+        out = {}
+        for k, v in upd.items():
+            if isinstance(v, tuple):
+                for i, c in enumerate(v):
+                    out[f"{k}:{i}"] = c
+            else:
+                out[k] = v
+        return out
+
+    try:
+        upd0 = flat(run(build()))
+        perm = rng.permutation(cap)
+        upd_p = flat(run(build(sel=perm)))
+        for k in upd0:
+            if np.ndim(upd0[k]) == 0:
+                continue  # scalar updates broadcast; nothing to permute
+            if not _rows_equal(np.asarray(upd0[k])[..., perm], upd_p[k]):
+                return ("not-elementwise",
+                        f"{who} fn is not a per-particle map: permuting "
+                        f"the particle rows did not permute update "
+                        f"{k!r} identically (cross-particle gather/shift "
+                        "or index-dependent physics) — inside the fused "
+                        "kernel it would silently compute tile-local "
+                        "physics; the pipeline runs on the generic scan")
+        j = cap // 3
+        upd_j = flat(run(build(bump_row=j)))
+        others = np.arange(cap) != j
+        for k in upd0:
+            if np.ndim(upd0[k]) == 0:
+                if not _rows_equal(upd0[k], upd_j[k]):
+                    return ("not-elementwise",
+                            f"{who} fn update {k!r} is a scalar that "
+                            "depends on other particles (a cross-particle "
+                            "reduction); the pipeline runs on the "
+                            "generic scan")
+                continue
+            if not _rows_equal(upd0[k], upd_j[k], rows=others):
+                return ("not-elementwise",
+                        f"{who} fn is not a per-particle map: perturbing "
+                        f"one particle changed other particles' update "
+                        f"{k!r} (a cross-particle reduction) — inside the "
+                        "fused kernel the reduction would silently be "
+                        "tile-local; the pipeline runs on the generic "
+                        "scan")
+        upd_2 = flat(run(build(tile=True)))
+        for k in upd0:
+            if np.ndim(upd0[k]) == 0:
+                continue
+            if not _rows_equal(np.asarray(upd_2[k])[..., :cap], upd0[k]):
+                return ("not-elementwise",
+                        f"{who} fn depends on the population capacity: "
+                        f"update {k!r} changed per-row when the view was "
+                        "tiled to twice the rows; the pipeline runs on "
+                        "the generic scan")
+    except Exception as e:
+        return ("probe-error", f"{who} fn failed the concrete plan-time "
+                               f"probe ({type(e).__name__}: {e}); the "
+                               "pipeline runs on the generic scan")
     return None
 
 
@@ -1147,6 +1521,9 @@ def try_build_fused(sim, steps, state: SimState,
                            f"but no pending population carries a '{ve}' "
                            "plane; the generic path raises the "
                            "instructive error")
+            why = _probe_particle_fn(s.fn, ve, "ElementwiseStep")
+            if why is not None:
+                return _no(f"elementwise-{why[0]}", why[1])
             for nm in getattr(s, "extras_write", ()):
                 user_wb.append(nm)
             ops.append(F._Op("custom", custom_fn=s.fn,
@@ -1170,6 +1547,9 @@ def try_build_fused(sim, steps, state: SimState,
                            f"but no pending population carries a '{ve}' "
                            "plane; the generic path raises the "
                            "instructive error")
+            why = _probe_particle_fn(s.fn, ve, "ReduceMeasureStep")
+            if why is not None:
+                return _no(f"reduce-{why[0]}", why[1])
             n_col = next_col if s.measure_n else -1
             next_col += 1 if s.measure_n else 0
             f0 = next_fcol

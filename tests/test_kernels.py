@@ -204,6 +204,88 @@ def test_elementwise_kernelstep_shape_change_refuses():
                for code, _ in s.plan_report.refusals)
 
 
+def _refused_kernelstep(fn, code, N=1024):
+    """Build the drag sim with ``fn``, assert the plan-time probe refuses
+    with ``code`` and the pipeline runs (correctly) on the generic scan."""
+    s = _drag_sim(N, "auto", elementwise=True, fn=fn, seed=7)
+    with pytest.warns(RuntimeWarning, match=code):
+        s.start(); s.join()
+    assert not s.used_fused
+    assert any(c == code for c, _ in s.plan_report.refusals), \
+        s.plan_report.refusals
+    return s
+
+
+def test_kernelstep_gather_caught_at_setup():
+    """r4 VERDICT item: a cross-particle gather under elementwise=True is
+    caught by the plan-time permutation probe instead of silently computing
+    tile-local physics inside the fused kernel."""
+    import jax.numpy as jnp
+
+    def gathers(state, ctx):
+        return state.replace(E=jnp.roll(state.E, 1))
+
+    s = _refused_kernelstep(gathers, "kernelstep-not-elementwise")
+    # the generic path executed the (legal there) roll physics
+    assert float(np.asarray(s.sim_state.E)[:1024].sum()) > 0
+
+
+def test_kernelstep_reduction_caught_at_setup():
+    """A permutation-INVARIANT reduction (mean subtraction) passes any
+    permutation test; the single-particle perturbation probe catches it."""
+    import jax.numpy as jnp
+
+    def reduces(state, ctx):
+        return state.replace(E=state.E - 0.01 * jnp.mean(state.E))
+
+    _refused_kernelstep(reduces, "kernelstep-not-elementwise")
+
+
+def test_kernelstep_capacity_dependence_caught_at_setup():
+    """1/N-style normalization diverges in-kernel (N would be one tile):
+    the capacity-doubling probe refuses it."""
+    def normed(state, ctx):
+        return state.replace(w=state.w * (1.0 - 1.0 / state.capacity))
+
+    _refused_kernelstep(normed, "kernelstep-not-elementwise")
+
+
+def test_kernelstep_reads_a_refused():
+    """state.a reads zeros in-kernel but real accelerations on the generic
+    path (r4 ADVICE finding): the poisoned probe refuses the fuse."""
+    def uses_a(state, ctx):
+        return state.replace(v=state.v + state.a * state.dt)
+
+    _refused_kernelstep(uses_a, "kernelstep-state")
+
+
+def test_kernelstep_writes_extras_refused():
+    """extras writes are ignored in-kernel but applied on the generic path
+    (r4 ADVICE finding): detected by trip identity on the returned state."""
+    def writes_extras(state, ctx):
+        return state.replace(extras={"dose": state.E})
+
+    s = _drag_sim(1024, "auto", elementwise=True, fn=writes_extras, seed=7)
+    with pytest.warns(RuntimeWarning, match="kernelstep-ignored-write"):
+        s.start()
+        # the generic scan also rejects the carry-structure change; the
+        # point of this test is the STRUCTURED refusal, not generic rescue
+        with pytest.raises(TypeError):
+            s.join()
+    assert not s.used_fused
+    assert any(c == "kernelstep-ignored-write"
+               for c, _ in s.plan_report.refusals)
+
+
+def test_kernelstep_writes_clock_refused():
+    """t/dt writes are ignored in-kernel (the host owns the schedule) but
+    applied on the generic path: the concrete probe refuses them."""
+    def writes_t(state, ctx):
+        return state.replace(t=state.t + state.dt)
+
+    _refused_kernelstep(writes_t, "kernelstep-ignored-write")
+
+
 def test_elementwise_kernelstep_alive_only_clears():
     """alive from the fn is AND-ed with the mask on both paths (a fused
     kernel resurrect would corrupt the emit/recycle slot accounting)."""

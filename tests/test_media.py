@@ -177,8 +177,8 @@ def test_voxel_density_fused_vs_generic_gradient_parity():
 
 
 def test_vox_kernel_field_matches_direct_lookup():
-    """The in-kernel voxel field (segmented sublane gather over the
-    lane-replicated table, ops/fused.py) computes EXACTLY the same values
+    """The in-kernel voxel field (segmented LANE gather over the
+    compact (V/128, 128) table, ops/fused.py) computes EXACTLY the same values
     as voxel_density's direct XLA gather — both interps, positions inside,
     outside and on clip edges, with multi-segment tables (V > tile_rows)."""
     from physicl_tpu.ops import fused as F
