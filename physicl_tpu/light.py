@@ -998,10 +998,18 @@ def layered_density(edges, values, axis: str = "x",
 #: Trilinear needs 8 corner lookups per eval, hence the lower cap.
 MAX_FUSED_VOXELS = 8192
 MAX_FUSED_VOXELS_TRILINEAR = 4096
+# codebook tables (grids with <= 256 distinct values, or quantize=) pack
+# 4-16 voxel codes per int32 lane, so the in-kernel walk touches 4-16x
+# fewer table rows: real CT phantoms fuse at 64^3 nearest / 40^3
+# trilinear. The caps keep the statically-unrolled gather count inside
+# the Mosaic compile envelope (~2048 static gather bodies hang, r5 probe)
+MAX_FUSED_VOXELS_CODEBOOK = 524288            # 64^3 = 514 walked rows
+MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK = 65536   # 40^3: 8 corners x 130 rows
 
 
 def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
-                  interp: str = "nearest", outside: float = 0.0):
+                  interp: str = "nearest", outside: float = 0.0,
+                  quantize: int | None = None):
     """3-D gridded medium (CT phantom / simulation snapshot) as a
     ``variable_n_fn`` callable: ``grid[ix, iy, iz]`` is the density at
     ``origin + (ix, iy, iz) * spacing``.
@@ -1012,16 +1020,32 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
     voxel-center hull; exact for fields linear in position). Positions
     outside the coverage read ``outside`` (default vacuum).
 
-    Grids up to ``MAX_FUSED_VOXELS`` entries (``MAX_FUSED_VOXELS_TRILINEAR``
-    for trilinear) trace into the fused Pallas kernel: the grid rides to
-    VMEM as a compact ``(V/128, 128)`` table and each lookup is a segmented
-    LANE gather (the TPU analog of the reference keeping its user n(r) inside
-    the OpenCL kernel, physicl/light.py:295-315). Larger grids are marked
-    ``pallas_incompatible`` and the planner reports a structured
-    ``field-fn-gather`` refusal: the pipeline runs on the generic
-    jitted-scan path (XLA lowers arbitrary gathers natively there). For
-    huge 3-D data consider :func:`layered_density` along the dominant
-    axis, or coarsen the grid under the cap.
+    Fused-kernel tiers (the TPU analog of the reference keeping its user
+    n(r) inside the OpenCL kernel, physicl/light.py:295-315):
+
+    * grids with <= 256 DISTINCT values — segmented material phantoms,
+      which is what real CT workloads are — ride to VMEM as a packed
+      CODEBOOK table (2/4/8-bit codes, 16/8/4 per int32 lane, plus the
+      exact f32 codebook): each lookup walks 4-16x fewer table rows than
+      the f32 layout, so grids up to ``MAX_FUSED_VOXELS_CODEBOOK``
+      (64^3; trilinear ``MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK``, 40^3)
+      stay in-kernel. Values are EXACT (codes index the true f32
+      values), so fused-vs-generic parity is bitwise.
+    * continuous grids up to ``MAX_FUSED_VOXELS`` entries
+      (``MAX_FUSED_VOXELS_TRILINEAR`` for trilinear) ride as a compact
+      f32 ``(V/128, 128)`` table; each lookup is a segmented LANE
+      gather walk.
+    * continuous grids past the cap: pass ``quantize=K`` (2-256) to
+      snap the grid to K quantile-balanced levels — applied to BOTH
+      the fused and generic paths (declared semantics, exact parity;
+      the max absolute snap error is reported on the returned
+      callable as ``fn.quantize_err``) — which makes them codebook
+      grids. Without ``quantize=`` they are marked
+      ``pallas_incompatible`` and the planner reports a structured
+      ``field-fn-gather`` refusal: the pipeline runs on the generic
+      jitted-scan path (XLA lowers arbitrary gathers natively there).
+      For huge 3-D data consider :func:`layered_density` along the
+      dominant axis, or coarsen the grid under the cap.
     """
     grid = jnp.asarray(raw_code_value(grid), jnp.float32)
     if grid.ndim != 3:
@@ -1036,6 +1060,30 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
         raise ValueError("spacing must be positive")
     nx, ny, nz = grid.shape
     outside = float(raw_code_value(outside))
+
+    flat_np = np.asarray(grid, np.float32).reshape(-1)
+    quantize_err = 0.0
+    if quantize is not None:
+        q = int(raw_code_value(quantize))
+        if not 2 <= q <= 256:
+            raise ValueError(f"quantize must be in [2, 256], got {q}")
+        if np.unique(flat_np).size > q:
+            # quantile-balanced bins (equal voxel mass per level), each
+            # represented by its bin mean; empty/duplicate bins collapse
+            edges = np.unique(np.quantile(
+                flat_np, np.linspace(0.0, 1.0, q + 1)[1:-1]))
+            bins = np.searchsorted(edges, flat_np, side="right")
+            sums = np.bincount(bins, weights=flat_np.astype(np.float64),
+                               minlength=edges.size + 1)
+            cnts = np.bincount(bins, minlength=edges.size + 1)
+            reps = (sums / np.maximum(cnts, 1)).astype(np.float32)
+            snapped = reps[bins]
+            quantize_err = float(np.abs(snapped - flat_np).max())
+            flat_np = snapped
+            # the generic path MUST see the same snapped values: the
+            # quantization is declared semantics, not a fused-only
+            # approximation — fused-vs-generic parity stays exact
+            grid = jnp.asarray(flat_np.reshape(nx, ny, nz))
 
     def fn(r0, r1, r2):
         dtype = r0.dtype
@@ -1072,21 +1120,40 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
 
     cap = (MAX_FUSED_VOXELS if interp == "nearest"
            else MAX_FUSED_VOXELS_TRILINEAR)
-    if grid.size <= cap:
-        # static metadata the fused kernel builder (ops/fused.py) turns
-        # into a VMEM table input + in-kernel segmented-gather field
-        fn.vox_spec = {
-            "flat": np.asarray(grid, np.float32).reshape(-1),
-            "shape": (int(nx), int(ny), int(nz)),
-            "origin": (float(origin[0]), float(origin[1]),
-                       float(origin[2])),
-            "spacing": (float(spacing[0]), float(spacing[1]),
-                        float(spacing[2])),
-            "outside": outside,
-            "interp": interp,
-        }
+    cbcap = (MAX_FUSED_VOXELS_CODEBOOK if interp == "nearest"
+             else MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK)
+    # static metadata the fused kernel builder (ops/fused.py) turns into
+    # a VMEM table input + in-kernel segmented-gather field
+    base_spec = {
+        "flat": flat_np,
+        "shape": (int(nx), int(ny), int(nz)),
+        "origin": (float(origin[0]), float(origin[1]), float(origin[2])),
+        "spacing": (float(spacing[0]), float(spacing[1]),
+                    float(spacing[2])),
+        "outside": outside,
+        "interp": interp,
+    }
+    vals, codes = np.unique(flat_np, return_inverse=True)
+    cb_spec = None
+    if vals.size <= 256 and flat_np.size <= cbcap:
+        bits = 2 if vals.size <= 4 else (4 if vals.size <= 16 else 8)
+        per = 32 // bits
+        cb_rows = (-(-flat_np.size // (per * 128))
+                   + -(-max(int(vals.size), 1) // 128))
+        cb_spec = dict(base_spec, kind="codebook", bits=bits,
+                       codes=codes.astype(np.uint8).reshape(-1),
+                       codebook=vals.astype(np.float32))
+    f32_rows = -(-flat_np.size // 128)
+    if cb_spec is not None and (flat_np.size > cap
+                                or cb_rows + 1 < f32_rows):
+        fn.vox_spec = cb_spec           # fewer walked rows, exact values
+    elif flat_np.size <= cap:
+        fn.vox_spec = dict(base_spec, kind="f32")
     else:
-        fn.pallas_incompatible = True
+        fn.pallas_incompatible = True   # > 256 distinct values past the
+        # f32 cap: quantize=K (2-256) opts into a codebook snap; the
+        # planner's field-fn-gather refusal names this escape hatch
+    fn.quantize_err = quantize_err
     return fn
 
 

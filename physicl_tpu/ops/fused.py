@@ -313,8 +313,19 @@ def _vox_specs_of(plan: FusedPlan):
     return slots, specs
 
 
-def _vmem_table_lookup(tab_ref, flat, tile_rows):
-    """``table[flat]`` for a per-photon (tile_rows, 128) int32 index plane.
+# independent interleaved select chains in the segmented table walk: the
+# serial chain (gather_s -> select_s -> gather_{s+1}) runs at gather
+# LATENCY; W disjoint-mask chains combined bitwise at the end run at
+# gather THROUGHPUT (bit-exact: each index matches exactly one segment,
+# so OR of int32-accumulated chains preserves -0.0 and NaN payloads)
+_WALK_ILP = 4
+
+
+def _vmem_table_lookup(tab_ref, flat, tile_rows, s_lo=0, n_seg=None):
+    """``table[flat]`` for a per-photon (tile_rows, 128) int32 index plane,
+    walking table rows ``[s_lo, s_lo + n_seg)``. Returns the raw int32
+    words (callers bitcast f32 tables back with
+    ``lax.bitcast_convert_type``; bit-exact either way).
 
     Mosaic lowers exactly one gather form — same-shape 2-D
     ``take_along_axis`` (``tpu.dynamic_gather``) — and on hardware its
@@ -324,27 +335,111 @@ def _vmem_table_lookup(tab_ref, flat, tile_rows):
     VMEM compactly as ``(ceil(V/128), 128)`` (entry v at ``[v // 128,
     v % 128]``) and the lookup walks it in 128-entry segments: one
     sublane-broadcast of the segment row + one LANE gather + one select
-    per segment. ``flat`` must already be clipped to ``[0, V)``."""
-    out = jnp.zeros(flat.shape, jnp.float32)
-    seg_of = flat >> jnp.int32(7)          # // 128
-    loc = flat & jnp.int32(127)            # % 128
-    for s in range(tab_ref.shape[0]):
-        seg = jnp.broadcast_to(tab_ref[s:s + 1, :], flat.shape)
+    per segment, interleaved over ``_WALK_ILP`` independent chains so
+    consecutive gathers have no data dependency. ``flat`` must already
+    be clipped to ``[0, 128 * n_seg)``."""
+    if n_seg is None:
+        n_seg = tab_ref.shape[0] - s_lo
+    seg_of = (flat >> jnp.int32(7)) + jnp.int32(s_lo)   # // 128
+    loc = flat & jnp.int32(127)                         # % 128
+    w = max(1, min(_WALK_ILP, n_seg))
+    accs = [jnp.zeros(flat.shape, jnp.int32) for _ in range(w)]
+    for k, s in enumerate(range(s_lo, s_lo + n_seg)):
+        row = tab_ref[s:s + 1, :]
+        if row.dtype != jnp.int32:
+            row = jax.lax.bitcast_convert_type(row, jnp.int32)
+        seg = jnp.broadcast_to(row, flat.shape)
         got = jnp.take_along_axis(seg, loc, axis=1)
-        out = jnp.where(seg_of == jnp.int32(s), got, out)
+        accs[k % w] = jnp.where(seg_of == jnp.int32(s), got, accs[k % w])
+    out = accs[0]
+    for acc in accs[1:]:
+        out = out | acc
     return out
+
+
+def _codebook_geometry(spec: dict):
+    """(bits, codes_per_lane, code_rows, codebook_rows) of a packed
+    codebook table — the single source for the builder (_vox_table_of),
+    the in-kernel binder (_bind_vox_field) and the unroll gate."""
+    bits = int(spec["bits"])
+    per = 32 // bits
+    n = int(np.asarray(spec["codes"]).size)
+    s_codes = -(-n // (per * _LANE))
+    s_cb = -(-int(np.asarray(spec["codebook"]).size) // _LANE)
+    return bits, per, s_codes, s_cb
+
+
+def _vox_table_of(spec: dict):
+    """The VMEM table of a voxel spec. ``kind == "f32"``: the flat grid
+    padded to whole 128-lane rows. ``kind == "codebook"``: packed code
+    rows (codes_per_lane codes per int32 word, low bits first) followed
+    by the f32 codebook bitcast to int32 — one table input per spec, so
+    the kernel plumbing is kind-agnostic."""
+    if spec.get("kind", "f32") == "codebook":
+        bits, per, s_codes, s_cb = _codebook_geometry(spec)
+        codes = np.zeros(s_codes * per * _LANE, np.uint32)
+        raw = np.asarray(spec["codes"], np.uint32).reshape(-1)
+        codes[:raw.size] = raw
+        lanes = codes.reshape(-1, per)
+        words = np.zeros(lanes.shape[0], np.uint32)
+        for j in range(per):
+            words |= lanes[:, j] << np.uint32(bits * j)
+        cb = np.zeros(s_cb * _LANE, np.float32)
+        cbraw = np.asarray(spec["codebook"], np.float32).reshape(-1)
+        cb[:cbraw.size] = cbraw
+        return jnp.asarray(np.concatenate([
+            words.view(np.int32).reshape(s_codes, _LANE),
+            cb.view(np.int32).reshape(s_cb, _LANE)]))
+    flat = np.asarray(spec["flat"], np.float32).reshape(-1)
+    vpad = -(-flat.size // _LANE) * _LANE
+    padded = np.zeros(vpad, np.float32)
+    padded[:flat.size] = flat
+    return jnp.asarray(padded.reshape(vpad // _LANE, _LANE))
+
+
+def _vox_walk_segments(spec: dict) -> int:
+    """Table rows walked per field evaluation (the compile-size and
+    runtime cost unit; trilinear evaluates 8 corners)."""
+    if spec.get("kind", "f32") == "codebook":
+        _, _, s_codes, s_cb = _codebook_geometry(spec)
+        segs = s_codes + s_cb
+    else:
+        segs = -(-int(np.asarray(spec["flat"]).size) // _LANE)
+    return segs * (8 if spec["interp"] == "trilinear" else 1)
 
 
 def _bind_vox_field(spec: dict, tab_ref, tile_rows):
     """The in-kernel twin of ``light.voxel_density``'s callable: same
     index/weight arithmetic in the same order (bitwise parity with the
     generic path's direct XLA gather), with the lookup itself routed
-    through :func:`_vmem_table_lookup`."""
+    through :func:`_vmem_table_lookup`. Codebook tables (light.py picks
+    them whenever the grid has <= 256 distinct values, or the user opts
+    into ``quantize=``) look up the packed code word, extract the
+    2/4/8-bit code, then dequantize through the (<= 2-row) codebook —
+    exact f32 grid values, 4-16x fewer walked rows."""
     nx, ny, nz = spec["shape"]
     ox, oy, oz = spec["origin"]
     sx, sy, sz = spec["spacing"]
     outside = jnp.float32(spec["outside"])
     trilinear = spec["interp"] == "trilinear"
+
+    if spec.get("kind", "f32") == "codebook":
+        bits, per, s_codes, s_cb = _codebook_geometry(spec)
+        log2per = per.bit_length() - 1
+        code_mask = jnp.int32((1 << bits) - 1)
+
+        def lookup(flat):
+            word = _vmem_table_lookup(tab_ref, flat >> jnp.int32(log2per),
+                                      tile_rows, 0, s_codes)
+            code = (word >> ((flat & jnp.int32(per - 1))
+                             * jnp.int32(bits))) & code_mask
+            got = _vmem_table_lookup(tab_ref, code, tile_rows,
+                                     s_codes, s_cb)
+            return jax.lax.bitcast_convert_type(got, jnp.float32)
+    else:
+        def lookup(flat):
+            return jax.lax.bitcast_convert_type(
+                _vmem_table_lookup(tab_ref, flat, tile_rows), jnp.float32)
 
     def fn(r0, r1, r2):
         fx = (r0 - jnp.float32(ox)) / jnp.float32(sx)
@@ -358,7 +453,7 @@ def _bind_vox_field(spec: dict, tab_ref, tile_rows):
             iy = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, ny - 1)
             iz = jnp.clip(jnp.round(fz).astype(jnp.int32), 0, nz - 1)
             flat = (ix * jnp.int32(ny) + iy) * jnp.int32(nz) + iz
-            val = _vmem_table_lookup(tab_ref, flat, tile_rows)
+            val = lookup(flat)
             return jnp.where(inside, val, outside)
         inside = ((fx >= 0) & (fx <= nx - 1) & (fy >= 0) & (fy <= ny - 1)
                   & (fz >= 0) & (fz <= nz - 1))
@@ -377,7 +472,7 @@ def _bind_vox_field(spec: dict, tab_ref, tile_rows):
                     wz = (1.0 - tz) if dz_ == 0 else tz
                     flat = ((x0 + dx_) * jnp.int32(ny) + (y0 + dy_)) \
                         * jnp.int32(nz) + (z0 + dz_)
-                    corner = _vmem_table_lookup(tab_ref, flat, tile_rows)
+                    corner = lookup(flat)
                     val = val + wx * wy * wz * corner
         return jnp.where(inside, val, outside)
 
@@ -1794,12 +1889,17 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 16))
     vox_slots, vox_specs = _vox_specs_of(plan)
     if vox_specs:
-        # voxel-media lookups unroll one lane-gather+select per 128 table
-        # entries per unrolled iteration: the live segment temporaries
+        # voxel-media lookups unroll one lane-gather+select per walked
+        # table row per unrolled iteration: the live segment temporaries
         # stack like the rotation-frame ops'. U=8 compiles (r4e matrix)
         # but measured FLAT vs 4 (6.80 vs 6.85e9) — keep the smaller
-        # stack so voxel composes with other heavy ops
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
+        # stack so voxel composes with other heavy ops. Big codebook
+        # tables (64^3 CT grids = 514 rows) additionally clamp U so the
+        # TOTAL statically-unrolled gather count stays near the r5 probe
+        # envelope (~2048 static gather bodies hang the Mosaic compile)
+        total_segs = sum(_vox_walk_segments(s) for s in vox_specs)
+        plan = dataclasses.replace(plan, unroll=min(
+            plan.unroll, 4, max(1, 1024 // max(total_segs, 1))))
     if any(op.kind == "del" and op.fluor for op in plan.ops):
         # the fluorescence branch adds ~10 live (tile, 128) temporaries
         # (yield/angle draws + the redirect) on top of the plain kill
@@ -1857,16 +1957,10 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    # voxel-media tables: flat grid, padded to whole 128-entry gather
-    # segments, stored compactly as (segments, 128) — entry v at
-    # [v // 128, v % 128], the lane-gather layout of _vmem_table_lookup
-    tables = []
-    for spec in vox_specs:
-        flat = np.asarray(spec["flat"], np.float32).reshape(-1)
-        vpad = -(-flat.size // _LANE) * _LANE
-        padded = np.zeros(vpad, np.float32)
-        padded[:flat.size] = flat
-        tables.append(jnp.asarray(padded.reshape(vpad // _LANE, _LANE)))
+    # voxel-media tables in the lane-gather layout of _vmem_table_lookup:
+    # f32 grids as (ceil(V/128), 128) with entry v at [v // 128, v % 128];
+    # codebook grids as packed code words + the bitcast codebook rows
+    tables = [_vox_table_of(spec) for spec in vox_specs]
 
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),

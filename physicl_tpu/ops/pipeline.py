@@ -1162,10 +1162,13 @@ def try_build_fused(sim, steps, state: SimState,
                            f"{'density' if attr == '_n_fn' else 'cross-'}"
                            f"{'' if attr == '_n_fn' else 'section'} field "
                            "callable declares pallas_incompatible (voxel "
-                           "grid beyond the fusable in-VMEM table budget, "
+                           "grid beyond the fusable in-VMEM table budget: "
+                           "> 256 distinct values past "
                            "light.MAX_FUSED_VOXELS); the pipeline runs on "
-                           "the generic scan — coarsen the grid or use "
-                           "light.layered_density for a fusable medium")
+                           "the generic scan — voxel_density(quantize=K) "
+                           "snaps continuous grids to a fusable codebook "
+                           "(declared on both paths), or coarsen the "
+                           "grid / use light.layered_density")
         if isinstance(s, photon_only):
             if species not in (OBJ_PHOTON, F.SPECIES_MIXED):
                 # unreachable for PhotonEmitterStep (promoted to a mixed

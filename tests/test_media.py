@@ -96,13 +96,20 @@ def test_voxel_density_nearest_and_trilinear():
 
 
 def test_voxel_density_oversize_grid_refuses_fused_with_reason():
-    """A voxel grid past light.MAX_FUSED_VOXELS forces the generic scan
-    via the structured field-fn-gather refusal, and a CONSTANT grid
-    reproduces the exact constant-density implicit-capture decay."""
+    """A CONTINUOUS voxel grid (> 256 distinct values, no quantize=) past
+    light.MAX_FUSED_VOXELS forces the generic scan via the structured
+    field-fn-gather refusal; near-constant values keep the exact
+    implicit-capture decay law checkable."""
     c_dt = float(light.c) * 0.001
     A = 0.2 / c_dt
-    grid = np.full((32, 32, 16), 1.0, np.float32)   # 16384 > 8192 cap
+    # > 256 distinct values (no codebook tier), but constant 1.0 in the
+    # region the photons can reach (they start at the origin and move
+    # < one 9*c_dt voxel in 5 steps), so the decay law stays exact
+    grid = np.full((32, 32, 16), 1.0, np.float32)
+    grid[8:] = (1.0 + (np.arange(24 * 32 * 16) % 512 + 1)
+                * np.float32(1e-5)).reshape(24, 32, 16).astype(np.float32)
     assert grid.size > light.MAX_FUSED_VOXELS
+    assert np.unique(grid).size > 256
     nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=9 * c_dt)
     s = phys.Simulation(until_t=0.005 * 0.9999, seed=0)
     s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
@@ -191,12 +198,9 @@ def test_vox_kernel_field_matches_direct_lookup():
                                  spacing=(0.3, 0.7, 0.11),
                                  interp=interp, outside=-2.5)
         spec = fn.vox_spec
+        assert spec["kind"] == "f32"    # continuous values: no codebook
         tile_rows = 256
-        flat = spec["flat"]
-        vpad = -(-flat.size // 128) * 128
-        padded = np.zeros(vpad, np.float32)
-        padded[:flat.size] = flat
-        tab = jnp.asarray(padded.reshape(vpad // 128, 128))
+        tab = F._vox_table_of(spec)
         kfn = F._bind_vox_field(spec, tab, tile_rows)
         # positions spanning coverage + outside + edges, as (256, 128) tiles
         lo = np.array([-1, 0.5, 2.0]) - 2
@@ -239,3 +243,210 @@ def test_voxel_density_fused_on_sharded_mesh():
             jax.device_get(s.sim_state.w), np.float64)[:512]
     np.testing.assert_array_equal(ws["mesh"], ws["single"])
     assert not np.allclose(ws["mesh"], 1.0)  # the medium acted
+
+
+def test_voxel_codebook_tier_selection():
+    """light.voxel_density picks the packed-codebook table whenever the
+    grid has <= 256 distinct values and fewer walked rows result; past
+    the f32 cap the codebook is the ONLY fused tier (r4 VERDICT item 1:
+    real CT grids must not fall off a 74x cliff), and continuous
+    oversize grids refuse unless quantize= is given."""
+    # tiny constant grid: 1 f32 row beats 1 code row + 1 codebook row
+    fn = light.voxel_density(np.full((4, 4, 4), 2.0, np.float32))
+    assert fn.vox_spec["kind"] == "f32"
+    # 16^3 with 3 distinct values: 2-bit codes, 2+1 rows vs 32 f32 rows
+    g = np.zeros((16, 16, 16), np.float32)
+    g[4:8] = 1.5
+    g[8:] = 3.0
+    fn = light.voxel_density(g)
+    assert fn.vox_spec["kind"] == "codebook" and fn.vox_spec["bits"] == 2
+    # 12 distinct -> 4-bit; 200 distinct -> 8-bit
+    g12 = (np.arange(16 ** 3) % 12).reshape(16, 16, 16).astype(np.float32)
+    assert light.voxel_density(g12).vox_spec["bits"] == 4
+    g200 = (np.arange(64 ** 3) % 200).reshape(64, 64, 64) \
+        .astype(np.float32)
+    fn = light.voxel_density(g200)        # 64^3 = 262144 > f32 cap
+    assert fn.vox_spec["kind"] == "codebook" and fn.vox_spec["bits"] == 8
+    assert not getattr(fn, "pallas_incompatible", False)
+    # trilinear 40^3 segmented grid fuses; 64^3 trilinear does not
+    g40 = (np.arange(40 ** 3) % 100).reshape(40, 40, 40) \
+        .astype(np.float32)
+    assert light.voxel_density(g40, interp="trilinear") \
+        .vox_spec["kind"] == "codebook"
+    assert getattr(light.voxel_density(g200, interp="trilinear"),
+                   "pallas_incompatible", False)
+    # continuous 64^3: refuses without quantize=, fuses with it
+    rng = np.random.default_rng(0)
+    gc = rng.uniform(0.5, 2.0, (64, 64, 64)).astype(np.float32)
+    assert getattr(light.voxel_density(gc), "pallas_incompatible", False)
+    fq = light.voxel_density(gc, quantize=256)
+    assert fq.vox_spec["kind"] == "codebook"
+    assert 0.0 < fq.quantize_err < (2.0 - 0.5) / 128  # ~bin half-width
+
+
+def test_vox_codebook_kernel_field_matches_direct_lookup():
+    """The packed-codebook in-kernel field (code-word walk + bit extract
+    + codebook dequant, ops/fused.py) computes EXACTLY the same values as
+    the direct XLA gather — all three code widths, both interps, indices
+    spanning every byte lane of the packed words."""
+    import jax
+    from physicl_tpu.ops import fused as F
+
+    rng = np.random.default_rng(11)
+    cases = (
+        ("nearest", (40, 40, 40), 200),    # 8-bit, 126 code rows
+        ("nearest", (16, 16, 16), 12),     # 4-bit
+        ("nearest", (16, 8, 8), 3),        # 2-bit
+        ("trilinear", (18, 12, 10), 100),  # 8-bit, 8-corner dequant
+        ("trilinear", (12, 10, 8), 9),     # 4-bit
+    )
+    for interp, shape, n_mat in cases:
+        vals = np.sort(rng.uniform(0.25, 4.0, n_mat)).astype(np.float32)
+        grid = vals[rng.integers(0, n_mat, shape)]
+        fn = light.voxel_density(grid, origin=(-1.0, 0.5, 2.0),
+                                 spacing=(0.3, 0.7, 0.11),
+                                 interp=interp, outside=-2.5)
+        spec = fn.vox_spec
+        assert spec["kind"] == "codebook", (interp, shape, n_mat)
+        # eager like fn: under jit XLA contracts the trilinear
+        # multiply-adds into FMAs, a rounding difference this exactness
+        # test must not absorb (both production paths run jitted)
+        kfn = F._bind_vox_field(spec, F._vox_table_of(spec), 256)
+        lo = np.array([-1, 0.5, 2.0]) - 2
+        hi = lo + np.array(shape) * np.array([0.3, 0.7, 0.11]) + 4
+        pts = rng.uniform(lo, hi, size=(256 * 128, 3)).astype(np.float32)
+        r0, r1, r2 = (jnp.asarray(pts[:, i].reshape(256, 128))
+                      for i in range(3))
+        got = np.asarray(kfn(r0, r1, r2))
+        want = np.asarray(fn(r0, r1, r2))
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"{interp} {shape} {n_mat}")
+
+
+@pytest.mark.slow
+def test_vox_codebook_kernel_field_64cube_exact():
+    """Full 64^3 CT-scale codebook walk (514 rows) — exact vs the direct
+    gather, including positions outside coverage."""
+    import jax
+    from physicl_tpu.ops import fused as F
+
+    rng = np.random.default_rng(13)
+    vals = np.sort(rng.uniform(0.1, 3.0, 256)).astype(np.float32)
+    grid = vals[rng.integers(0, 256, (64, 64, 64))]
+    fn = light.voxel_density(grid, spacing=0.5)
+    spec = fn.vox_spec
+    assert spec["kind"] == "codebook" and spec["bits"] == 8
+    kfn = jax.jit(F._bind_vox_field(spec, F._vox_table_of(spec), 256))
+    fn = jax.jit(fn)   # same jit context: identical FMA contraction
+    pts = rng.uniform(-2.0, 34.0, size=(256 * 128, 3)).astype(np.float32)
+    r0, r1, r2 = (jnp.asarray(pts[:, i].reshape(256, 128))
+                  for i in range(3))
+    np.testing.assert_array_equal(np.asarray(kfn(r0, r1, r2)),
+                                  np.asarray(fn(r0, r1, r2)))
+
+
+def test_voxel_codebook_fused_vs_generic_gradient_parity():
+    """End-to-end fused-vs-generic parity through a 64^3 segmented
+    medium (the r4 VERDICT CT-scale bar): per-photon implicit-capture
+    weights must agree exactly, and the plan must actually fuse."""
+    c_dt = float(light.c) * 0.001
+    A = 0.05 / c_dt
+    ii = (np.arange(64, dtype=np.float32) % 32)
+    grid = np.broadcast_to((1.0 + ii / 8.0)[:, None, None],
+                           (64, 64, 64)).copy()
+    assert grid.size > light.MAX_FUSED_VOXELS
+    ws = {}
+    for fuse in ("auto", "off"):
+        nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=c_dt)
+        assert nfn.vox_spec["kind"] == "codebook"
+        s = phys.Simulation(until_t=0.010 * 0.9999, seed=3, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(A), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_photons(light.generate_photon_state(512, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        ws[fuse] = np.asarray(s.sim_state.w, np.float64)
+    np.testing.assert_array_equal(ws["auto"], ws["off"])
+    assert not np.allclose(ws["auto"][:512], (1 - 0.05) ** 10)
+
+
+def test_voxel_quantize_snaps_both_paths_identically():
+    """quantize=K is declared semantics: the generic path sees the SAME
+    snapped grid as the fused codebook (exact parity), the snap error is
+    bounded by the quantile bin width, and K levels are respected."""
+    c_dt = float(light.c) * 0.001
+    A = 0.05 / c_dt
+    rng = np.random.default_rng(5)
+    grid = rng.uniform(1.0, 2.0, (32, 32, 32)).astype(np.float32)
+    ws, snapped = {}, {}
+    for fuse in ("auto", "off"):
+        nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=c_dt,
+                                  quantize=64)
+        assert nfn.vox_spec["kind"] == "codebook"
+        assert len(nfn.vox_spec["codebook"]) <= 64
+        assert 0.0 < nfn.quantize_err <= (2.0 - 1.0) / 64
+        s = phys.Simulation(until_t=0.010 * 0.9999, seed=9, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(A), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_photons(light.generate_photon_state(256, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        ws[fuse] = np.asarray(s.sim_state.w, np.float64)
+        snapped[fuse] = np.asarray(nfn.vox_spec["flat"]).copy()
+    # the snapped grid itself is shared bitwise between paths; the decay
+    # weights agree to 1 ulp/step (XLA contracts the same jnp multiply
+    # chain differently in while- vs scan-loop contexts — the r4
+    # mod_floor gotcha — so arbitrary-mantissa values cannot demand
+    # bitwise equality across loop forms; exact-parity tests use
+    # short-mantissa grids on purpose)
+    np.testing.assert_array_equal(snapped["auto"], snapped["off"])
+    np.testing.assert_allclose(ws["auto"], ws["off"], rtol=2e-6)
+    # and the snap really changed values (it is not a no-op)
+    assert not np.array_equal(snapped["auto"],
+                              grid.astype(np.float32).reshape(-1))
+
+
+def test_voxel_codebook_beer_lambert_line_integral():
+    """Beer-Lambert through a 64^3 two-material slab phantom: the
+    implicit-capture weight of a photon crossing the slab equals
+    prod_k (1 - A*n_k*c*dt) over its per-step voxel densities — an
+    EXACT line-integral check computed independently in NumPy."""
+    c_dt = float(light.c) * 0.001
+    A = 0.1 / c_dt
+    grid = np.ones((64, 64, 64), np.float32)
+    grid[20:40] = 2.5                      # a dense slab along x
+    spacing = 2.0 * c_dt                   # photon crosses 32 voxels
+    # quarter-voxel origin shift: step-end positions land at fx =
+    # (k + 1.5) / 2, never on a .5 rounding tie, so f32 position
+    # accumulation drift cannot flip the voxel choice vs this model
+    nfn = light.voxel_density(grid, origin=(-0.5 * c_dt, 0, 0),
+                              spacing=spacing)
+    assert nfn.vox_spec["kind"] == "codebook" and nfn.vox_spec["bits"] == 2
+    s = phys.Simulation(until_t=0.064 * 0.9999, seed=1, fuse="auto")
+    s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s.add_step(1, phys.newton.NewtonianKinematicsStep())
+    s.add_step(2, light.ScatterDeleteStep(
+        np.double(1.0), np.double(A), variable_n=True, variable_n_fn=nfn,
+        implicit_capture=True))
+    s.add_photons(light.generate_photon_state(64, E=1.0))
+    s.start(); s.join()
+    assert s.used_fused
+    # photons fly +x at speed c from the origin: position at the START
+    # of step k is (k * c_dt, 0, 0); density sampled AFTER the kinematics
+    # update at position ((k+1) * c_dt, 0, 0)
+    w_expect = 1.0
+    for k in range(64):
+        fx = (k + 1.5) / 2.0
+        ix = int(np.clip(np.round(fx), 0, 63))
+        inside = -0.5 <= fx < 63.5
+        n_k = float(grid[ix, 0, 0]) if inside else 0.0
+        w_expect *= 1.0 - min(A * n_k * c_dt, 1.0)
+    w = np.asarray(s.sim_state.w, np.float64)
+    alive = np.asarray(s.sim_state.alive)
+    np.testing.assert_allclose(w[alive], w_expect, rtol=5e-5)

@@ -232,6 +232,32 @@ def _ops(kind):
         assert getattr(nfn, "vox_spec", None) is not None
         return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
                 F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "voxel_cb":
+        # CT-scale packed-codebook medium (r5): 64^3 grid, 8-bit codes,
+        # 512 code rows + 2 codebook rows walked per eval at unroll 1 —
+        # the largest statically-unrolled gather chain in the envelope
+        import physicl_tpu.light as L
+
+        rng = np.random.default_rng(2)
+        vals = (rng.uniform(0.5, 2.0, 256) * _EPS).astype(np.float32)
+        grid = vals[rng.integers(0, 256, (64, 64, 64))]
+        nfn = L.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0)
+        assert nfn.vox_spec["kind"] == "codebook"
+        return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
+                F._Op("sign", cols=(1, 2))], 5, 0
+    if kind == "voxel_cb_tri":
+        # trilinear codebook medium (r5): 32^3, 8 corner code-walks + 8
+        # codebook dequants per eval (8 x 66 rows at unroll 1)
+        import physicl_tpu.light as L
+
+        rng = np.random.default_rng(3)
+        vals = (rng.uniform(0.5, 2.0, 200) * _EPS).astype(np.float32)
+        grid = vals[rng.integers(0, 200, (32, 32, 32))]
+        nfn = L.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
+                              interp="trilinear")
+        assert nfn.vox_spec["kind"] == "codebook"
+        return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
+                F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "fluorescence":
         # fluorescent re-emission: yield/angle draws + the true-isotropic
         # redirect stacked on the plain kill (unroll capped at 8)
@@ -292,6 +318,7 @@ def _ops(kind):
                                   "mixed", "stretch", "fluorescence",
                                   "phase",
                                   "sphere", "layered", "voxel", "voxel_tri",
+                                  "voxel_cb", "voxel_cb_tri",
                                   "kstate", "extras_write",
                                   "polarized", "polarized_compton"])
 @pytest.mark.parametrize("rows", [128, 1024, 8192])
