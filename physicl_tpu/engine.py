@@ -1317,12 +1317,30 @@ class Simulation(threading.Thread):
 
     def _init_run_state(self) -> SimState:
         """Build (or restore) the initial device state and host mirrors."""
+        restored_hwm = None
         if self._restored is not None:
+            from physicl_tpu.utils.checkpoint import repad_state
+
             state, meta = self._restored
             self._restored = None
             self.ts = list(meta.get("ts", []))
             self._initial_count = int(meta.get("initial_count", 0))
             n0 = int(jax.device_get(state.n_alive))
+            # elastic restart: re-pad the particle axis to THIS run's
+            # topology (a checkpoint written under an 8-chip mesh resumes
+            # on 1 or 4 chips and vice versa). Explicit capacity= wins;
+            # otherwise keep the snapshot's capacity, rounded up to the
+            # mesh's tile-aligned shard unit.
+            hwm = int(meta.get("hwm", state.capacity))
+            unit = pad_capacity(1) * (int(self.mesh.devices.size)
+                                      if self.mesh is not None else 1)
+            want = (self.capacity if self.capacity is not None
+                    else state.capacity)
+            want = max(want, hwm, 1)
+            target = max(unit, ((want + unit - 1) // unit) * unit)
+            if target != state.capacity:
+                state = repad_state(state, target, hwm=hwm)
+            restored_hwm = min(hwm, target)
         else:
             n0 = len(self._pending_objects) + sum(
                 int(b["n"]) for b in self._pending_bulk
@@ -1344,7 +1362,10 @@ class Simulation(threading.Thread):
 
             state = shard_state(state, self.mesh)
         self._host_n_alive = n0
-        self._hwm = n0
+        # fresh runs: the initial population occupies slots [0, n0).
+        # restored runs: the snapshot's high-water mark (dead-but-used
+        # slots included), clamped by any shrink
+        self._hwm = n0 if restored_hwm is None else restored_hwm
         self._host_t = float(jax.device_get(state.t))
         self._host_dt = float(jax.device_get(state.dt))
         self.sim_state = state

@@ -313,15 +313,20 @@ def _vox_specs_of(plan: FusedPlan):
     return slots, specs
 
 
-# independent interleaved select chains in the segmented table walk: the
-# serial chain (gather_s -> select_s -> gather_{s+1}) runs at gather
-# LATENCY; W disjoint-mask chains combined bitwise at the end run at
-# gather THROUGHPUT (bit-exact: each index matches exactly one segment,
-# so OR of int32-accumulated chains preserves -0.0 and NaN payloads)
-_WALK_ILP = 4
+# spatial walks at/above this many rows use the dynamic row-RANGE walk:
+# per evaluation the tile reduces the needed row range [lo, hi] (photon
+# flat indices cluster when the population has spatial locality — the
+# CT-beam geometry) and fori-walks just that range. r5 probe 6 on chip:
+# clustered indices walk a 512-row (64^3) table at 3.8e10 evals/s, 17x
+# the full static walk, FLAT in table size; the worst case (uniform
+# random indices, range ~= S) costs 6.9e-12 s/row/element vs the static
+# walk's 4.5e-12 — a 1.5x regression bounded to pathological
+# populations, vs an unconditional 17x win for collimated ones.
+_DYN_WALK_MIN_ROWS = 16
 
 
-def _vmem_table_lookup(tab_ref, flat, tile_rows, s_lo=0, n_seg=None):
+def _vmem_table_lookup(tab_ref, flat, tile_rows, s_lo=0, n_seg=None,
+                       dynamic=False):
     """``table[flat]`` for a per-photon (tile_rows, 128) int32 index plane,
     walking table rows ``[s_lo, s_lo + n_seg)``. Returns the raw int32
     words (callers bitcast f32 tables back with
@@ -335,25 +340,42 @@ def _vmem_table_lookup(tab_ref, flat, tile_rows, s_lo=0, n_seg=None):
     VMEM compactly as ``(ceil(V/128), 128)`` (entry v at ``[v // 128,
     v % 128]``) and the lookup walks it in 128-entry segments: one
     sublane-broadcast of the segment row + one LANE gather + one select
-    per segment, interleaved over ``_WALK_ILP`` independent chains so
-    consecutive gathers have no data dependency. ``flat`` must already
-    be clipped to ``[0, 128 * n_seg)``."""
+    per segment. ``dynamic=True`` walks only the tile's needed row range
+    (see ``_DYN_WALK_MIN_ROWS``) — exact for any population since the
+    range covers every lane by construction, and O(1) compile size (the
+    ~2048-static-gather Mosaic envelope never binds). ``flat`` must
+    already be clipped to ``[0, 128 * n_seg)``."""
     if n_seg is None:
         n_seg = tab_ref.shape[0] - s_lo
-    seg_of = (flat >> jnp.int32(7)) + jnp.int32(s_lo)   # // 128
+    seg_rel = flat >> jnp.int32(7)                      # // 128
     loc = flat & jnp.int32(127)                         # % 128
-    w = max(1, min(_WALK_ILP, n_seg))
-    accs = [jnp.zeros(flat.shape, jnp.int32) for _ in range(w)]
-    for k, s in enumerate(range(s_lo, s_lo + n_seg)):
-        row = tab_ref[s:s + 1, :]
+    if dynamic and n_seg > 1:
+        lo = jnp.min(seg_rel)
+        hi = jnp.max(seg_rel)
+        is_ref = not isinstance(tab_ref, jax.Array)
+
+        def row_step(s, acc):
+            if is_ref:
+                row = tab_ref[pl.ds(s + jnp.int32(s_lo), 1), :]
+            else:
+                row = jax.lax.dynamic_slice_in_dim(
+                    tab_ref, s + jnp.int32(s_lo), 1, axis=0)
+            if row.dtype != jnp.int32:
+                row = jax.lax.bitcast_convert_type(row, jnp.int32)
+            seg = jnp.broadcast_to(row, flat.shape)
+            got = jnp.take_along_axis(seg, loc, axis=1)
+            return jnp.where(seg_rel == s, got, acc)
+
+        return jax.lax.fori_loop(lo, hi + 1, row_step,
+                                 jnp.zeros(flat.shape, jnp.int32))
+    out = jnp.zeros(flat.shape, jnp.int32)
+    for s in range(n_seg):
+        row = tab_ref[s_lo + s:s_lo + s + 1, :]
         if row.dtype != jnp.int32:
             row = jax.lax.bitcast_convert_type(row, jnp.int32)
         seg = jnp.broadcast_to(row, flat.shape)
         got = jnp.take_along_axis(seg, loc, axis=1)
-        accs[k % w] = jnp.where(seg_of == jnp.int32(s), got, accs[k % w])
-    out = accs[0]
-    for acc in accs[1:]:
-        out = out | acc
+        out = jnp.where(seg_rel == jnp.int32(s), got, out)
     return out
 
 
@@ -398,13 +420,17 @@ def _vox_table_of(spec: dict):
 
 
 def _vox_walk_segments(spec: dict) -> int:
-    """Table rows walked per field evaluation (the compile-size and
-    runtime cost unit; trilinear evaluates 8 corners)."""
+    """STATICALLY-unrolled table rows per field evaluation (the Mosaic
+    compile-size unit for the unroll gate; trilinear evaluates 8
+    corners). Spatial walks at/above ``_DYN_WALK_MIN_ROWS`` are dynamic
+    fori loops — one gather site regardless of table size."""
     if spec.get("kind", "f32") == "codebook":
         _, _, s_codes, s_cb = _codebook_geometry(spec)
-        segs = s_codes + s_cb
+        segs = (s_codes if s_codes < _DYN_WALK_MIN_ROWS else 1) + s_cb
     else:
         segs = -(-int(np.asarray(spec["flat"]).size) // _LANE)
+        if segs >= _DYN_WALK_MIN_ROWS:
+            segs = 1
     return segs * (8 if spec["interp"] == "trilinear" else 1)
 
 
@@ -427,19 +453,27 @@ def _bind_vox_field(spec: dict, tab_ref, tile_rows):
         bits, per, s_codes, s_cb = _codebook_geometry(spec)
         log2per = per.bit_length() - 1
         code_mask = jnp.int32((1 << bits) - 1)
+        dyn = s_codes >= _DYN_WALK_MIN_ROWS
 
         def lookup(flat):
+            # spatial code-word walk: dynamic row range for big tables
+            # (flat indices cluster with the population); the <= 2-row
+            # codebook dequant stays static (code bytes are not spatial)
             word = _vmem_table_lookup(tab_ref, flat >> jnp.int32(log2per),
-                                      tile_rows, 0, s_codes)
+                                      tile_rows, 0, s_codes, dynamic=dyn)
             code = (word >> ((flat & jnp.int32(per - 1))
                              * jnp.int32(bits))) & code_mask
             got = _vmem_table_lookup(tab_ref, code, tile_rows,
                                      s_codes, s_cb)
             return jax.lax.bitcast_convert_type(got, jnp.float32)
     else:
+        n_rows = -(-int(np.asarray(spec["flat"]).size) // _LANE)
+        dyn = n_rows >= _DYN_WALK_MIN_ROWS
+
         def lookup(flat):
             return jax.lax.bitcast_convert_type(
-                _vmem_table_lookup(tab_ref, flat, tile_rows), jnp.float32)
+                _vmem_table_lookup(tab_ref, flat, tile_rows, dynamic=dyn),
+                jnp.float32)
 
     def fn(r0, r1, r2):
         fx = (r0 - jnp.float32(ox)) / jnp.float32(sx)

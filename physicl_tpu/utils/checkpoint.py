@@ -17,7 +17,8 @@ import numpy as np
 
 from physicl_tpu.state import SimState
 
-__all__ = ["save_checkpoint", "load_checkpoint", "state_from_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "state_from_checkpoint",
+           "repad_state"]
 
 _FIELDS = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "w", "t", "dt",
            "key", "n_spawned", "t_comp")
@@ -38,6 +39,11 @@ def save_checkpoint(sim, path: str) -> None:
             "ts": list(map(float, sim.ts)),
             "seed": int(sim.seed),
             "initial_count": int(sim._initial_count),
+            # high-water slot mark: slots below it may hold dead-but-used
+            # history (injections must append past it), and a shrink on
+            # restore must not cut into it
+            "hwm": int(max(sim._hwm,
+                           int(np.asarray(host["n_spawned"])))),
         }
     np.savez_compressed(path, __meta__=json.dumps(meta), **host)
 
@@ -60,3 +66,44 @@ def load_checkpoint(path: str):
 
 def state_from_checkpoint(path: str) -> SimState:
     return load_checkpoint(path)[0]
+
+
+def repad_state(state: SimState, capacity: int,
+                hwm: int | None = None) -> SimState:
+    """Re-pad a snapshot's particle axis to ``capacity`` so a checkpoint
+    written under one device topology restores under another (r4 VERDICT:
+    elastic restart — an 8-chip pod run resumes on 1 or 4 chips and vice
+    versa). Growth appends dead slots with the ``SimState.zeros``
+    conventions (alive=False, w=1, zeros elsewhere); shrink is legal only
+    when it cuts no used slot (nothing alive there and ``hwm`` — the
+    injection high-water mark — is below the cut). Clock, PRNG key and
+    census scalars ride through untouched, so the resumed physics of the
+    surviving slots is identical."""
+    cap0 = state.capacity
+    if capacity == cap0:
+        return state
+    planes = ("r", "dr", "v", "dv", "a", "E", "alive", "otype", "w")
+    if capacity < cap0:
+        tail_alive = bool(np.asarray(
+            jax.device_get(state.alive))[capacity:].any())
+        used = cap0 if hwm is None else int(hwm)
+        if tail_alive or used > capacity:
+            raise ValueError(
+                f"cannot shrink checkpoint capacity {cap0} -> {capacity}: "
+                f"{'live particles' if tail_alive else 'used slots'} "
+                "beyond the cut (restore onto a larger capacity/mesh, or "
+                "pass capacity= explicitly)")
+        cut = {f: getattr(state, f)[..., :capacity] for f in planes}
+        cut["extras"] = {k: v[..., :capacity]
+                         for k, v in state.extras.items()}
+        return state.replace(**cut)
+    pad = capacity - cap0
+
+    def grow(a, fill=0):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths, constant_values=fill)
+
+    out = {f: grow(getattr(state, f)) for f in planes if f != "w"}
+    out["w"] = grow(state.w, fill=1.0)
+    out["extras"] = {k: grow(v) for k, v in state.extras.items()}
+    return state.replace(**out)
