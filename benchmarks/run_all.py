@@ -248,6 +248,51 @@ def main():
     emit("fused_over_generic_ratio_voxel", vox_fused / vox_generic, "x",
          1.0)
 
+    # 3e'. CT-scale voxel transport (r5): 64^3 = 262,144 voxels, 200
+    # materials -> packed uint8 codebook (514 table rows, dynamic
+    # row-range walk). Two geometries: a radiography BEAM entering a
+    # face (per-tile flat-index locality — the workload the 64^3 bar is
+    # about) and uniform-random in-volume positions (the locality-free
+    # worst case; the dynamic walk degrades to ~the full range).
+    def voxel_ct(beam):
+        c_dt = float(light.c) * 1e-3
+        vrng = np.random.default_rng(0)
+        vals = np.sort(vrng.uniform(0.5, 2.0, 200)).astype(np.float32)
+        grid = vals[vrng.integers(0, 200, (64, 64, 64))]
+        # 32 flight steps per voxel: the measured ~2048-iteration window
+        # keeps the population INSIDE the grid (no border-clip shortcuts)
+        sp = 32 * c_dt
+        nfn = light.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=sp)
+        assert nfn.vox_spec["kind"] == "codebook"
+        if beam:
+            r0 = np.zeros((3, N), np.float32)
+            r0[1] = vrng.uniform(0, 63 * sp, N)
+            r0[2] = vrng.uniform(0, 63 * sp, N)
+            v0 = None                      # collimated +x at c
+        else:
+            r0 = vrng.uniform(0, 63 * sp, (3, N)).astype(np.float32)
+            u = vrng.normal(size=(3, N))
+            u /= np.linalg.norm(u, axis=0, keepdims=True)
+            v0 = (u * float(light.c)).astype(np.float32)  # isotropic
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(1e-9), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N, E=1.0, r=r0, v=v0))
+        return s
+
+    rl_ct = {}
+    ct_beam = steady_rate(lambda: voxel_ct(True), N, roofline=rl_ct)
+    emit("voxel_ct64_beam_1e7", ct_beam, "photon-steps/s", 5.5e3,
+         roofline=rl_ct)
+    ct_rand = steady_rate(lambda: voxel_ct(False), N)
+    emit("voxel_ct64_random_1e7", ct_rand, "photon-steps/s", 5.5e3)
+    ct_generic = generic_steady_rate(lambda: voxel_ct(False), N)
+    emit("voxel_ct64_generic_1e7", ct_generic, "photon-steps/s", 5.5e3)
+
     # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
     # "pol" with a 21-plane packed state — the heaviest fused op after
     # thermal Compton: 26-step azimuth bisection + frame/Mueller algebra,

@@ -745,12 +745,13 @@ class Simulation(threading.Thread):
         # int to override.
         self._max_record_bytes: Optional[int] = None
         self.fuse = "auto"  # "auto" | "off": use the fused Pallas pipeline
-        # generic-path PRNG: None = threefry (default, cross-backend
-        # reproducible); "rbg" = TPU hardware generator. Steady-state rate
-        # is IDENTICAL (XLA fuses threefry fully; measured 2.39e9
-        # photon-steps/s either way at 1e7 photons on v5e), but "rbg"
-        # compiles the generic scan ~9x faster (9 s vs 82 s wall for the
-        # isotropic workload) — worth setting for one-shot custom-step runs
+        # generic-path PRNG: None = auto ("rbg" — the TPU hardware
+        # generator — on TPU backends: +12% on the RNG-heavy isotropic
+        # scan (RESULTS.md r4c dissection) and ~9x faster generic-scan
+        # compiles (9 s vs 82 s); threefry elsewhere for cross-backend
+        # reproducible streams). Set "threefry" explicitly for
+        # backend-independent draws on TPU, or "rbg" to force the
+        # hardware generator anywhere.
         self.prng_impl = None
         # rows per kernel tile (x128 lanes): 256 measured fastest of
         # {128, 256, 512} at 1e7 photons on v5e through the engine dispatch
@@ -1315,6 +1316,16 @@ class Simulation(threading.Thread):
             self.exception = None
             raise exc
 
+    def _prng_impl_resolved(self) -> Optional[str]:
+        """None (= auto) picks the TPU hardware random-bit generator on
+        TPU backends — +12% on RNG-heavy generic scans and ~9x faster
+        scan compiles (r4c on-chip dissection) — and threefry elsewhere
+        (cross-backend reproducible streams, what the CPU test tier
+        pins). An explicit value always wins."""
+        if self.prng_impl is not None:
+            return self.prng_impl
+        return "rbg" if jax.default_backend() == "tpu" else None
+
     def _init_run_state(self) -> SimState:
         """Build (or restore) the initial device state and host mirrors."""
         restored_hwm = None
@@ -1355,7 +1366,7 @@ class Simulation(threading.Thread):
             state = SimState.from_population(
                 self._pending_objects, self._pending_bulk,
                 dtype=self.dtype, seed=self.seed, capacity=cap,
-                prng_impl=self.prng_impl,
+                prng_impl=self._prng_impl_resolved(),
             )
         if self.mesh is not None:
             from physicl_tpu.parallel.sharding import shard_state
@@ -1449,6 +1460,15 @@ class Simulation(threading.Thread):
             gen_notes.append(
                 "chunk-boundary population control between chunks: "
                 + ", ".join(boundary))
+        gen_notes.append(
+            "generic-tier ceiling: XLA materializes the per-iteration "
+            "RNG/trig chain across ~8 HBM passes (on-chip dissection, "
+            "benchmarks/RESULTS.md: kinematics-only saturates the HBM "
+            "roofline at 9.5e9 photon-steps/s; a full isotropic body "
+            "lands at ~1.2e9) — the cap is XLA elementwise fusion, not "
+            "the loop structure or chunk size. For the ~40x kernel tier, "
+            "make every step fusable (the refusals above name what "
+            "blocked it)")
         self.plan_report = PlanReport(
             mode="host-exact" if chunk == 1 and not exit_traced
             else "generic", chunk=chunk, fuse_setting=self.fuse,

@@ -352,7 +352,10 @@ def _vmem_table_lookup(tab_ref, flat, tile_rows, s_lo=0, n_seg=None,
     if dynamic and n_seg > 1:
         lo = jnp.min(seg_rel)
         hi = jnp.max(seg_rel)
-        is_ref = not isinstance(tab_ref, jax.Array)
+        # pallas Ref tracers still satisfy isinstance(x, jax.Array); the
+        # aval (AbstractRef has .inner_aval) is the reliable discriminator
+        # between the kernel's VMEM ref and the CPU tests' plain arrays
+        is_ref = hasattr(jax.typeof(tab_ref), "inner_aval")
 
         def row_step(s, acc):
             if is_ref:

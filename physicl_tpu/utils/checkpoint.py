@@ -31,14 +31,23 @@ def save_checkpoint(sim, path: str) -> None:
         state = SimState.from_population(sim._pending_objects,
                                          sim._pending_bulk, seed=sim.seed)
     with sim._state_lock:
-        host = {f: np.asarray(jax.device_get(getattr(state, f)))
-                for f in _FIELDS}
+        host, key_impl = {}, None
+        for f in _FIELDS:
+            v = getattr(state, f)
+            if f == "key" and v is not None and jax.dtypes.issubdtype(
+                    v.dtype, jax.dtypes.prng_key):
+                # typed key arrays (prng_impl="rbg"/"threefry", the TPU
+                # default) serialize as raw key data + the impl name
+                key_impl = str(jax.random.key_impl(v))
+                v = jax.random.key_data(v)
+            host[f] = np.asarray(jax.device_get(v))
         for name, arr in state.extras.items():
             host[f"extra.{name}"] = np.asarray(jax.device_get(arr))
         meta = {
             "ts": list(map(float, sim.ts)),
             "seed": int(sim.seed),
             "initial_count": int(sim._initial_count),
+            "key_impl": key_impl,
             # high-water slot mark: slots below it may hold dead-but-used
             # history (injections must append past it), and a shrink on
             # restore must not cut into it
@@ -57,6 +66,9 @@ def load_checkpoint(path: str):
         kw = {f: jnp.asarray(z[f]) for f in _FIELDS if f in z.files}
         if "w" not in kw:  # statistical weights absent pre-weighted-transport
             kw["w"] = jnp.ones(kw["E"].shape, kw["E"].dtype)
+        if meta.get("key_impl"):
+            kw["key"] = jax.random.wrap_key_data(kw["key"],
+                                                 impl=meta["key_impl"])
         kw["extras"] = {
             k[len("extra."):]: jnp.asarray(z[k])
             for k in z.files if k.startswith("extra.")

@@ -207,3 +207,27 @@ def test_auto_shrink_disabled_by_trace_step():
     s.start(); s.join()
     assert s.sim_state.capacity == 16384  # never shrank below initial pad
     assert len(s.steps[3].data) == 65  # header + all 64 rows intact
+
+
+def test_checkpoint_typed_key_roundtrip(tmp_path):
+    """prng_impl="rbg" (the TPU-backend default for the generic path)
+    produces typed key arrays; checkpoints serialize them as raw key
+    data + impl name and restore an identical key."""
+    import jax
+    from physicl_tpu.utils.checkpoint import load_checkpoint
+
+    s = _sim(0.003)
+    s.prng_impl = "rbg"
+    s.start(); s.join()
+    ck = str(tmp_path / "rbg.npz")
+    s.save_checkpoint(ck)
+    state, meta = load_checkpoint(ck)
+    assert meta["key_impl"] == "rbg"
+    assert jax.dtypes.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.key)),
+        np.asarray(jax.random.key_data(s.sim_state.key)))
+    # and the restore actually resumes
+    s2 = _sim(0.006, restore=ck)
+    s2.start(); s2.join()
+    assert len(s2.ts) == 6
