@@ -293,6 +293,43 @@ def main():
     ct_generic = generic_steady_rate(lambda: voxel_ct(False), N)
     emit("voxel_ct64_generic_1e7", ct_generic, "photon-steps/s", 5.5e3)
 
+    # 3e''. trilinear CT: 32^3 codebook, 8 corner range-walks per eval
+    def voxel_ct_tri(beam):
+        c_dt = float(light.c) * 1e-3
+        vrng = np.random.default_rng(0)
+        vals = np.sort(vrng.uniform(0.5, 2.0, 200)).astype(np.float32)
+        grid = vals[vrng.integers(0, 200, (32, 32, 32))]
+        sp = 64 * c_dt
+        nfn = light.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=sp,
+                                  interp="trilinear")
+        assert nfn.vox_spec["kind"] == "codebook"
+        if beam:
+            r0 = np.zeros((3, N), np.float32)
+            r0[1] = vrng.uniform(0, 31 * sp, N)
+            r0[2] = vrng.uniform(0, 31 * sp, N)
+            v0 = None
+        else:
+            r0 = vrng.uniform(0, 31 * sp, (3, N)).astype(np.float32)
+            u = vrng.normal(size=(3, N))
+            u /= np.linalg.norm(u, axis=0, keepdims=True)
+            v0 = (u * float(light.c)).astype(np.float32)
+        s = phys.Simulation(exit=lambda c: c.t >= 1e9, seed=0)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, physicl_tpu.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(1e-9), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_step(3, light.ScatterSignMeasureStep(None, True))
+        s.add_photons(light.generate_photon_state(N, E=1.0, r=r0, v=v0))
+        return s
+
+    emit("voxel_ct32_tri_beam_1e7",
+         steady_rate(lambda: voxel_ct_tri(True), N), "photon-steps/s",
+         5.5e3)
+    emit("voxel_ct32_tri_random_1e7",
+         steady_rate(lambda: voxel_ct_tri(False), N), "photon-steps/s",
+         5.5e3)
+
     # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
     # "pol" with a 21-plane packed state — the heaviest fused op after
     # thermal Compton: 26-step azimuth bisection + frame/Mueller algebra,
