@@ -1706,11 +1706,33 @@ def _kn_koblinger_tail(alpha, a, two_a, b, u_pick, u_inv, eta, cos_t,
     return cos_t, eta, accepted
 
 
-def _gauss3_from_uniform(u4, dtype):
+def _gauss3_from_uniform(u4, dtype, fast_trig=False):
     """Three standard normals from four uniforms via Box-Muller (the fourth
     normal is discarded). ``u4`` is a stack of 4 uniform arrays in [0, 1);
-    all elementwise VPU ops, Pallas-safe."""
+    all elementwise VPU ops, Pallas-safe.
+
+    ``fast_trig=True`` (the fused kernel) replaces the 5 transcendentals
+    with the kernel's polynomial forms: ``ops.fused._fast_sinpi`` for the
+    angle factors (1.1e-3 abs error — a 0.06-degree wobble on an already-
+    isotropic Maxwell angle; per-axis variance shifts < 2.3e-3 relative,
+    invisible to the SZ/Kompaneets chi2 validations, re-run on chip r5)
+    and ``_fast_neg2log`` for the radii (1.5e-6 in ln — tail-exact, the
+    part that must NOT be approximated: the Kompaneets drift rides the
+    Maxwell speed distribution). The generic path keeps the exact libm
+    forms."""
     tiny = jnp.asarray(1e-12, dtype)
+    if fast_trig:
+        from physicl_tpu.ops.fused import (_fast_neg2log, _fast_sinpi,
+                                           _wrap1)
+
+        r1 = jnp.sqrt(_fast_neg2log(jnp.maximum(u4[0], tiny)))
+        r2 = jnp.sqrt(_fast_neg2log(jnp.maximum(u4[2], tiny)))
+        two_a1 = 2.0 * u4[1]
+        two_a2 = 2.0 * u4[3]
+        cos_a1 = _fast_sinpi(_wrap1(two_a1 + jnp.asarray(0.5, dtype)))
+        sin_a1 = _fast_sinpi(_wrap1(two_a1))
+        cos_a2 = _fast_sinpi(_wrap1(two_a2 + jnp.asarray(0.5, dtype)))
+        return (r1 * cos_a1, r1 * sin_a1, r2 * cos_a2)
     r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u4[0], tiny)))
     r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u4[2], tiny)))
     a1 = u4[1] * (2 * np.pi)
@@ -1737,7 +1759,7 @@ def _aberrate(n, beta, bn, b2, gamma, sign, dtype):
 
 
 def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, kn_sample, u_phi,
-                        dtype):
+                        dtype, fast_trig=False):
     """One inverse-Compton scatter off a thermal electron, exact in the
     electron rest frame.
 
@@ -1762,7 +1784,7 @@ def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, kn_sample, u_phi,
     electron-frame KN parameter for optional sigma_KN weighting."""
     one = jnp.asarray(1.0, dtype)
     sq = jnp.sqrt(jnp.asarray(float(theta_e), dtype))
-    g3 = _gauss3_from_uniform(u4, dtype)
+    g3 = _gauss3_from_uniform(u4, dtype, fast_trig=fast_trig)
     beta = tuple(g * sq for g in g3)
     b2 = sum(b * b for b in beta)
     b = jnp.sqrt(b2)
@@ -1784,8 +1806,16 @@ def _ic_thermal_scatter(E, n, inv_mec2, theta_e, u4, kn_sample, u_phi,
     cos_t, eta, accepted = kn_sample(alpha1)
     E1p = E1 / eta
     sin_t = jnp.sqrt(jnp.maximum(one - cos_t * cos_t, 0.0))
-    phi = u_phi * (2 * np.pi)
-    n1p = _hg_direction(n1, cos_t, sin_t, jnp.cos(phi), jnp.sin(phi))
+    if fast_trig:  # uniform azimuth: tail-insensitive, polynomial forms
+        from physicl_tpu.ops.fused import _fast_sinpi, _wrap1
+
+        two_pu = 2.0 * u_phi
+        cos_phi = _fast_sinpi(_wrap1(two_pu + jnp.asarray(0.5, dtype)))
+        sin_phi = _fast_sinpi(_wrap1(two_pu))
+    else:
+        phi = u_phi * (2 * np.pi)
+        cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
+    n1p = _hg_direction(n1, cos_t, sin_t, cos_phi, sin_phi)
     inv_n1p = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in n1p),
                                         jnp.asarray(1e-30, dtype)))
     n1p = tuple(x * inv_n1p for x in n1p)

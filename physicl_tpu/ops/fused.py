@@ -531,6 +531,34 @@ def _wrap1(x):
     return x - jnp.where(x > 1.0, jnp.float32(2.0), jnp.float32(0.0))
 
 
+# Chebyshev-node least-squares fit (degree 6) of log2(1 + t) on [0, 1),
+# max abs error 2.1e-6 — same technique as the Planck iCDF fits
+_LOG2_MANT_COEF = (
+    2.123740891262228e-06, 1.4424753148220812, -0.7175578724222369,
+    0.45552708806134273, -0.274623257617495, 0.11929823770630403,
+    -0.025123203286067798)
+
+
+def _fast_neg2log(u):
+    """``-2 ln u`` for f32 ``u`` in (0, 1] — the Box-Muller radius-squared —
+    with zero transcendentals: split ``u = m 2^e`` by exponent-field
+    extraction (bitcast + shifts, all Pallas-safe), then ``ln u = ln2 *
+    (e + log2 m)`` with the degree-6 mantissa polynomial above. Uniformly
+    accurate in ln (abs err ~1.5e-6, exact exponent term), so the Maxwell
+    speed tail is as deep as the draw itself reaches — unlike a truncated
+    series, the far tail (u -> 2^-32, radius 6.6 sigma) stays exact."""
+    bits = jax.lax.bitcast_convert_type(u, jnp.int32)
+    e = (jax.lax.shift_right_logical(bits, 23) & jnp.int32(0xFF)) \
+        - jnp.int32(127)
+    m_bits = (bits & jnp.int32(0x007FFFFF)) | jnp.int32(127 << 23)
+    t = jax.lax.bitcast_convert_type(m_bits, jnp.float32) - jnp.float32(1.0)
+    p = jnp.float32(_LOG2_MANT_COEF[-1])
+    for c in _LOG2_MANT_COEF[-2::-1]:
+        p = p * t + jnp.float32(c)
+    neg_two_ln2 = jnp.float32(-2.0 * np.log(2.0))
+    return neg_two_ln2 * (e.astype(jnp.float32) + p)
+
+
 def _fast_angles(tu, pu):
     """(sin, cos) of theta=2*pi*tu and phi=pi*pu for tu,pu in [0,1)."""
     two_tu = 2.0 * tu
@@ -583,29 +611,45 @@ def _unit_dir(f):
 
 
 def _bisect_phi_sincos(u, a, b, iters: int = 26):
-    """(sin phi, cos phi) of the polarized-azimuth inverse CDF: solve
-    ``phi + (a/2) sin 2phi + (b/2)(1 - cos 2phi) = 2pi u`` on [0, 2pi] by
-    monotone bisection (the kernel twin of polarization._bisect_phi;
-    resolution 2pi*2^-iters — the generic twin always bisects 26 deep,
-    the fused packed-angle path stops at 17, matching its 16-bit draw).
+    """(sin phi, cos phi, sin 2phi, cos 2phi) of the polarized-azimuth
+    inverse CDF: solve ``phi + (a/2) sin 2phi + (b/2)(1 - cos 2phi) =
+    2pi u`` on [0, 2pi] by monotone bisection (the kernel twin of
+    polarization._bisect_phi; resolution 2pi*2^-iters — the generic twin
+    always bisects 26 deep, the fused packed-angle path stops at 17,
+    matching its 16-bit draw).
 
     Mosaic-friendly trick: instead of evaluating sin/cos of the midpoint
-    each step, carry ``(sin lo, cos lo)`` and ROTATE by the static half-
-    interval angle ``delta_k = pi/2^k`` — the rotation coefficients
-    ``(sin delta_k, cos delta_k)`` are compile-time f32 constants, so the
-    whole inversion is multiply-adds with zero in-loop transcendentals.
-    f32 rotation drift over 26 composed rotations is ~3e-6; the final
-    pair is renormalized. ``iters`` is 17 for packed-angle draws (the
-    uniform has exactly 16 bits — finer bisection refines quantization
-    noise; measured inversion error 4.6e-5 < the 9.6e-5 draw
-    granularity) and 26 for full-width draws (1.2e-6).
+    each step, carry ``(sin 2*lo, cos 2*lo)`` — the DOUBLE angle, which
+    is what the CDF itself needs — and ROTATE by the static interval
+    angle ``2*delta_k = pi/2^(k-1)``; the rotation coefficients are
+    compile-time f32 constants, so the whole inversion is multiply-adds
+    with zero in-loop transcendentals. The constant ``b/2`` term is
+    folded into the target (``fv = mid + (a/2) sin2 - (b/2) cos2`` vs
+    ``target - b/2``), and the k = 0 rotation (by 2pi) is the identity —
+    net 9 fewer model ops per iteration than the half-angle/double-angle
+    form this replaces (r5: 669 -> ~540 ops on the pol body).
+
+    The half-angle pair is reconstructed ONCE at the end, cancellation-
+    free: the larger of (|sin phi|, |cos phi|) from its well-conditioned
+    half-angle sqrt (the argument is >= 1/2 on the selected branch), the
+    smaller from ``sin 2phi = 2 sin phi cos phi`` (an exact division by
+    the large component, sign riding along); explicit signs come from
+    the carried interval endpoint, which is only consulted away from its
+    own flip boundaries. f32 rotation drift over 26 composed rotations
+    is ~3e-6; the pair is renormalized before extraction. ``iters`` is
+    17 for packed-angle draws (the uniform has exactly 16 bits — finer
+    bisection refines quantization noise; inversion error < the 9.6e-5
+    draw granularity, pinned vs an f64 oracle in
+    tests/test_polarization.py) and 26 for full-width draws.
     """
     two_pi = jnp.float32(2.0 * np.pi)
-    target = u * two_pi
     half = jnp.float32(0.5)
+    ha = half * a
+    hb = half * b
+    target = u * two_pi - hb
     lo = jnp.zeros_like(u)
-    s_lo = jnp.zeros_like(u)
-    c_lo = jnp.ones_like(u)
+    s2 = jnp.zeros_like(u)    # sin 2*lo
+    c2 = jnp.ones_like(u)     # cos 2*lo
     # STATIC unroll, deliberately: a lax.fori_loop form of this chain was
     # measured 31% SLOWER end-to-end on chip (polarized row, r4b run —
     # sequentially-dependent loop bodies lose Mosaic's software
@@ -613,27 +657,51 @@ def _bisect_phi_sincos(u, a, b, iters: int = 26):
     # footprint (~0.4M of the pol op's 17.4M) no longer matters
     for k in range(iters):
         delta = np.pi / (1 << k)
-        sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
         mid = lo + jnp.float32(delta)
-        s_m = s_lo * cd + c_lo * sd
-        c_m = c_lo * cd - s_lo * sd
-        sin2 = 2.0 * s_m * c_m
-        cos2 = c_m * c_m - s_m * s_m
-        fv = mid + half * a * sin2 + half * b * (1.0 - cos2)
+        if k == 0:
+            s2_m, c2_m = s2, c2   # rotation by 2*delta = 2pi: identity
+        else:
+            sd = jnp.float32(np.sin(2.0 * delta))
+            cd = jnp.float32(np.cos(2.0 * delta))
+            s2_m = s2 * cd + c2 * sd
+            c2_m = c2 * cd - s2 * sd
+        fv = (mid + ha * s2_m) - hb * c2_m
         go_hi = fv < target
         lo = jnp.where(go_hi, mid, lo)
-        s_lo = jnp.where(go_hi, s_m, s_lo)
-        c_lo = jnp.where(go_hi, c_m, c_lo)
+        s2 = jnp.where(go_hi, s2_m, s2)
+        c2 = jnp.where(go_hi, c2_m, c2)
     # final midpoint: one more half-interval rotation
     delta = np.pi / (1 << iters)
-    sd, cd = jnp.float32(np.sin(delta)), jnp.float32(np.cos(delta))
-    s_f = s_lo * cd + c_lo * sd
-    c_f = c_lo * cd - s_lo * sd
+    sd = jnp.float32(np.sin(2.0 * delta))
+    cd = jnp.float32(np.cos(2.0 * delta))
+    s2_f = s2 * cd + c2 * sd
+    c2_f = c2 * cd - s2 * sd
+    phi = lo + jnp.float32(delta)
     # renormalize the pair so the composed-rotation drift cannot leak into
     # the direction/Stokes algebra downstream
-    inv = jax.lax.rsqrt(jnp.maximum(s_f * s_f + c_f * c_f,
+    inv = jax.lax.rsqrt(jnp.maximum(s2_f * s2_f + c2_f * c2_f,
                                     jnp.float32(1e-30)))
-    return s_f * inv, c_f * inv
+    s2_f = s2_f * inv
+    c2_f = c2_f * inv
+    # half-angle extraction (see docstring): cos 2phi >= 0 <=>
+    # cos^2 phi >= 1/2, so the sqrt branch chosen is always the
+    # well-conditioned one and the division is by a component >= 1/sqrt2
+    big_c = c2_f >= 0
+    cp_mag = jnp.sqrt((1.0 + c2_f) * half)
+    sp_mag = jnp.sqrt((1.0 - c2_f) * half)
+    pos1 = jnp.float32(1.0)
+    neg1 = jnp.float32(-1.0)
+    sign_c = jnp.where((phi < jnp.float32(0.5 * np.pi))
+                       | (phi > jnp.float32(1.5 * np.pi)), pos1, neg1)
+    sign_s = jnp.where(phi < jnp.float32(np.pi), pos1, neg1)
+    cp_big = sign_c * cp_mag
+    sp_big = sign_s * sp_mag
+    hs2 = s2_f * half
+    cos_p = jnp.where(big_c, cp_big,
+                      hs2 / jnp.where(big_c, pos1, sp_big))
+    sin_p = jnp.where(big_c, hs2 / jnp.where(big_c, cp_big, pos1),
+                      sp_big)
+    return sin_p, cos_p, s2_f, c2_f
 
 
 def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
@@ -866,7 +934,7 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 f[_E], nhat, op.inv_mec2, op.theta_e, u4,
                 lambda a1: _kn_cos_eta_fused(a1, rng, plan, shape,
                                             op.kn_tries), pu,
-                jnp.float32)
+                jnp.float32, fast_trig=plan.fast_trig)
             pcoll = pcoll * flux
             if op.kn_xsec:
                 pcoll = pcoll * _kn_sigma_ratio(alpha1, jnp.float32)
@@ -1067,10 +1135,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             # width uniform and keeps the 26-step resolution)
             phi_iters = (17 if op.kind == "pol" and plan.packed_angles
                          else 26)
-            sin_p, cos_p = _bisect_phi_sincos(pu, r_t * q, r_t * u_st,
-                                              iters=phi_iters)
-            cos2p = cos_p * cos_p - sin_p * sin_p
-            sin2p = 2.0 * sin_p * cos_p
+            sin_p, cos_p, sin2p, cos2p = _bisect_phi_sincos(
+                pu, r_t * q, r_t * u_st, iters=phi_iters)
 
             # rotate Stokes into the scattering plane, apply the Fano
             # phase matrix (Thomson rows at kappa = 2), renormalize to I=1
@@ -1960,10 +2026,11 @@ def _build_fused_chunk_uncached(plan: FusedPlan, capacity: int):
         plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
     if any(op.kind in ("pol", "polc") for op in plan.ops):
         # the polarized frame/Mueller algebra measured 17.4M of Mosaic
-        # stack at U=1 with 256-row tiles; U=2 roughly doubles the
-        # op-body share (~28M) — inside the 64M budget (r4c matrix pins
-        # the compile; the r4d probe measures whether 2 beats 1)
-        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 2))
+        # stack at U=1 with 256-row tiles (r4); the r5 double-angle-carry
+        # bisection shrank the body ~16%, which brings U=4 (~58M) inside
+        # the 64M budget — fresh-compiled and measured on chip r5:
+        # 6.15e9 vs 6.09e9 at U=2 (the compile matrix pins every size)
+        plan = dataclasses.replace(plan, unroll=min(plan.unroll, 4))
 
     out_specs = [
         pl.BlockSpec((nf, tile_rows, _LANE), lambda i: (0, i, 0),

@@ -168,3 +168,51 @@ def test_comptonization_y_parameter():
     # mean amplification e^y (alpha stays << 4 theta_e throughout)
     assert np.isclose(np.log(E.mean()), y, atol=0.25 * y), \
         (np.log(E.mean()), y)
+
+
+def test_fast_neg2log_vs_f64_oracle():
+    """The fused kernel's Box-Muller radius (-2 ln u by exponent-field
+    extraction + degree-6 mantissa polynomial, ops/fused._fast_neg2log)
+    against the f64 libm form: uniformly accurate in ln across the whole
+    f32 draw range, INCLUDING the deep Maxwell tail (u -> 2^-32 is a
+    6.6-sigma electron; a truncated-series log would clip it)."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.ops.fused import _fast_neg2log
+
+    rng = np.random.default_rng(3)
+    u = np.concatenate([
+        rng.random(4096),
+        2.0 ** -rng.uniform(0.0, 32.0, 2048),     # log-uniform deep tail
+        np.array([1.0 - 2**-24, 0.5, 2.0**-32, 1e-12, 2.0**-126]),
+    ]).astype(np.float32)
+    u = u[u > 0]
+    got = np.asarray(_fast_neg2log(jnp.asarray(u)), np.float64)
+    want = -2.0 * np.log(u.astype(np.float64))
+    # abs err in ln ~1.5e-6 (poly 2.1e-6 in log2 * ln2) => 3e-6 in -2 ln u,
+    # plus f32 representation noise on the large-exponent end
+    assert np.abs(got - want).max() < 1e-5 * np.maximum(want, 1.0).max()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=3e-6)
+
+
+def test_gauss3_fast_matches_exact_moments():
+    """fast_trig Box-Muller (polynomial sin/cos + extracted log) produces
+    the same standard normals as the libm form to the documented wobble:
+    per-sample agreement at the 1.1e-3 _fast_sinpi error times the radius,
+    and distribution moments to statistical precision."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.light import _gauss3_from_uniform
+
+    rng = np.random.default_rng(11)
+    u4 = tuple(jnp.asarray(rng.random(200_000, dtype=np.float32).clip(1e-9))
+               for _ in range(4))
+    fast = [np.asarray(g, np.float64)
+            for g in _gauss3_from_uniform(u4, jnp.float32, fast_trig=True)]
+    exact = [np.asarray(g, np.float64)
+             for g in _gauss3_from_uniform(u4, jnp.float32)]
+    for gf, ge in zip(fast, exact):
+        # angle wobble scales with the radius; radii here reach ~6.4
+        np.testing.assert_allclose(gf, ge, atol=1.3e-3 * 6.5)
+        assert abs(gf.mean()) < 0.01
+        assert abs(gf.std() - 1.0) < 0.005

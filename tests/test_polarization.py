@@ -628,3 +628,58 @@ def test_polarized_emitter_feeds_polarimetry():
     np.testing.assert_allclose(purity, 1.0, atol=2e-5)
     d = v[:, sl] / np.linalg.norm(v[:, sl], axis=0)
     assert abs((d[2] ** 2).mean() - 0.2) < 0.02
+
+
+def test_bisect_phi_sincos_vs_f64_oracle():
+    """Pin the fused kernel's azimuth inversion (double-angle-carry
+    bisection + half-angle extraction, ops/fused._bisect_phi_sincos)
+    against an f64 oracle bisection of the same CDF
+    ``F(phi) = (phi + (a/2) sin 2phi + (b/2)(1 - cos 2phi)) / 2pi``.
+
+    Error metric is in u-SPACE (|F(phi_hat) - u|): the right measure for
+    an inverse-CDF — where the pdf F' is near zero the CDF is flat and
+    any phi in the flat region is an equally valid sample, so an
+    angle-space comparison would reject correct answers at the Mueller
+    null (|(a,b)| -> 1). Also pins the returned quadruple's internal
+    consistency: unit norm and sin 2phi == 2 sin phi cos phi, which the
+    downstream frame/Stokes algebra relies on."""
+    import itertools
+
+    from physicl_tpu.ops.fused import _bisect_phi_sincos
+
+    rng = np.random.default_rng(7)
+    us = np.concatenate([
+        rng.random(512),
+        # hit the sign-flip boundaries of the half-angle extraction
+        # (phi near pi/2, pi, 3pi/2) and the interval ends
+        np.array([0.0, 0.25, 0.5, 0.75, 1.0 - 2**-17, 0.249999,
+                  0.250001, 0.499999, 0.500001, 0.749999, 0.750001]),
+    ]).astype(np.float32)
+    cases = [(0.0, 0.0), (0.3, -0.4), (-0.7, 0.2), (0.999, 0.0),
+             (0.0, -0.999), (0.706, 0.706)]
+    for (a, b), iters in itertools.product(cases, (17, 26)):
+        af = np.float32(a)
+        bf = np.float32(b)
+        sp, cp, s2p, c2p = (np.asarray(x, np.float64)
+                            for x in _bisect_phi_sincos(
+                                jnp_asarray(us), af, bf, iters=iters))
+        # internal consistency (frame algebra depends on these)
+        np.testing.assert_allclose(sp * sp + cp * cp, 1.0, atol=1e-5)
+        np.testing.assert_allclose(s2p, 2.0 * sp * cp, atol=2e-5)
+        np.testing.assert_allclose(c2p, cp * cp - sp * sp, atol=2e-5)
+        # u-space inversion error vs the f64 CDF at the returned angle
+        phi = np.arctan2(sp, cp) % (2.0 * np.pi)
+        f_hat = (phi + 0.5 * a * np.sin(2 * phi)
+                 + 0.5 * b * (1.0 - np.cos(2 * phi))) / (2.0 * np.pi)
+        err = np.abs(f_hat - us.astype(np.float64))
+        err = np.minimum(err, 1.0 - err)  # u = 0 == u = 1 (periodic)
+        # bisection resolution in u-space is |F'| * 2^-iters <= 2 * 2^-iters;
+        # allow f32 CDF-evaluation noise on top
+        assert err.max() < 2.0 * 2.0 ** -iters + 3e-6, (a, b, iters,
+                                                        err.max())
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
