@@ -1512,7 +1512,7 @@ class ScatterPhaseFunctionStep(ScatterHenyeyGreensteinStep):
         return jnp.clip(jnp.asarray(self._icdf(u), dtype), -1.0, 1.0)
 
 
-def _rayleigh_cos_theta(u, dtype):
+def _rayleigh_cos_theta(u, dtype, fast=False):
     """Exact inverse CDF of the Rayleigh (dipole) phase function
     ``p(cos) = (3/8)(1 + cos^2)``: the CDF ``(c^3 + 3c + 4)/8 = u`` gives
     the depressed cubic ``c^3 + 3c = 8u - 4`` whose single real root
@@ -1521,10 +1521,17 @@ def _rayleigh_cos_theta(u, dtype):
     second Cardano term folds via ``(w+s)(w-s) = -1``). ``w + s`` lies in
     ``[sqrt(5)-2, sqrt(5)+2]`` — positive and bounded away from 0 — so the
     cube root is computed as ``exp(log/3)``, safe in f32 and available
-    inside the Pallas kernel."""
+    inside the Pallas kernel; ``fast=True`` (the fused kernel) computes it
+    as ``2^(log2/3)`` with the kernel's polynomial log2/exp2 forms
+    (ops/fused) — rel err ~2e-6 in the root, zero transcendentals."""
     w = 4.0 * u - 2.0
     s = jnp.sqrt(w * w + 1.0)
-    a = jnp.exp(jnp.log(w + s) * jnp.asarray(1.0 / 3.0, dtype))
+    if fast:
+        from physicl_tpu.ops.fused import _fast_exp2, _fast_log2
+
+        a = _fast_exp2(_fast_log2(w + s) * jnp.asarray(1.0 / 3.0, dtype))
+    else:
+        a = jnp.exp(jnp.log(w + s) * jnp.asarray(1.0 / 3.0, dtype))
     return jnp.clip(a - 1.0 / a, -1.0, 1.0)
 
 
@@ -1571,10 +1578,11 @@ _KN_BRACKET_COEF = (
     69.37461960979472)
 
 
-def _kn_sigma_ratio(alpha, dtype):
+def _kn_sigma_ratio(alpha, dtype, fast=False):
     """sigma_KN(alpha) / sigma_Thomson — the exact Klein-Nishina total
     cross-section ratio (alpha = E / m_e c^2), f32-accurate to <2e-5 over
-    alpha in [0, 1e4] (pinned vs an f64 host oracle in tests/test_compton.py).
+    alpha in [0, 1e4] (pinned vs an f64 host oracle in tests/test_compton.py
+    for BOTH the libm and the ``fast=True`` polynomial-log2 forms).
 
     The closed form cancels catastrophically in f32 below alpha ~ 0.5 (the
     bracket 2a(1+a)/b - ln b is O(a^3) against O(a) terms, and error grows
@@ -1585,7 +1593,12 @@ def _kn_sigma_ratio(alpha, dtype):
     ops, Pallas-safe."""
     a = jnp.maximum(jnp.asarray(alpha, dtype), jnp.asarray(1e-6, dtype))
     b = 1.0 + 2.0 * a
-    log_b = jnp.log(b)
+    if fast:  # ln b = ln2 * log2 b, abs err ~3.4e-8: inside the 2e-5 pin
+        from physicl_tpu.ops.fused import _fast_log2
+
+        log_b = jnp.asarray(np.log(2.0), dtype) * _fast_log2(b)
+    else:
+        log_b = jnp.log(b)
     exact = 0.75 * (
         (1.0 + a) / (a * a * a) * (2.0 * a * (1.0 + a) / b - log_b)
         + log_b / (2.0 * a)
@@ -1603,7 +1616,7 @@ def _kn_sigma_ratio(alpha, dtype):
                      jnp.where(a0 < 0.5, mid, exact))
 
 
-def _kn_cos_eta(alpha, triples, dtype):
+def _kn_cos_eta(alpha, triples, dtype, fast=False):
     """Sample the Klein-Nishina angular distribution for per-element photon
     energies ``alpha = E / m_e c^2``.
 
@@ -1646,7 +1659,8 @@ def _kn_cos_eta(alpha, triples, dtype):
             two_a, b, p_branch_a, r1, r2, r3, eta, cos_t, accepted, dtype)
 
     return _kn_koblinger_tail(alpha, a, two_a, b, triples[0][0],
-                              triples[0][1], eta, cos_t, accepted, dtype)
+                              triples[0][1], eta, cos_t, accepted, dtype,
+                              fast=fast)
 
 
 def _kn_try(two_a, b, p_branch_a, r1, r2, r3, eta, cos_t, accepted, dtype):
@@ -1673,20 +1687,30 @@ def _kn_try(two_a, b, p_branch_a, r1, r2, r3, eta, cos_t, accepted, dtype):
 
 
 def _kn_koblinger_tail(alpha, a, two_a, b, u_pick, u_inv, eta, cos_t,
-                       accepted, dtype):
+                       accepted, dtype, fast=False):
     """Koblinger direct sampling on the disjoint high-alpha lanes (reuses
-    the first Kahn triple's r1, r2 as its two draws)."""
+    the first Kahn triple's r1, r2 as its two draws). ``fast=True`` (the
+    fused kernel) computes the log and the 1/x-piece power ``b^u =
+    2^(u log2 b)`` with the polynomial log2/exp2 forms (ops/fused) — rel
+    err ~1e-6 in eta, zero transcendentals; the generic path keeps libm."""
     one = jnp.asarray(1.0, dtype)
     inv_a1 = one / a
     inv_a2 = inv_a1 * inv_a1
-    log_b = jnp.log(b)
+    if fast:
+        from physicl_tpu.ops.fused import _fast_exp2, _fast_log2
+
+        log2_b = _fast_log2(b)
+        log_b = jnp.asarray(np.log(2.0), dtype) * log2_b
+        x1 = _fast_exp2(u_inv * log2_b)              # 1/x piece: b^u
+    else:
+        log_b = jnp.log(b)
+        x1 = jnp.exp(u_inv * log_b)                  # 1/x piece: b^u
     w1 = (one - 2.0 * inv_a1 - 2.0 * inv_a2) * log_b
     w2 = (2.0 * inv_a1 + inv_a2) * (two_a / b)
     inv_b2 = one / (b * b)
     w3 = 0.5 * (one - inv_b2)
     w4 = inv_a2 * two_a
     t = u_pick * (w1 + w2 + w3 + w4)
-    x1 = jnp.exp(u_inv * log_b)                      # 1/x piece
     x2 = b / (b - two_a * u_inv)                     # 1/x^2 piece
     # 1/x^3 piece: 1 - u*(1 - 1/b^2) loses the 1/b^2 term to f32 rounding
     # once b > ~4096 (the sampled tail then caps at eta ~ 4096 instead of
@@ -1716,7 +1740,7 @@ def _gauss3_from_uniform(u4, dtype, fast_trig=False):
     angle factors (1.1e-3 abs error — a 0.06-degree wobble on an already-
     isotropic Maxwell angle; per-axis variance shifts < 2.3e-3 relative,
     invisible to the SZ/Kompaneets chi2 validations, re-run on chip r5)
-    and ``_fast_neg2log`` for the radii (1.5e-6 in ln — tail-exact, the
+    and ``_fast_neg2log`` for the radii (~7e-8 in ln — tail-exact, the
     part that must NOT be approximated: the Kompaneets drift rides the
     Maxwell speed distribution). The generic path keeps the exact libm
     forms."""

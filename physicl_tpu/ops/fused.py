@@ -531,23 +531,30 @@ def _wrap1(x):
     return x - jnp.where(x > 1.0, jnp.float32(2.0), jnp.float32(0.0))
 
 
-# Chebyshev-node least-squares fit (degree 6) of log2(1 + t) on [0, 1),
-# max abs error 2.1e-6 — same technique as the Planck iCDF fits
+# Chebyshev-node least-squares fit (degree 8) of log2(1 + t) on [0, 1),
+# max abs error 4.9e-8 — same technique as the Planck iCDF fits. Degree 8
+# (not 6 at 2.1e-6): _kn_sigma_ratio's exact branch multiplies ln b by
+# (1+a)/a^3 = 12 at the a = 0.5 branch switch, and 12 x 2.1e-6 breached
+# that function's 2e-5 f64-oracle pin (caught by its test).
 _LOG2_MANT_COEF = (
-    2.123740891262228e-06, 1.4424753148220812, -0.7175578724222369,
-    0.45552708806134273, -0.274623257617495, 0.11929823770630403,
-    -0.025123203286067798)
+    4.8863580577762396e-08, 1.4426867778259698, -0.7211146144034414,
+    0.4783235448682019, -0.34599601243509254, 0.23923166297596724,
+    -0.1345342542024613, 0.05027750737261643, -0.008874696651710342)
+
+# degree-5 fit of 2^t on [0, 1), max rel error 1.0e-7
+_EXP2_FRAC_COEF = (
+    0.9999998957631349, 0.6931546200033143, 0.24014077009166834,
+    0.05586328265986017, 0.008946214665550255, 0.0018951072913389714)
 
 
-def _fast_neg2log(u):
-    """``-2 ln u`` for f32 ``u`` in (0, 1] — the Box-Muller radius-squared —
-    with zero transcendentals: split ``u = m 2^e`` by exponent-field
-    extraction (bitcast + shifts, all Pallas-safe), then ``ln u = ln2 *
-    (e + log2 m)`` with the degree-6 mantissa polynomial above. Uniformly
-    accurate in ln (abs err ~1.5e-6, exact exponent term), so the Maxwell
-    speed tail is as deep as the draw itself reaches — unlike a truncated
-    series, the far tail (u -> 2^-32, radius 6.6 sigma) stays exact."""
-    bits = jax.lax.bitcast_convert_type(u, jnp.int32)
+def _fast_log2(x):
+    """``log2 x`` for positive normal f32 ``x`` with zero transcendentals:
+    split ``x = m 2^e`` by exponent-field extraction (bitcast + shifts,
+    all Pallas-safe), then ``e + log2 m`` with the degree-8 mantissa
+    polynomial above. Uniformly accurate (abs err ~4.9e-8, exact exponent
+    term) across the whole normal range — unlike a truncated series, the
+    far ends (x -> 2^-126 or 2^127) lose nothing."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = (jax.lax.shift_right_logical(bits, 23) & jnp.int32(0xFF)) \
         - jnp.int32(127)
     m_bits = (bits & jnp.int32(0x007FFFFF)) | jnp.int32(127 << 23)
@@ -555,8 +562,31 @@ def _fast_neg2log(u):
     p = jnp.float32(_LOG2_MANT_COEF[-1])
     for c in _LOG2_MANT_COEF[-2::-1]:
         p = p * t + jnp.float32(c)
-    neg_two_ln2 = jnp.float32(-2.0 * np.log(2.0))
-    return neg_two_ln2 * (e.astype(jnp.float32) + p)
+    return e.astype(jnp.float32) + p
+
+
+def _fast_exp2(x):
+    """``2^x`` for f32 ``x`` in (-126, 127) with zero transcendentals:
+    split ``x = n + f`` (integer floor + fraction in [0, 1)), evaluate
+    ``2^f`` with the degree-5 polynomial above (1.0e-7 rel error) and
+    scale by ``2^n`` through direct exponent-field construction
+    (``(n + 127) << 23`` bitcast to f32 — exact)."""
+    n = jnp.floor(x)
+    f = x - n
+    p = jnp.float32(_EXP2_FRAC_COEF[-1])
+    for c in _EXP2_FRAC_COEF[-2::-1]:
+        p = p * f + jnp.float32(c)
+    scale_bits = jax.lax.shift_left(n.astype(jnp.int32) + jnp.int32(127),
+                                    jnp.int32(23))
+    return p * jax.lax.bitcast_convert_type(scale_bits, jnp.float32)
+
+
+def _fast_neg2log(u):
+    """``-2 ln u`` for f32 ``u`` in (0, 1] — the Box-Muller radius-squared —
+    via :func:`_fast_log2`. Uniformly accurate in ln (abs err ~7e-8),
+    so the Maxwell speed tail is as deep as the draw itself reaches
+    (u -> 2^-32 is a 6.6-sigma electron and stays exact)."""
+    return jnp.float32(-2.0 * np.log(2.0)) * _fast_log2(u)
 
 
 def _fast_angles(tu, pu):
@@ -599,7 +629,7 @@ def _kn_cos_eta_fused(alpha, rng, plan, shape, tries):
     from physicl_tpu.light import _kn_cos_eta
 
     return _kn_cos_eta(alpha, _kn_triples(rng, plan, shape, tries),
-                       jnp.float32)
+                       jnp.float32, fast=plan.fast_trig)
 
 
 def _unit_dir(f):
@@ -937,7 +967,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
                 jnp.float32, fast_trig=plan.fast_trig)
             pcoll = pcoll * flux
             if op.kn_xsec:
-                pcoll = pcoll * _kn_sigma_ratio(alpha1, jnp.float32)
+                pcoll = pcoll * _kn_sigma_ratio(alpha1, jnp.float32,
+                                                fast=plan.fast_trig)
             scatter = (pcoll >= u) & ph_alive() & kn_ok
             cval = jnp.float32(op.c_val)
             for d in range(3):
@@ -973,7 +1004,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
 
                 alpha = f[_E] * jnp.float32(op.inv_mec2)
                 if op.kn_xsec:
-                    pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
+                    pcoll = pcoll * _kn_sigma_ratio(
+                        alpha, jnp.float32, fast=plan.fast_trig)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
                 cos_t, eta, kn_ok = _kn_cos_eta_fused(alpha, rng, plan,
@@ -996,7 +1028,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             elif op.kind == "rayl":
                 from physicl_tpu.light import _rayleigh_cos_theta
 
-                cos_t = _rayleigh_cos_theta(cu, jnp.float32)
+                cos_t = _rayleigh_cos_theta(cu, jnp.float32,
+                                            fast=plan.fast_trig)
             elif abs(op.g) < 1e-7:
                 cos_t = 2.0 * cu - 1.0  # exact isotropic limit
             else:
@@ -1074,7 +1107,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             if op.kind == "polc":
                 alpha = f[_E] * jnp.float32(op.inv_mec2)
                 if op.kn_xsec:
-                    pcoll = pcoll * _kn_sigma_ratio(alpha, jnp.float32)
+                    pcoll = pcoll * _kn_sigma_ratio(
+                        alpha, jnp.float32, fast=plan.fast_trig)
                 u = rng.uniform(shape)
                 pu = rng.uniform(shape)
                 cos_t, eta, kn_ok = _kn_cos_eta_fused(alpha, rng, plan,
@@ -1126,7 +1160,8 @@ def _emit_iteration(plan: FusedPlan, k, dt, fields, rng: "_Rng",
             # 1 + a cos2phi + b sin2phi by recurrence bisection, with
             # r = -sin^2/(kappa - sin^2) (kappa = 2 == the dipole limit)
             if op.kind == "pol":
-                cos_t = _rayleigh_cos_theta(cu, jnp.float32)
+                cos_t = _rayleigh_cos_theta(cu, jnp.float32,
+                                            fast=plan.fast_trig)
             c2 = cos_t * cos_t
             s2_ = 1.0 - c2
             r_t = -s2_ / (kappa - s2_)

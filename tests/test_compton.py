@@ -369,3 +369,72 @@ def test_compton_heating_on_mesh_psums_globally():
     E = np.asarray(jax.device_get(s.sim_state.E), np.float64)[:n]
     dep = np.array(comp.data, dtype=float)[:, 1].sum()
     np.testing.assert_allclose(E.sum() + dep, float(n), rtol=1e-5)
+
+
+def test_fast_log2_exp2_vs_f64_oracle():
+    """The kernel's polynomial log2/exp2 (exponent-field extraction +
+    degree-8/5 mantissa fits, ops/fused) against f64 libm across the
+    whole f32 normal range each is used on: log2 on (2^-126, 2^127),
+    exp2 on (-20, 20) — covering b = 1+2*alpha to alpha 1e4 and the
+    Koblinger b^u power."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.ops.fused import _fast_exp2, _fast_log2
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        2.0 ** rng.uniform(-126, 127, 4096),
+        np.array([1.0, 1.0 - 2**-24, 1.0 + 2**-23, 2.0, 0.5, 3.0]),
+    ]).astype(np.float32)
+    got = np.asarray(_fast_log2(jnp.asarray(x)), np.float64)
+    np.testing.assert_allclose(got, np.log2(x.astype(np.float64)),
+                               atol=3e-6)
+    y = np.concatenate([
+        rng.uniform(-20, 20, 4096),
+        np.array([0.0, 1.0, -1.0, 0.999999, 14.3, -0.7, 0.7]),
+    ]).astype(np.float32)
+    got = np.asarray(_fast_exp2(jnp.asarray(y)), np.float64)
+    np.testing.assert_allclose(got, 2.0 ** y.astype(np.float64),
+                               rtol=3e-7)
+
+
+def test_kn_sigma_ratio_fast_matches_pin():
+    """fast=True sigma_KN/sigma_T (polynomial log2) keeps the same 2e-5
+    f64-oracle pin as the libm form across alpha in [1e-4, 1e4]."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.light import _kn_sigma_ratio
+
+    from mpmath import mp, mpf
+
+    mp.dps = 40
+    a = np.logspace(-4, 4, 801)
+    # the f64 closed form itself cancels below alpha ~2e-4 (verified:
+    # 1.7e-5 off at 1e-4) — the oracle must be extended precision
+    exact = np.array([float(
+        0.75 * ((1 + mpf(x)) / mpf(x) ** 3
+                * (2 * mpf(x) * (1 + mpf(x)) / (1 + 2 * mpf(x))
+                   - mp.log(1 + 2 * mpf(x)))
+                + mp.log(1 + 2 * mpf(x)) / (2 * mpf(x))
+                - (1 + 3 * mpf(x)) / (1 + 2 * mpf(x)) ** 2))
+        for x in a])
+    got = np.asarray(_kn_sigma_ratio(jnp.asarray(a, jnp.float32),
+                                     jnp.float32, fast=True), np.float64)
+    np.testing.assert_allclose(got, exact, rtol=2e-5)
+
+
+def test_rayleigh_cos_theta_fast_matches_exact():
+    """fast=True Cardano cube root (2^(log2/3)) against the libm form:
+    agreement at the polynomial error (~2e-6), preserving the exact
+    <cos^2> = 2/5 defining property."""
+    import jax.numpy as jnp
+
+    from physicl_tpu.light import _rayleigh_cos_theta
+
+    u = np.linspace(1e-7, 1.0 - 1e-7, 200_001).astype(np.float32)
+    fast = np.asarray(_rayleigh_cos_theta(jnp.asarray(u), jnp.float32,
+                                          fast=True), np.float64)
+    exact = np.asarray(_rayleigh_cos_theta(jnp.asarray(u), jnp.float32),
+                       np.float64)
+    np.testing.assert_allclose(fast, exact, atol=1e-5)
+    assert abs((fast ** 2).mean() - 0.4) < 1e-3

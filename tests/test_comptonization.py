@@ -172,7 +172,7 @@ def test_comptonization_y_parameter():
 
 def test_fast_neg2log_vs_f64_oracle():
     """The fused kernel's Box-Muller radius (-2 ln u by exponent-field
-    extraction + degree-6 mantissa polynomial, ops/fused._fast_neg2log)
+    extraction + degree-8 mantissa polynomial, ops/fused._fast_neg2log)
     against the f64 libm form: uniformly accurate in ln across the whole
     f32 draw range, INCLUDING the deep Maxwell tail (u -> 2^-32 is a
     6.6-sigma electron; a truncated-series log would clip it)."""
