@@ -896,9 +896,69 @@ class ScatterDeleteStep(MeasureStep):
                               float(records["dep"][i])])
 
 
-# The reference ships a hand-written pipeline and a CLProgram rewrite with
-# identical physics (physicl/light.py:131-223 vs 225-260); one class covers both.
-ScatterDeleteStepReference = ScatterDeleteStep
+class ScatterDeleteStepReference(Step):
+    """Constant-medium absorption REBUILT through the declarative kernel
+    bridge — a genuinely independent second implementation whose only
+    shared code with :class:`ScatterDeleteStep` is the engine itself.
+
+    The reference ships the same pairing for cross-checking: a
+    hand-written pipeline (physicl/light.py:131-223) against a CLProgram
+    metadata rebuild (physicl/light.py:225-260). Here the hand-built
+    fused op is :class:`ScatterDeleteStep`; THIS class is the bridge
+    rebuild — the kill mask is computed by a :class:`~physicl_tpu.kernels.
+    KernelProgram` assembled from ``KernelInput``/``KernelOutput``
+    metadata (``dr`` gathers, an ``obj_def`` uniform draw, ``const``
+    coefficients, the photon ``obj_action`` filter), exactly the
+    declarative surface a migrated CLProgram user writes. The two
+    implementations cross-check each other statistically in
+    tests/test_light_stats.py (same e^-pcoll-per-step survival law) and
+    differentially against the reference's own Python physics in
+    tests/test_transport_differential.py.
+
+    Independent-implementation choices (deliberately NOT shared):
+    the collision test runs on gathered ``dr`` component arrays through
+    the bridge's gather pipeline rather than packed kernel planes, and
+    the draw comes from the bridge's ``obj_def`` sampler stream rather
+    than the transport kernel's salted per-op stream. Physics contract
+    is the reference's: kill where ``A * n * |dr| >= rand``, photons
+    only, no deposition tally. Runs on the generic scan (the fusability
+    prover issues its structured unsupported-step refusal) — use
+    :class:`ScatterDeleteStep` for production rates.
+    """
+
+    state_need_lock = False
+
+    def __init__(self, n, A):
+        from physicl_tpu.kernels import (KernelInput, KernelOutput,
+                                         KernelProgram)
+
+        self.n = float(raw_code_value(n))
+        self.A = float(raw_code_value(A))
+
+        def kernel_fn(valid, d0, d1, d2, rand, A, n):
+            norm = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+            pcoll = A * n * norm
+            return {"res": jnp.where(valid & (pcoll >= rand), 1, 0)}
+
+        prog = KernelProgram(None, "scatter_delete_reference", kernel_fn)
+        prog.prep_metadata = [
+            KernelInput(name="photon_check", type="obj_action",
+                        code=lambda st: st.otype == OBJ_PHOTON),
+            KernelInput(name="d0", type="obj", obj_attr="dr[0]"),
+            KernelInput(name="d1", type="obj", obj_attr="dr[1]"),
+            KernelInput(name="d2", type="obj", obj_attr="dr[2]"),
+            KernelInput(name="rand", type="obj_def",
+                        obj_def="np.random.random()"),
+            KernelInput(name="A", type="const", const_value=self.A),
+            KernelInput(name="n", type="const", const_value=self.n),
+        ]
+        prog.output_metadata = [KernelOutput(name="res", ctype="int")]
+        prog.build_kernel()
+        self._prog = prog
+
+    def apply(self, state: SimState, ctx) -> SimState:
+        out, _mask = self._prog._compiled(state, ctx.next_key())
+        return state.replace(alive=state.alive & (out["res"] != 1))
 
 
 _GID_RE = re.compile(r"\[\s*gid\s*\]")

@@ -153,7 +153,44 @@ def test_variable_n_string_and_callable():
 
 def test_scatter_spherical_step_alias():
     assert phys.light.ScatterSphericalStep is phys.light.ScatterIsotropicStep
-    assert phys.light.ScatterDeleteStepReference is phys.light.ScatterDeleteStep
+
+
+def test_delete_reference_is_independent_and_cross_checks():
+    """ScatterDeleteStepReference is a genuinely independent second
+    implementation (the declarative-bridge rebuild, mirroring the
+    reference's hand-written-vs-CLProgram pairing) — it must NOT be an
+    alias, and its survival statistics must cross-check the primary
+    fused/generic implementation: both follow N(k) = N0 (1-pcoll)^k with
+    the same pcoll, within binomial error."""
+    assert phys.light.ScatterDeleteStepReference \
+        is not phys.light.ScatterDeleteStep
+
+    n0 = 20000
+    k_iters = 30
+    pcoll = 0.05  # A * n * |dr| per iteration (|dr| = c * dt)
+    coef = pcoll / (float(light.c) * 1e-3)
+
+    def run(step_cls, seed):
+        s = phys.Simulation(exit=lambda c: c.t >= k_iters * 1e-3 - 5e-4,
+                            seed=seed)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, step_cls(np.double(1.0), np.double(coef)))
+        s.add_photons(light.generate_photon_state(n0, E=1.0))
+        s.start(); s.join()
+        return int(np.asarray(s.sim_state.alive).sum()), s
+
+    survivors_ref, s_ref = run(phys.light.ScatterDeleteStepReference, 3)
+    survivors_pri, s_pri = run(phys.light.ScatterDeleteStep, 3)
+    # the bridge rebuild is an unknown custom step to the prover
+    assert not s_ref.used_fused
+    expect = n0 * (1.0 - pcoll) ** k_iters
+    sigma = np.sqrt(n0 * (1.0 - pcoll) ** k_iters
+                    * (1.0 - (1.0 - pcoll) ** k_iters))
+    assert abs(survivors_ref - expect) < 5.0 * sigma, (survivors_ref, expect)
+    assert abs(survivors_pri - expect) < 5.0 * sigma, (survivors_pri, expect)
+    # and against each other (independent RNG streams: ~sqrt(2) sigma)
+    assert abs(survivors_ref - survivors_pri) < 7.0 * sigma
 
 
 def test_scatter_constants_use_code_units():
