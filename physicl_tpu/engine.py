@@ -1528,9 +1528,23 @@ class Simulation(threading.Thread):
     def _collect_records(self, steps, records, dev_keys, n_valid) -> None:
         """Fetch host record channels (device channels pass through as jax
         arrays), trim to the valid prefix, and hand each step its slice."""
-        if dev_keys:
+        # Pod meshes: per-photon channels (E-list capture) are sharded across
+        # processes — replicate them to every host first (one collective per
+        # channel per chunk; every process harvests in lockstep). Everything
+        # else ships in one batched device_get (each separate fetch is a full
+        # relay round trip).
+        spanning = {
+            k: v for k, v in records.items()
+            if k not in dev_keys and isinstance(v, jax.Array)
+            and not v.is_fully_addressable
+        }
+        if dev_keys or spanning:
             records_np = jax.device_get(
-                {k: v for k, v in records.items() if k not in dev_keys})
+                {k: v for k, v in records.items()
+                 if k not in dev_keys and k not in spanning})
+            from physicl_tpu.parallel.distributed import fetch_to_every_host
+            records_np.update(
+                {k: fetch_to_every_host(v) for k, v in spanning.items()})
             records_np.update(
                 {k: v for k, v in records.items() if k in dev_keys})
         else:

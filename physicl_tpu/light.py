@@ -607,10 +607,12 @@ def _dr_norm(state: SimState) -> jax.Array:
 
 
 def _require_single_process_mesh(sim, what: str) -> None:
-    """Per-photon record channels (path tracing, E-list capture) hold
-    particle-axis-sharded arrays that must eventually gather to THIS host;
-    on a multi-process mesh that gather is impossible (non-addressable
-    shards), so fail loudly at setup instead of mid-run."""
+    """Path-trace stream buffers hold particle-axis-sharded arrays that must
+    eventually gather to THIS host; on a multi-process mesh that gather would
+    allgather the full multi-GB stream every chunk, so fail loudly at setup
+    instead of mid-run. (Per-photon E-LIST capture is small enough that the
+    engine DOES allgather it — ``parallel.distributed.fetch_to_every_host``;
+    tracing is the remaining single-process-only feature.)"""
     from physicl_tpu.parallel.distributed import mesh_spans_processes
 
     mesh = getattr(sim, "mesh", None) if sim is not None else None
@@ -2833,7 +2835,10 @@ class ScatterMeasureStep(MeasureStep):
     (reference: physicl/light.py:361-404). Plane = 3-vector with the non-axis
     coordinates NaN; crossing test: ``r - dr <= loc <= r`` in either direction.
     Counting is an on-device masked reduction; with ``measure_E`` the crossing
-    photons' energies are captured (fetched per chunk, assembled on host).
+    photons' energies are captured (fetched per chunk, assembled on host; on
+    a process-spanning pod mesh the E channel is allgathered so every host
+    assembles the identical complete list — the per-particle counterpart of
+    the psum'd counts).
 
     ``weighted=True`` (TPU extension) reports each plane's statistical-weight
     sum over crossing photons instead of the count (a surface-current
@@ -2860,11 +2865,6 @@ class ScatterMeasureStep(MeasureStep):
             loc = np.asarray(loc, np.double)
             axis = 0 if not np.isnan(loc[0]) else (1 if not np.isnan(loc[1]) else 2)
             self._axes.append((axis, float(loc[axis])))
-
-    def setup(self, sim) -> None:
-        if self.measure_E and self.measure_E_mode == "list":
-            _require_single_process_mesh(sim,
-                                         "ScatterMeasureStep(measure_E)")
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         ctx.record(self, "t", state.t)

@@ -120,6 +120,34 @@ def process_local_slice(mesh, global_shape: tuple) -> tuple:
     return mine[0] * per_dev, len(mine) * per_dev
 
 
+def fetch_to_every_host(x):
+    """``np.asarray`` of a possibly process-spanning record channel.
+
+    Per-photon record channels (plane-crossing E capture) ride the particle
+    axis, so on a pod mesh their shards live on other hosts and a plain
+    ``device_get`` raises (non-addressable). A compiled identity with a
+    replicated out-sharding allgathers the channel so EVERY host assembles
+    the identical, complete measurement — the per-particle counterpart of
+    the psum'd scalar tallies. Must be called in lockstep on every process
+    (the engine's record harvest is — it runs the same loop pod-wide).
+
+    Fully-addressable inputs (single-process meshes, host arrays) pass
+    through as a plain fetch: the collective costs nothing when it isn't
+    needed.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = getattr(x.sharding, "mesh", None)
+        if mesh is None:  # pragma: no cover - pod arrays are NamedSharding
+            raise NotImplementedError(
+                "cannot replicate a non-addressable array without a mesh "
+                f"(sharding {x.sharding!r})")
+        x = jax.jit(lambda a: a,
+                    out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+    return np.asarray(jax.device_get(x))
+
+
 def shard_state_multiprocess(state, mesh):
     """Place a SimState onto a process-spanning mesh.
 

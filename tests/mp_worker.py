@@ -201,4 +201,34 @@ assert abs(ns7[-10:].mean() - n_star) / n_star < 0.1, ns7[-10:]
 print(f"[{pid}] pod-mesh emitter steady state N*={n_star:.0f} "
       f"(measured {ns7[-10:].mean():.0f}) PASS", flush=True)
 
+# --- per-photon E-list capture across processes ---------------------------
+# The E channel is particle-axis-sharded; the engine allgathers it per chunk
+# (fetch_to_every_host) so EVERY host assembles the identical complete list.
+# Distinct per-photon energies make shard loss detectable: 1 + i*2^-16 is
+# f32-exact, so the list's length AND sum pin every photon of every shard.
+Ne = 2 * nproc * 16384
+E_tag = 1.0 + np.arange(Ne, dtype=np.float64) * 2.0 ** -16
+step_len = float(light.c) * 1e-3
+for fuse_mode in ("auto", "off"):
+    s8 = phys.Simulation(until_t=6 * 1e-3 * 0.9999, seed=13, mesh=mesh,
+                         fuse=fuse_mode)
+    s8.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+    s8.add_step(1, phys.newton.NewtonianKinematicsStep())
+    cross = light.ScatterMeasureStep(
+        None, True, measure_locs=[np.array([2.5 * step_len, np.nan, np.nan])],
+        measure_E=True)
+    s8.add_step(2, cross)
+    s8.add_photons(light.generate_photon_state(Ne, E=E_tag.astype(np.float32)))
+    s8.start(); s8.join()
+    if fuse_mode == "auto":
+        assert s8.used_fused, "pod E-list run must stay fused"
+    counts = [int(r[2]) for r in cross.data]
+    assert counts == [0, 0, Ne, 0, 0, 0], counts
+    Es = np.asarray(cross.data[2][3], np.float64)
+    assert Es.shape == (Ne,), Es.shape
+    assert abs(Es.sum() - E_tag.sum()) < 1e-6 * E_tag.sum(), (
+        Es.sum(), E_tag.sum())
+    print(f"[{pid}] pod-mesh per-photon E-list capture (fuse={fuse_mode}) "
+          f"complete across shards PASS", flush=True)
+
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)
