@@ -3011,7 +3011,15 @@ class TracePathMeasureStep(MeasureStep):
     nothing crosses to the host until the trace matrix is assembled
     (``data`` / ``as_arrays`` / CSV terminate). Device chunks beyond
     ``device_hold_bytes`` spill to host RAM oldest-first so HBM stays
-    bounded on long runs."""
+    bounded on long runs.
+
+    Process-spanning pod meshes trace SHARD-LOCALLY: each host assembles
+    only its contiguous span of the particle axis (rows keep GLOBAL slot
+    ids; ``col0`` is the global id of local column 0, and CSV paths gain a
+    ``.p{process_index}`` suffix) — the per-host matrices tile the full
+    one without ever moving a stream buffer over DCN. Mid-run capacity
+    growth is refused there (it would reshard the spans); pre-size
+    ``capacity=`` for the peak population."""
 
     needs_stable_ids = True  # disables engine auto-shrink compaction
     device_records = ("pos", "alive", "scat", "traceraw")
@@ -3057,9 +3065,23 @@ class TracePathMeasureStep(MeasureStep):
         self._freq = None       # (C,) scatter-event counts (device)
         self._seen = 0          # global iterations consumed (stride phase)
         self._gidx: List = []   # per chunk: sampled global iteration indices
+        self._pod = False       # process-spanning mesh: shard-local assembly
+        self._col0: List = []   # per chunk: global id of local column 0
+        self.col0 = 0           # set at assembly: global id of column 0
 
     def setup(self, sim) -> None:
-        _require_single_process_mesh(sim, "TracePathMeasureStep")
+        # Process-spanning meshes: SHARD-LOCAL tracing. Stream buffers are
+        # multi-GB per chunk, so gathering them across hosts every chunk
+        # would make the DCN the bottleneck by construction; instead each
+        # host assembles only ITS contiguous span of the particle axis
+        # (slots are stable — needs_stable_ids pins compaction) and labels
+        # rows with GLOBAL slot ids. `as_arrays`/`data` then cover this
+        # host's photons; `col0` gives the global id of local column 0, and
+        # CSV paths get a `.p{process_index}` suffix so hosts don't collide.
+        from physicl_tpu.parallel.distributed import mesh_spans_processes
+
+        self._pod = mesh_spans_processes(getattr(sim, "mesh", None)
+                                         if sim is not None else None)
 
     def apply(self, state: SimState, ctx: StepContext) -> SimState:
         # generic path honors trace_dtype too: identical record semantics
@@ -3093,6 +3115,7 @@ class TracePathMeasureStep(MeasureStep):
             self._seen += n_it
             self._pos.append(x)
             self._alive.append(None)
+            self._col0.append(None)  # resolved at fetch/spill (shard-local)
         else:
             pos, alive = records["pos"], records["alive"]
             k = int(pos.shape[0])
@@ -3105,6 +3128,7 @@ class TracePathMeasureStep(MeasureStep):
             self._seen += k
             self._pos.append(pos)
             self._alive.append(alive)
+            self._col0.append(None)
             if self.trace_dv and "scat" in records:
                 s = jnp.sum(jnp.asarray(records["scat"]).astype(jnp.int32),
                             axis=0)
@@ -3135,23 +3159,33 @@ class TracePathMeasureStep(MeasureStep):
             if total <= self.device_hold_bytes:
                 break
             x = self._pos[i]
+            from physicl_tpu.parallel.distributed import local_shard_np
+
             if hasattr(x, "buf"):
                 if isinstance(x.buf, jax.Array):
                     total -= held(i)
                     # reassign through the shared holder: every trace step's
-                    # record for this chunk references the same device buffer
-                    x.hold.arr = np.asarray(jax.device_get(x.buf))
+                    # record for this chunk references the same device buffer.
+                    # Pod meshes spill only this host's span (shard-local).
+                    x.hold.arr, x.hold.col0 = local_shard_np(x.buf)
             elif isinstance(x, jax.Array):
                 total -= held(i)
-                self._pos[i] = np.asarray(jax.device_get(x))
-                self._alive[i] = np.asarray(jax.device_get(self._alive[i]))
+                self._pos[i], c0 = local_shard_np(x)
+                self._alive[i], _ = local_shard_np(self._alive[i])
+                self._col0[i] = c0
 
     def _chunk_np(self, i):
         """Normalize chunk i to host arrays: (pos (k,3,C), alive (k,C),
-        scat (k,C) or None)."""
+        scat (k,C) or None). Pod meshes fetch shard-local (C = this host's
+        span; ``self._col0[i]`` records its first global column)."""
+        from physicl_tpu.parallel.distributed import local_shard_np
+
         x = self._pos[i]
         if hasattr(x, "buf"):  # raw stream record
-            buf = np.asarray(jax.device_get(x.buf))
+            if isinstance(x.buf, jax.Array):
+                x.hold.arr, x.hold.col0 = local_shard_np(x.buf)
+            buf = x.buf
+            self._col0[i] = x.hold.col0
             n_it = x.n_valid if x.n_valid >= 0 else buf.shape[0] * x.every
             sel = x.rows if x.rows is not None else slice(
                 0, -(-n_it // x.every))  # valid-prefix rows (ceil)
@@ -3167,8 +3201,14 @@ class TracePathMeasureStep(MeasureStep):
             alive = ~np.isnan(sub[:, 0, :])
             scat = sub[:, 3, :] if x.scat else None
             return pos, alive, scat
-        return (np.asarray(jax.device_get(x), dtype=np.float32),
-                np.asarray(jax.device_get(self._alive[i])), None)
+        if isinstance(x, jax.Array):
+            self._pos[i], c0 = local_shard_np(x)
+            self._alive[i], _ = local_shard_np(self._alive[i])
+            self._col0[i] = c0
+        elif self._col0[i] is None:
+            self._col0[i] = 0
+        return (np.asarray(self._pos[i], dtype=np.float32),
+                np.asarray(self._alive[i]), None)
 
     @property
     def data(self):
@@ -3194,6 +3234,16 @@ class TracePathMeasureStep(MeasureStep):
         if not self._pos:
             return [], np.zeros((0, 3, 0)), np.zeros((0, 0), bool), None
         chunks = [self._chunk_np(i) for i in range(len(self._pos))]
+        col0s = {c for c in self._col0 if c is not None}
+        if len(col0s) > 1:
+            # shard-local pod assembly: the host's span moved between chunks
+            # (capacity growth reshards the particle axis) — the per-chunk
+            # column blocks no longer align to one global offset
+            raise NotImplementedError(
+                "TracePathMeasureStep on a process-spanning mesh does not "
+                f"support mid-run capacity growth (local spans {col0s}); "
+                "pre-size capacity= for the peak population")
+        self.col0 = col0s.pop() if col0s else 0
         cmax = max(p.shape[-1] for p, _, _ in chunks)
         pos = np.concatenate(
             [np.pad(p, ((0, 0), (0, 0), (0, cmax - p.shape[-1])))
@@ -3203,8 +3253,13 @@ class TracePathMeasureStep(MeasureStep):
              for _, a, _ in chunks], axis=0)     # (T, C)
         # scatter-event counts: generic-path chunks accumulated on device in
         # self._freq; fused raw chunks carry a scat plane summed here
-        freq = (None if self._freq is None
-                else np.asarray(jax.device_get(self._freq)).astype(np.int64))
+        if self._freq is None:
+            freq = None
+        else:
+            from physicl_tpu.parallel.distributed import local_shard_np
+
+            freq_np, _ = local_shard_np(self._freq)
+            freq = np.asarray(freq_np).astype(np.int64)
         raw_freq = None
         for _, _, scat in chunks:
             if scat is None:
@@ -3234,9 +3289,15 @@ class TracePathMeasureStep(MeasureStep):
             return [["t"]]
         T = pos.shape[0]
         rows: List[list] = [["t"] + list(ts)]
-        for i in range(self._n_rows):
-            info = (self.id_info_fn(self._objs[i])
-                    if i < len(self._objs) else str(i))
+        # columns are global slots [col0, col0 + C) — the whole population on
+        # one process, THIS host's span on a pod mesh (rows labeled by the
+        # GLOBAL slot id either way; the per-host matrices tile the full one)
+        lo = self.col0
+        hi = min(self._n_rows, lo + pos.shape[-1])
+        for g in range(lo, hi):
+            i = g - lo
+            info = (self.id_info_fn(self._objs[g])
+                    if g < len(self._objs) else str(g))
             row = [info]
             if self.trace_dv:
                 row.append(int(freq[i]) if freq is not None
@@ -3255,4 +3316,15 @@ class TracePathMeasureStep(MeasureStep):
         self._ts = list(sim.ts)
         self._n_rows = max(sim._initial_count, getattr(sim, "_hwm", 0))
         self._objs = list(sim._pending_objects)
+        if self._pod and self.out_fn is not None:
+            # shard-local matrices: every host writes ITS span; suffix the
+            # path per process so hosts sharing a filesystem don't collide
+            # (concatenating the .pN files row-wise tiles the full matrix)
+            saved = self.out_fn
+            try:
+                self.out_fn = f"{saved}.p{jax.process_index()}"
+                super().terminate(sim)
+            finally:
+                self.out_fn = saved
+            return
         super().terminate(sim)  # writes CSV (builds rows) only if out_fn set

@@ -553,12 +553,16 @@ class _Inflight:
 class _StreamHold:
     """One chunk's stream buffer, shared by every trace step's record for
     that chunk — spilling it to host RAM (``arr`` reassignment) frees the
-    device copy for ALL referencing steps at once."""
+    device copy for ALL referencing steps at once. On process-spanning
+    meshes a spill keeps only THIS host's contiguous span of the particle
+    axis (``col0`` = global index of its first column) — the full stream is
+    never gathered across hosts."""
 
-    __slots__ = ("arr",)
+    __slots__ = ("arr", "col0")
 
-    def __init__(self, arr):
+    def __init__(self, arr, col0: int = 0):
         self.arr = arr
+        self.col0 = col0
 
 
 @dataclasses.dataclass

@@ -148,6 +148,32 @@ def fetch_to_every_host(x):
     return np.asarray(jax.device_get(x))
 
 
+def local_shard_np(x):
+    """``(host_array, col0)``: this process's contiguous span of a
+    particle-axis-sharded array, plus the global index of its first column.
+
+    The shard-local counterpart of :func:`fetch_to_every_host` for channels
+    too large to allgather (trace stream buffers: multi-GB per chunk).
+    Requires the local shards to be contiguous along the last axis, which
+    :func:`make_pod_mesh`'s ICI-major ordering guarantees. Fully-addressable
+    inputs fetch whole with ``col0 = 0``.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[-1].start or 0)
+        datas = [np.asarray(jax.device_get(s.data)) for s in shards]
+        col0 = shards[0].index[-1].start or 0
+        off = col0
+        for s, d in zip(shards, datas):
+            if (s.index[-1].start or 0) != off:
+                raise ValueError(
+                    "local shards are not contiguous along the particle "
+                    "axis; use make_pod_mesh() (ICI-major ordering)")
+            off += d.shape[-1]
+        return np.concatenate(datas, axis=-1), int(col0)
+    return np.asarray(jax.device_get(x)), 0
+
+
 def shard_state_multiprocess(state, mesh):
     """Place a SimState onto a process-spanning mesh.
 

@@ -231,4 +231,40 @@ for fuse_mode in ("auto", "off"):
     print(f"[{pid}] pod-mesh per-photon E-list capture (fuse={fuse_mode}) "
           f"complete across shards PASS", flush=True)
 
+# --- shard-local path tracing on the pod mesh ------------------------------
+# Stream buffers never cross DCN: each host assembles only ITS span of the
+# particle axis, rows labeled with GLOBAL slot ids, CSV suffixed .p{pid}.
+# A straight-line beam with per-photon x offsets makes every recorded value
+# exactly predictable, so shard placement errors cannot hide.
+Nt = 2 * nproc * 16384
+x0 = np.arange(Nt, dtype=np.float32)  # photon g starts at x = g
+s9 = phys.Simulation(until_t=4e-3 * 0.9999, seed=17, mesh=mesh)
+s9.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+s9.add_step(1, phys.newton.NewtonianKinematicsStep())
+trace = light.TracePathMeasureStep("/tmp/mp_trace.csv")
+s9.add_step(2, trace)
+s9.add_photons(light.generate_photon_state(
+    Nt, E=1.0, r=np.stack([x0, np.zeros(Nt, np.float32),
+                           np.zeros(Nt, np.float32)])))
+s9.start(); s9.join()
+assert s9.used_fused, "pod traced run must stay fused"
+ts9, pos9, alive9, _ = trace.as_arrays()
+per_proc = Nt // nproc
+assert trace.col0 == pid * per_proc, (trace.col0, pid * per_proc)
+assert pos9.shape == (4, 3, per_proc), pos9.shape
+assert alive9.all()
+g = trace.col0 + np.arange(per_proc, dtype=np.float64)
+for ti in range(4):
+    expect_x = g + step_len * (ti + 1)
+    err = np.abs(pos9[ti, 0, :].astype(np.float64) - expect_x)
+    assert err.max() <= 1e-3 * step_len, (ti, err.max())
+    assert np.abs(pos9[ti, 1:, :]).max() == 0.0
+rows9 = trace.data
+assert rows9[0][0] == "t" and len(rows9) == 1 + per_proc
+assert rows9[1][0] == str(trace.col0), rows9[1][0]
+assert os.path.exists(f"/tmp/mp_trace.csv.p{pid}")
+print(f"[{pid}] pod-mesh shard-local path trace (cols {trace.col0}.."
+      f"{trace.col0 + per_proc - 1}, global ids, .p{pid} CSV) PASS",
+      flush=True)
+
 print(f"[{pid}] ALL MULTIPROCESS CHECKS PASS", flush=True)
