@@ -606,23 +606,6 @@ def _dr_norm(state: SimState) -> jax.Array:
     return jnp.sqrt(jnp.sum(state.dr * state.dr, axis=0))
 
 
-def _require_single_process_mesh(sim, what: str) -> None:
-    """Path-trace stream buffers hold particle-axis-sharded arrays that must
-    eventually gather to THIS host; on a multi-process mesh that gather would
-    allgather the full multi-GB stream every chunk, so fail loudly at setup
-    instead of mid-run. (Per-photon E-LIST capture is small enough that the
-    engine DOES allgather it — ``parallel.distributed.fetch_to_every_host``;
-    tracing is the remaining single-process-only feature.)"""
-    from physicl_tpu.parallel.distributed import mesh_spans_processes
-
-    mesh = getattr(sim, "mesh", None) if sim is not None else None
-    if mesh_spans_processes(mesh):
-        raise NotImplementedError(
-            f"{what} records per-photon data, which cannot be gathered "
-            "across processes; use a single-process mesh, or aggregate "
-            "measurements (counts, Esum mode) on multi-host runs.")
-
-
 class ScatterDeleteStep(MeasureStep):
     """Absorption: photon deleted with probability ``pcoll = A*n*|dr|``
     (reference kernel ``light_scatter_step_del``, physicl/light.py:146-158 and
