@@ -293,23 +293,27 @@ def main():
     ct_generic = generic_steady_rate(lambda: voxel_ct(False), N)
     emit("voxel_ct64_generic_1e7", ct_generic, "photon-steps/s", 5.5e3)
 
-    # 3e''. trilinear CT: 32^3 codebook, 8 corner range-walks per eval
-    def voxel_ct_tri(beam):
+    # 3e''. trilinear CT at the lifted 64^3 cap (r5): 8 per-corner
+    # dynamic range-walks over the packed code table + 8 static
+    # codebook dequants per eval — locality keeps the walked ranges
+    # tiny for beam geometries
+    def voxel_ct_tri(beam, side):
         c_dt = float(light.c) * 1e-3
         vrng = np.random.default_rng(0)
         vals = np.sort(vrng.uniform(0.5, 2.0, 200)).astype(np.float32)
-        grid = vals[vrng.integers(0, 200, (32, 32, 32))]
-        sp = 64 * c_dt
+        grid = vals[vrng.integers(0, 200, (side, side, side))]
+        sp = (2048 // side) * c_dt
         nfn = light.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=sp,
                                   interp="trilinear")
         assert nfn.vox_spec["kind"] == "codebook"
         if beam:
             r0 = np.zeros((3, N), np.float32)
-            r0[1] = vrng.uniform(0, 31 * sp, N)
-            r0[2] = vrng.uniform(0, 31 * sp, N)
+            r0[1] = vrng.uniform(0, (side - 1) * sp, N)
+            r0[2] = vrng.uniform(0, (side - 1) * sp, N)
             v0 = None
         else:
-            r0 = vrng.uniform(0, 31 * sp, (3, N)).astype(np.float32)
+            r0 = vrng.uniform(0, (side - 1) * sp, (3, N)) \
+                .astype(np.float32)
             u = vrng.normal(size=(3, N))
             u /= np.linalg.norm(u, axis=0, keepdims=True)
             v0 = (u * float(light.c)).astype(np.float32)
@@ -324,11 +328,21 @@ def main():
         return s
 
     emit("voxel_ct32_tri_beam_1e7",
-         steady_rate(lambda: voxel_ct_tri(True), N), "photon-steps/s",
-         5.5e3)
+         steady_rate(lambda: voxel_ct_tri(True, 32), N),
+         "photon-steps/s", 5.5e3)
     emit("voxel_ct32_tri_random_1e7",
-         steady_rate(lambda: voxel_ct_tri(False), N), "photon-steps/s",
-         5.5e3)
+         steady_rate(lambda: voxel_ct_tri(False, 32), N),
+         "photon-steps/s", 5.5e3)
+    emit("voxel_ct64_tri_beam_1e7",
+         steady_rate(lambda: voxel_ct_tri(True, 64), N),
+         "photon-steps/s", 5.5e3)
+    # no voxel_ct64_tri_random row: the locality-free worst case walks
+    # 8 x 512 rows per eval (~3e7 photon-steps/s measured order) — a
+    # full steady_rate window takes ~10 min and the right tier for that
+    # pathological population is the generic scan (fuse="off", 9.2e7);
+    # the 32^3 random row above tracks the locality-free degradation
+    # curve at benchable cost. NOT silent truncation: documented in
+    # docs/performance.md "voxel media" alongside the cap table.
 
     # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
     # "pol" with a 21-plane packed state — the heaviest fused op after

@@ -1045,11 +1045,16 @@ MAX_FUSED_VOXELS = 8192
 MAX_FUSED_VOXELS_TRILINEAR = 4096
 # codebook tables (grids with <= 256 distinct values, or quantize=) pack
 # 4-16 voxel codes per int32 lane, so the in-kernel walk touches 4-16x
-# fewer table rows: real CT phantoms fuse at 64^3 nearest / 40^3
-# trilinear. The caps keep the statically-unrolled gather count inside
-# the Mosaic compile envelope (~2048 static gather bodies hang, r5 probe)
+# fewer table rows: real CT phantoms fuse at 64^3 on BOTH interps. The
+# dynamic row-range walk keeps compile size O(1) and walks only the
+# rows a tile's photons actually index, so the 8 trilinear corner walks
+# stay cheap whenever the population has spatial locality (on-chip r5:
+# 64^3 trilinear beam 1.31e9 photon-steps/s — the 8 per-corner range
+# walks over the dense 512-voxel/row code table beat a 2-walk
+# cell-packed corner layout, measured 7.95e8, because cell packing
+# dilutes rows 8x and the range walk pays per ROW, not per walk).
 MAX_FUSED_VOXELS_CODEBOOK = 524288            # 64^3 = 514 walked rows
-MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK = 65536   # 40^3: 8 corners x 130 rows
+MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK = 524288  # 64^3: 8 dynamic walks/eval
 
 
 def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
@@ -1073,9 +1078,11 @@ def voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
       CODEBOOK table (2/4/8-bit codes, 16/8/4 per int32 lane, plus the
       exact f32 codebook): each lookup walks 4-16x fewer table rows than
       the f32 layout, so grids up to ``MAX_FUSED_VOXELS_CODEBOOK``
-      (64^3; trilinear ``MAX_FUSED_VOXELS_TRILINEAR_CODEBOOK``, 40^3)
-      stay in-kernel. Values are EXACT (codes index the true f32
-      values), so fused-vs-generic parity is bitwise.
+      (64^3, both interps; trilinear walks the code table once per
+      corner — the dynamic row-range walk keeps those 8 walks cheap for
+      spatially-local populations, measured 1.31e9 photon-steps/s on a
+      64^3 CT beam) stay in-kernel. Values are EXACT (codes index the
+      true f32 values), so fused-vs-generic parity is bitwise.
     * continuous grids up to ``MAX_FUSED_VOXELS`` entries
       (``MAX_FUSED_VOXELS_TRILINEAR`` for trilinear) ride as a compact
       f32 ``(V/128, 128)`` table; each lookup is a segmented LANE

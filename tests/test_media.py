@@ -268,13 +268,16 @@ def test_voxel_codebook_tier_selection():
     fn = light.voxel_density(g200)        # 64^3 = 262144 > f32 cap
     assert fn.vox_spec["kind"] == "codebook" and fn.vox_spec["bits"] == 8
     assert not getattr(fn, "pallas_incompatible", False)
-    # trilinear 40^3 segmented grid fuses; 64^3 trilinear does not
+    # trilinear segmented grids fuse up to the same 64^3 cap (r5: the
+    # dynamic row-range walk keeps the 8 per-corner walks cheap, so the
+    # old 40^3 trilinear cap was lifted)
     g40 = (np.arange(40 ** 3) % 100).reshape(40, 40, 40) \
         .astype(np.float32)
     assert light.voxel_density(g40, interp="trilinear") \
         .vox_spec["kind"] == "codebook"
-    assert getattr(light.voxel_density(g200, interp="trilinear"),
-                   "pallas_incompatible", False)
+    f64t = light.voxel_density(g200, interp="trilinear")
+    assert f64t.vox_spec["kind"] == "codebook"
+    assert not getattr(f64t, "pallas_incompatible", False)
     # continuous 64^3: refuses without quantize=, fuses with it
     rng = np.random.default_rng(0)
     gc = rng.uniform(0.5, 2.0, (64, 64, 64)).astype(np.float32)
@@ -299,6 +302,7 @@ def test_vox_codebook_kernel_field_matches_direct_lookup():
         ("nearest", (16, 8, 8), 3),        # 2-bit
         ("trilinear", (18, 12, 10), 100),  # 8-bit, 8-corner dequant
         ("trilinear", (12, 10, 8), 9),     # 4-bit
+        ("trilinear", (16, 10, 8), 3),     # 2-bit
     )
     for interp, shape, n_mat in cases:
         vals = np.sort(rng.uniform(0.25, 4.0, n_mat)).astype(np.float32)
@@ -343,6 +347,64 @@ def test_vox_codebook_kernel_field_64cube_exact():
                   for i in range(3))
     np.testing.assert_array_equal(np.asarray(kfn(r0, r1, r2)),
                                   np.asarray(fn(r0, r1, r2)))
+
+
+@pytest.mark.slow
+def test_vox_trilinear_kernel_field_64cube_exact():
+    """Full 64^3 TRILINEAR codebook walk (8 per-corner range walks over
+    the 512-row code table) — vs the direct 8-corner gather, including
+    positions outside coverage."""
+    import jax
+    from physicl_tpu.ops import fused as F
+
+    rng = np.random.default_rng(17)
+    vals = np.sort(rng.uniform(0.1, 3.0, 256)).astype(np.float32)
+    grid = vals[rng.integers(0, 256, (64, 64, 64))]
+    fn = light.voxel_density(grid, spacing=0.5, interp="trilinear")
+    spec = fn.vox_spec
+    assert spec["kind"] == "codebook" and spec["bits"] == 8
+    kfn = jax.jit(F._bind_vox_field(spec, F._vox_table_of(spec), 256))
+    fn = jax.jit(fn)
+    pts = rng.uniform(-2.0, 34.0, size=(256 * 128, 3)).astype(np.float32)
+    r0, r1, r2 = (jnp.asarray(pts[:, i].reshape(256, 128))
+                  for i in range(3))
+    # XLA may contract the wx*wy*wz*corner chains into FMAs differently
+    # across the two jit programs (the table walk changes the fusion
+    # context), so jitted-vs-jitted equality is 1 ulp, not bitwise; the
+    # eager kernel-field test above pins BITWISE equality, and the
+    # end-to-end gradient-parity test pins exact fused-vs-generic
+    # weights through the production pipelines.
+    np.testing.assert_allclose(np.asarray(kfn(r0, r1, r2)),
+                               np.asarray(fn(r0, r1, r2)),
+                               rtol=3e-7, atol=0)
+
+
+def test_voxel_trilinear_fused_vs_generic_gradient_parity():
+    """End-to-end fused-vs-generic parity through a TRILINEAR segmented
+    medium on the codebook tier: per-photon implicit-capture weights
+    must agree exactly, and the plan must actually fuse."""
+    c_dt = float(light.c) * 0.001
+    A = 0.05 / c_dt
+    ii = (np.arange(24, dtype=np.float32) % 12)
+    grid = np.broadcast_to((1.0 + ii / 8.0)[:, None, None],
+                           (24, 24, 24)).copy()
+    ws = {}
+    for fuse in ("auto", "off"):
+        nfn = light.voxel_density(grid, origin=(0, 0, 0), spacing=c_dt,
+                                  interp="trilinear")
+        assert nfn.vox_spec["kind"] == "codebook"
+        s = phys.Simulation(until_t=0.010 * 0.9999, seed=3, fuse=fuse)
+        s.add_step(0, phys.UpdateTimeStep(lambda x: np.double(0.001)))
+        s.add_step(1, phys.newton.NewtonianKinematicsStep())
+        s.add_step(2, light.ScatterDeleteStep(
+            np.double(1.0), np.double(A), variable_n=True,
+            variable_n_fn=nfn, implicit_capture=True))
+        s.add_photons(light.generate_photon_state(512, E=1.0))
+        s.start(); s.join()
+        assert s.used_fused == (fuse == "auto")
+        ws[fuse] = np.asarray(s.sim_state.w, np.float64)
+    np.testing.assert_array_equal(ws["auto"], ws["off"])
+    assert not np.allclose(ws["auto"][:512], (1 - 0.05) ** 10)
 
 
 def test_voxel_codebook_fused_vs_generic_gradient_parity():

@@ -246,13 +246,14 @@ def _ops(kind):
         return [kin, F._Op("del", coef=1e-6 * _EPS, n_fn=nfn),
                 F._Op("sign", cols=(1, 2))], 5, 0
     if kind == "voxel_cb_tri":
-        # trilinear codebook medium (r5): 32^3, 8 corner code-walks + 8
-        # codebook dequants per eval (8 x 66 rows at unroll 1)
+        # trilinear codebook medium at the LIFTED 64^3 cap (r5): 8
+        # per-corner dynamic range-walks over the 512-row code table +
+        # 8 static codebook dequants per eval
         import physicl_tpu.light as L
 
         rng = np.random.default_rng(3)
         vals = (rng.uniform(0.5, 2.0, 200) * _EPS).astype(np.float32)
-        grid = vals[rng.integers(0, 200, (32, 32, 32))]
+        grid = vals[rng.integers(0, 200, (64, 64, 64))]
         nfn = L.voxel_density(grid, origin=(0.0, 0.0, 0.0), spacing=1.0,
                               interp="trilinear")
         assert nfn.vox_spec["kind"] == "codebook"
