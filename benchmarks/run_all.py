@@ -25,11 +25,15 @@ import numpy as np
 
 
 def steady_rate(sim_builder, n_photons, reps=6, chunk=256,
-                roofline=None):
+                roofline=None, sort_spec=None):
     """Sustained photon-steps/s via the engine's own chunk provider.
 
     ``chunk=None`` lets the provider size the chunk itself (stream-plane
     workloads like tracing cap it by the record-buffer budget).
+    ``sort_spec``: a voxel-table spec — apply the engine's
+    ``spatial_sort=1`` policy (ops/compaction.make_spatial_sort) at
+    every chunk boundary, exactly as ``Simulation(spatial_sort=1)``
+    schedules it in ``_drive_fused``.
     """
     import jax
     from physicl_tpu.ops.pipeline import try_build_fused
@@ -45,8 +49,16 @@ def steady_rate(sim_builder, n_photons, reps=6, chunk=256,
     if provider is None:
         raise RuntimeError("workload did not fuse")
     chunk = provider.plan.chunk  # provider may have re-sized it
+    sort = None
+    if sort_spec is not None:
+        from physicl_tpu.ops.compaction import make_spatial_sort
+
+        sort = make_spatial_sort(sort_spec)
+        state = sort(state)
     for _ in range(2):
         state, *_ = provider(state)
+        if sort is not None:
+            state = sort(state)
     _ = np.asarray(jax.device_get(state.r[0, :8]))
     t0 = time.perf_counter()
     # the engine's pipelined dispatch loop: two chunks in flight, harvest
@@ -55,7 +67,7 @@ def steady_rate(sim_builder, n_photons, reps=6, chunk=256,
     pending = deque()
     for _ in range(reps):
         h = provider.dispatch(state)
-        state = h.state
+        state = sort(h.state) if sort is not None else h.state
         pending.append(h)
         while len(pending) > 2:
             provider.harvest(pending.popleft())
@@ -290,6 +302,23 @@ def main():
          roofline=rl_ct)
     ct_rand = steady_rate(lambda: voxel_ct(False), N)
     emit("voxel_ct64_random_1e7", ct_rand, "photon-steps/s", 5.5e3)
+
+    # the locality-free case WITH the engine's spatial_sort=1 policy
+    # (ops/compaction.make_spatial_sort): reorder by flat voxel index at
+    # every chunk boundary, restoring per-tile row-range locality — the
+    # r5 fix for the worst case above (2.28e8 -> ~1.1e9 measured)
+    def ct64_sort_spec():
+        vrng = np.random.default_rng(0)
+        vals = np.sort(vrng.uniform(0.5, 2.0, 200)).astype(np.float32)
+        grid = vals[vrng.integers(0, 200, (64, 64, 64))]
+        sp = 32 * float(light.c) * 1e-3
+        return light.voxel_density(grid, origin=(0.0, 0.0, 0.0),
+                                   spacing=sp).vox_spec
+
+    emit("voxel_ct64_random_sorted_1e7",
+         steady_rate(lambda: voxel_ct(False), N,
+                     sort_spec=ct64_sort_spec()),
+         "photon-steps/s", 5.5e3)
     ct_generic = generic_steady_rate(lambda: voxel_ct(False), N)
     emit("voxel_ct64_generic_1e7", ct_generic, "photon-steps/s", 5.5e3)
 
@@ -336,13 +365,28 @@ def main():
     emit("voxel_ct64_tri_beam_1e7",
          steady_rate(lambda: voxel_ct_tri(True, 64), N),
          "photon-steps/s", 5.5e3)
-    # no voxel_ct64_tri_random row: the locality-free worst case walks
-    # 8 x 512 rows per eval (~3e7 photon-steps/s measured order) — a
-    # full steady_rate window takes ~10 min and the right tier for that
-    # pathological population is the generic scan (fuse="off", 9.2e7);
-    # the 32^3 random row above tracks the locality-free degradation
-    # curve at benchable cost. NOT silent truncation: documented in
-    # docs/performance.md "voxel media" alongside the cap table.
+
+    def ct_tri_sort_spec(side):
+        vrng = np.random.default_rng(0)
+        vals = np.sort(vrng.uniform(0.5, 2.0, 200)).astype(np.float32)
+        grid = vals[vrng.integers(0, 200, (side, side, side))]
+        sp = (2048 // side) * float(light.c) * 1e-3
+        return light.voxel_density(grid, origin=(0.0, 0.0, 0.0),
+                                   spacing=sp, interp="trilinear").vox_spec
+
+    emit("voxel_ct32_tri_random_sorted_1e7",
+         steady_rate(lambda: voxel_ct_tri(False, 32), N,
+                     sort_spec=ct_tri_sort_spec(32)),
+         "photon-steps/s", 5.5e3)
+    # UNSORTED voxel_ct64_tri_random is not benchable: the locality-free
+    # worst case walks 8 x 512 rows per eval (~3e7 photon-steps/s order;
+    # a steady_rate window would take ~10 min) — for that population use
+    # spatial_sort=1 (row below) or fuse="off" (generic 9.2e7). NOT
+    # silent truncation: documented in docs/performance.md "voxel media".
+    emit("voxel_ct64_tri_random_sorted_1e7",
+         steady_rate(lambda: voxel_ct_tri(False, 64), N,
+                     sort_spec=ct_tri_sort_spec(64)),
+         "photon-steps/s", 5.5e3)
 
     # 3d. polarized Rayleigh transport (full Stokes vectors: fused op
     # "pol" with a 21-plane packed state — the heaviest fused op after

@@ -772,6 +772,20 @@ class Simulation(threading.Thread):
         # compact + shrink capacity when <1/4 of the buffer is alive
         # (disabled automatically when a step needs stable particle slots)
         self.auto_shrink = True
+        # spatial_sort=K (chunks): every K chunk dispatches, reorder the
+        # population by flat voxel index of the run's first voxel_density
+        # medium (ops/compaction.make_spatial_sort). The fused table
+        # lookup walks only each tile's needed row RANGE, so sorting
+        # collapses the locality-free worst case (uniform positions +
+        # isotropic directions) to near-beam walk costs — opt in for
+        # fully-mixed populations on big grids. Costs slot identity
+        # (refused with a warning when a step needs stable ids; mid-run
+        # remove_obj unavailable) and reassigns per-slot RNG streams
+        # (statistically identical, not bitwise vs. unsorted). 0 = off.
+        self.spatial_sort = 0
+        self._sort_fn = None
+        self._sort_every = 1
+        self._sort_tick = 0
         # declared exit intent (documented fast path; skips predicate probing)
         self.until_t = None
         for attr, val in kwargs.items():
@@ -1122,7 +1136,8 @@ class Simulation(threading.Thread):
     @property
     def _slots_stable(self) -> bool:
         shrink_ok, recycle_ok, _ = self._population_policies()
-        return not (shrink_ok or recycle_ok)
+        return not (shrink_ok or recycle_ok
+                    or int(self.spatial_sort or 0) > 0)
 
     @staticmethod
     def _injection_keeps_plan(provider, items) -> bool:
@@ -1587,6 +1602,49 @@ class Simulation(threading.Thread):
         self._collect_records(steps, records, dev_keys, n_valid)
         return done, final_state
 
+    def _setup_spatial_sort(self, steps):
+        """Resolve the ``spatial_sort=K`` knob into a jitted reorder (or
+        None), warning with a structured reason when it cannot apply —
+        mirroring the fused-plan refusal style."""
+        every = int(self.spatial_sort or 0)
+        if every <= 0:
+            return None
+        if any(getattr(s, "needs_stable_ids", False) for s in steps):
+            warnings.warn(
+                "spatial_sort disabled [stable-ids]: a step needs stable "
+                "particle slots (path tracing records rows by slot id)",
+                RuntimeWarning)
+            return None
+        spec = None
+        for s in steps:
+            for attr in ("variable_n_fn", "_n_fn", "n_fn"):
+                f = getattr(s, attr, None)
+                if f is not None and getattr(f, "vox_spec",
+                                             None) is not None:
+                    spec = f.vox_spec
+                    break
+            if spec is not None:
+                break
+        if spec is None:
+            warnings.warn(
+                "spatial_sort disabled [no-voxel-table]: no voxel_density "
+                "medium with an in-kernel table to key the sort on",
+                RuntimeWarning)
+            return None
+        from physicl_tpu.ops.compaction import make_spatial_sort
+
+        return make_spatial_sort(spec, self.mesh)
+
+    def _maybe_spatial_sort(self, state: SimState) -> SimState:
+        """Every ``spatial_sort``-th chunk dispatch, reorder the population
+        by flat voxel index (pure device op: no pipeline drain, no host
+        traffic — see ops/compaction.make_spatial_sort)."""
+        if self._sort_fn is not None:
+            if self._sort_tick % self._sort_every == 0:
+                state = self._sort_fn(state)
+            self._sort_tick += 1
+        return state
+
     def _drive_fused(self, plan, pop, steps, state: SimState, dev_keys):
         """Pipelined fused dispatch loop: enqueue chunk k+1 before fetching
         chunk k's records, so the device relay's per-sync dead time (~40-80 ms
@@ -1632,6 +1690,7 @@ class Simulation(threading.Thread):
                 # fall through to dispatch: maintenance may be a no-op (e.g.
                 # shrink already at minimum capacity), so progress must not
                 # depend on needs_attention() turning false
+            state = self._maybe_spatial_sort(state)
             inflight = provider.dispatch(state)
             state = inflight.state
             with self._state_lock:
@@ -1676,6 +1735,9 @@ class Simulation(threading.Thread):
 
         plan = self._build_execution(steps, state)
         self.used_fused = plan.provider is not None
+        self._sort_fn = self._setup_spatial_sort(steps)
+        self._sort_every = max(1, int(self.spatial_sort or 0))
+        self._sort_tick = 0
         pop = PopulationManager(self, steps)
         # chunk-boundary importance snapshots start from the INITIAL
         # positions on both paths (the fused loop's pre-dispatch maintain
@@ -1710,6 +1772,10 @@ class Simulation(threading.Thread):
             else:
                 pop.check_divergence()  # multi-host: queued edits must match
                 state = pop.maintain(state, plan)
+            if plan.exit_traced:
+                # host-exact (chunk=1) mode keeps insertion order — its
+                # object views are user-visible every iteration
+                state = self._maybe_spatial_sort(state)
             state, done, records, valid = plan.chunk_fn(state)
             # one batched transfer: each separate device_get is a full relay
             # round trip (~tens of ms of dead time on tunneled devices)

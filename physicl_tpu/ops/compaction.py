@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from physicl_tpu.state import SimState, pad_capacity
 
-__all__ = ["compact", "compact_on_mesh", "compact_shrink"]
+__all__ = ["compact", "compact_on_mesh", "compact_shrink",
+           "make_spatial_sort"]
 
 
 def _compact_body(state: SimState) -> SimState:
@@ -86,6 +87,98 @@ def compact_on_mesh(state: SimState, mesh) -> SimState:
             _mesh_compact_cache.pop(next(iter(_mesh_compact_cache)))
         _mesh_compact_cache[key] = hit = (fn, mesh)  # anchor mesh id
     return hit[0](state)
+
+
+def make_spatial_sort(spec: dict, mesh=None):
+    """Jitted ``state -> state`` SPATIAL SORT of the population by the
+    flat (x-major) voxel index of each particle under the given
+    ``light.voxel_density`` table spec.
+
+    Why: the fused kernel's voxel-table lookup is a dynamic row-RANGE
+    walk — each tile walks only the table rows its photons actually
+    index, so cost is set by the per-tile flat-index SPREAD, not the
+    table size (ops/fused._vmem_table_lookup). A sorted population
+    makes every tile a contiguous flat-index band: the locality-free
+    worst case (uniform positions, isotropic directions) collapses to
+    near-beam walk costs, bounded by the drift accumulated between
+    re-sorts. This is the classic particle-sort population control of
+    event-based Monte Carlo transport, keyed to OUR table layout.
+
+    Slot contract: a pure reorder, pipelineable with zero host traffic.
+    Alive particles sort by flat index; spawned-but-dead slots pack
+    after them; never-spawned free-tail slots keep their region at the
+    very back — so the ``[0, n_spawned)`` invariant and ``n_spawned``
+    itself are untouched and emitters/recycling compose unchanged.
+    Slot IDENTITY is not preserved (like recycling): the engine refuses
+    the knob when a step needs stable ids (path tracing), and per-slot
+    RNG streams reassign with the move — statistically identical,
+    bitwise different from an unsorted run (fused-vs-generic parity is
+    preserved because BOTH paths sort at the same boundaries).
+
+    ``mesh``: pin every particle-axis output back to the particle
+    sharding (same pattern as :func:`compact_on_mesh`); the global
+    argsort's cross-shard moves lower to XLA collectives.
+    """
+    nx, ny, nz = (int(d) for d in spec["shape"])
+    ox, oy, oz = (float(v) for v in spec["origin"])
+    sx, sy, sz = (float(v) for v in spec["spacing"])
+    big = jnp.int32(2 ** 31 - 2)            # spawned-but-dead
+    huge = jnp.int32(2 ** 31 - 1)           # never-spawned free tail
+
+    def body(state: SimState) -> SimState:
+        # nearest-voxel flat index (same x-major arithmetic as the
+        # kernel's table walk); out-of-grid particles clip to the
+        # nearest edge voxel, which keeps them spatially grouped
+        ix = jnp.clip(jnp.round((state.r[0] - ox) / sx).astype(jnp.int32),
+                      0, nx - 1)
+        iy = jnp.clip(jnp.round((state.r[1] - oy) / sy).astype(jnp.int32),
+                      0, ny - 1)
+        iz = jnp.clip(jnp.round((state.r[2] - oz) / sz).astype(jnp.int32),
+                      0, nz - 1)
+        flat = (ix * jnp.int32(ny) + iy) * jnp.int32(nz) + iz
+        idx = jnp.arange(state.capacity, dtype=jnp.int32)
+        key = jnp.where(state.alive, flat,
+                        jnp.where(idx < state.n_spawned, big, huge))
+        perm = jnp.argsort(key)             # stable: deterministic order
+
+        def take(x):
+            if getattr(x, "ndim", 0) == 0 or x.shape[-1] != state.capacity:
+                return x
+            return x[..., perm]
+
+        return state.replace(
+            r=take(state.r), dr=take(state.dr), v=take(state.v),
+            dv=take(state.dv), a=take(state.a), E=take(state.E),
+            alive=take(state.alive), otype=take(state.otype),
+            w=take(state.w),
+            extras={k: take(v) for k, v in state.extras.items()},
+        )
+
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from physicl_tpu.parallel.sharding import particle_sharding
+
+    cache: dict = {}                        # (capacity, extras) -> jit fn
+
+    def sorted_on_mesh(state: SimState) -> SimState:
+        ck = (state.capacity, tuple(sorted(state.extras)))
+        fn = cache.get(ck)
+        if fn is None:
+            rep = NamedSharding(mesh, P())
+
+            def shard_of(x):
+                if getattr(x, "ndim", 0) and x.shape[-1] == state.capacity:
+                    return particle_sharding(mesh, x.ndim)
+                return rep
+
+            out_shardings = jax.tree_util.tree_map(shard_of, state)
+            cache[ck] = fn = jax.jit(body, out_shardings=out_shardings)
+        return fn(state)
+
+    return sorted_on_mesh
 
 
 def compact_shrink(state: SimState, n_alive: int) -> SimState:
