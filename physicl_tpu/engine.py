@@ -1738,6 +1738,12 @@ class Simulation(threading.Thread):
         self._sort_fn = self._setup_spatial_sort(steps)
         self._sort_every = max(1, int(self.spatial_sort or 0))
         self._sort_tick = 0
+        if self._sort_fn is not None and self.plan_report is not None:
+            self.plan_report.notes.append(
+                f"spatial sort: population reordered by flat voxel index "
+                f"every {self._sort_every} chunk dispatch(es) — restores "
+                f"per-tile table-walk locality for mixed populations "
+                f"(slot order is not insertion order)")
         pop = PopulationManager(self, steps)
         # chunk-boundary importance snapshots start from the INITIAL
         # positions on both paths (the fused loop's pre-dispatch maintain

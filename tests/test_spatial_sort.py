@@ -134,6 +134,7 @@ def test_spatial_sort_interval_every_k_chunks():
     every chunk."""
     s = _run("auto", 2, chunk=2)
     assert s._sort_fn is not None
+    assert "spatial sort" in s.explain_plan()
     # 10 engine steps at chunk=2 => 5+ dispatches, ticks advanced, and
     # sorts happened on the even ticks only
     assert s._sort_tick >= 5
