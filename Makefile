@@ -1,9 +1,9 @@
 # Developer entry points (counterpart of the reference Makefile + CI scripts)
 #
 # Test tiers (measured 2026-08-20, single-core CPU, virtual 8-device mesh):
-#   test        full suite            502 passed / 20m14s
-#   test-fast   -m "not slow"         416 passed /  7m26s (1 core; CI runs
-#               it with pytest-xdist -n auto — scales ~1/cores)
+#   test        full suite            510 passed / ~21m
+#   test-fast   -m "not slow"         423 passed /  7-12m load-dependent
+#               (1 core; CI runs it with pytest-xdist -n auto)
 #   test-smoke  --smoke               first 2 non-slow tests per module,
 #                                     54 passed / 61s — every module still
 #                                     imports and executes
